@@ -1,0 +1,46 @@
+"""Sketch registry: kind name <-> class, blob magic dispatch.
+
+Every sketch blob starts with a 4-byte magic; ``sketch_from_bytes``
+dispatches on it so Spark operators can carry heterogeneous sketch
+columns (`kind` string + `sketch` binary).
+"""
+
+from __future__ import annotations
+
+from cuckoofilter_spark.core.bloom import BlockedBloomFilter
+from cuckoofilter_spark.core.cms import CountMinSketch
+from cuckoofilter_spark.core.cuckoo import CuckooFilter
+from cuckoofilter_spark.core.hll import HyperLogLog
+from cuckoofilter_spark.core.kll import KLL
+from cuckoofilter_spark.core.tdigest import TDigest
+
+SKETCH_KINDS = {
+    "cuckoo": CuckooFilter,
+    "bloom": BlockedBloomFilter,
+    "hll": HyperLogLog,
+    "cms": CountMinSketch,
+    "tdigest": TDigest,
+    "kll": KLL,
+}
+
+_MAGIC_TO_CLS = {
+    b"CKF1": CuckooFilter,
+    b"SBB1": BlockedBloomFilter,
+    b"HLL1": HyperLogLog,
+    b"CMS1": CountMinSketch,
+    b"TDG1": TDigest,
+    b"KLL1": KLL,
+}
+
+
+def sketch_from_bytes(blob: bytes):
+    cls = _MAGIC_TO_CLS.get(bytes(blob[:4]))
+    if cls is None:
+        raise ValueError(f"unknown sketch magic {blob[:4]!r}")
+    return cls.from_bytes(blob)
+
+
+def make_sketch(kind: str, **params):
+    """Construct a fresh sketch of ``kind`` with constructor params."""
+    cls = SKETCH_KINDS[kind]
+    return cls(**params)
