@@ -1,38 +1,321 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship cuckoo-filter-pruned semi-join at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` — DuckDB-equivalent SQL for the exact-answer checks.
+
+Sketch estimates are approximate by nature, so their correctness gate
+is expressed as *deterministically-true bound predicates*: the query
+returns the EXACT quantity (computed in Spark) plus booleans asserting
+the sketch estimate lies within the algorithm's published error bound.
+The DuckDB oracle computes the same exact quantity and literal
+``true`` — the value-hash matches iff the bound actually held.
+Float-summing queries round to fixed decimals and cast to bigint so
+the hash is immune to reduction-order FP noise.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cuckoo-filter-pruned semi-join lineitem⋉orders."""
+    return q_cf_semijoin_agg(spark, "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------------- queries
+def q_cf_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter semi-join pruning (SURVEY.md §2.9 joins row):
+    lineitem rows whose order has o_totalprice > 150000, aggregated."""
+    from cuckoofilter_spark.operators.semijoin import filter_semi_join
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    pruned = filter_semi_join(lineitem, "l_orderkey", orders, "o_orderkey",
+                              kind="cuckoo", exact=True)
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_bloom_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-block-Bloom pruning (reference src/simd-block.h role)."""
+    from cuckoofilter_spark.operators.semijoin import filter_semi_join
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    pruned = filter_semi_join(lineitem, "l_partkey", part, "p_partkey",
+                              kind="bloom", exact=True)
+    return pruned.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_cf_zero_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed build then probe of every inserted key — the
+    example/test.cc:33-35 invariant at DataFrame scale."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    n = lineitem.select("l_partkey").distinct().count()
+    shards = build_sketch_shards(
+        lineitem, "l_partkey", kind="cuckoo", lineage=False,
+        max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True)
+    probe = might_contain_udf(spark, blob)
+    keys = lineitem.select("l_partkey").distinct()
+    return keys.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(probe("l_partkey").cast("long")).alias("n_hits"),
+    )
+
+
+def q_cf_delete_then_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete parity (src/cuckoofilter.h:189-219): delete the even
+    suppkeys, every odd key must still hit (multiset build: colliding
+    fingerprints keep per-key copies, so deletes never create false
+    negatives for remaining keys)."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import collect_merged
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    supplier = _read(spark, sf_dir, "supplier").select("s_suppkey").distinct()
+    n = supplier.count()
+    shards = build_sketch_shards(
+        supplier, "s_suppkey", kind="cuckoo", distinct=False, lineage=False,
+        max_num_keys=int(n * 1.5) + 64, bits_per_item=16, seed=2014,
+    )
+    filt = collect_merged(shards, dedup=False)
+    keys = np.array([r[0] for r in supplier.collect()], dtype=np.int64)
+    even = keys[keys % 2 == 0].view(np.uint64)
+    filt.delete_many(even)
+    probe = might_contain_udf(spark, filt.to_bytes())
+    odd = supplier.filter(F.col("s_suppkey") % 2 == 1)
+    return odd.agg(
+        F.count(F.lit(1)).alias("n_odd"),
+        F.sum(probe("s_suppkey").cast("long")).alias("n_odd_hits"),
+    )
+
+
+def q_cf_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-order invariance: shards merged ascending vs descending
+    answer membership identically on every key (north_rule)."""
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey")
+    n = orders.distinct().count()
+    shards_df = build_sketch_shards(
+        orders, "o_orderkey", kind="cuckoo", lineage=False,
+        max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+    )
+    rows = sorted(shards_df.collect(), key=lambda r: r["shard_id"])
+    blobs = [bytes(r["sketch"]) for r in rows]
+
+    def fold(order):
+        acc = sketch_from_bytes(blobs[order[0]])
+        for i in order[1:]:
+            acc.merge(sketch_from_bytes(blobs[i]), dedup=True)
+        return acc
+
+    fwd = fold(list(range(len(blobs))))
+    rev = fold(list(range(len(blobs) - 1, -1, -1)))
+    keys = np.array([r[0] for r in orders.distinct().collect()], dtype=np.int64)
+    a = fwd.contains_many(keys.view(np.uint64))
+    b = rev.contains_many(keys.view(np.uint64))
+    agree = bool((a == b).all() and a.all() and b.all())
+    return spark.createDataFrame(
+        [(int(len(keys)), agree)], "n_keys long, orders_agree boolean"
+    )
+
+
+def q_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL(p=14) estimate within 3σ (σ=1.04/√2^p ≈ 0.81%) of the exact
+    distinct count."""
+    from cuckoofilter_spark.operators.approx import approx_distinct
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    est = approx_distinct(lineitem, "l_partkey", p=14, seed=2014)
+    exact = lineitem.select("l_partkey").distinct().count()
+    within = abs(est - exact) / max(exact, 1) <= 3 * 1.04 / (2**14) ** 0.5
+    return spark.createDataFrame(
+        [(int(exact), bool(within))], "exact_distinct long, within_bound boolean"
+    )
+
+
+def q_cms_frequency_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point queries: estimate ≥ truth, overshoot ≤ eps·N,
+    checked on the 20 most frequent l_partkey values."""
+    from cuckoofilter_spark.operators.approx import cms_sketch
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    eps = 0.0005
+    sk = cms_sketch(lineitem, "l_partkey", eps=eps, delta=0.01, seed=2014)
+    top = (
+        lineitem.groupBy("l_partkey").count()
+        .orderBy(F.desc("count"), "l_partkey").limit(20).collect()
+    )
+    keys = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    truth = np.array([r["count"] for r in top], dtype=np.int64)
+    est = sk.query_many(keys.view(np.uint64)).astype(np.int64)
+    total = int(lineitem.count())
+    ok_lower = bool((est >= truth).all())
+    ok_upper = bool((est <= truth + eps * total + 1).all())
+    return spark.createDataFrame(
+        [(int(truth.sum()), ok_lower and ok_upper)],
+        "top20_total long, within_bound boolean",
+    )
+
+
+def _rank_of(df: DataFrame, column: str, values) -> np.ndarray:
+    n = df.count()
+    ranks = []
+    for v in values:
+        ranks.append(df.filter(F.col(column) <= float(v)).count() / n)
+    return np.array(ranks)
+
+
+def q_tdigest_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest(δ=200) quantiles of o_totalprice: rank error ≤ 0.02."""
+    from cuckoofilter_spark.operators.approx import approx_quantiles
+
+    orders = _read(spark, sf_dir, "orders")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = approx_quantiles(orders, "o_totalprice", qs, kind="tdigest")
+    ranks = _rank_of(orders, "o_totalprice", est)
+    ok = bool((np.abs(ranks - np.array(qs)) <= 0.02).all())
+    return spark.createDataFrame(
+        [(int(orders.count()), ok)], "n long, within_bound boolean"
+    )
+
+
+def q_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL(k=200) quantiles of l_extendedprice: rank error ≤ 0.02."""
+    from cuckoofilter_spark.operators.approx import approx_quantiles
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.5, 0.9]
+    est = approx_quantiles(lineitem, "l_extendedprice", qs, kind="kll")
+    ranks = _rank_of(lineitem, "l_extendedprice", est)
+    ok = bool((np.abs(ranks - np.array(qs)) <= 0.02).all())
+    return spark.createDataFrame(
+        [(int(lineitem.count()), ok)], "n long, within_bound boolean"
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact relational baseline (TPC-H Q1 shape) proving the plain
+    DataFrame agg path: group, count, fixed-point sums."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_price_c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cf_semijoin_agg": q_cf_semijoin_agg,
+        "bloom_semijoin_agg": q_bloom_semijoin_agg,
+        "cf_zero_false_negatives": q_cf_zero_false_negatives,
+        "cf_delete_then_lookup": q_cf_delete_then_lookup,
+        "cf_merge_associativity": q_cf_merge_associativity,
+        "hll_distinct_bound": q_hll_distinct_bound,
+        "cms_frequency_bound": q_cms_frequency_bound,
+        "tdigest_quantile_bound": q_tdigest_quantile_bound,
+        "kll_quantile_bound": q_kll_quantile_bound,
+        "pricing_summary": q_pricing_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cf_semijoin_agg": """
+            SELECT l_returnflag,
+                   count(*) AS cnt,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "bloom_semijoin_agg": """
+            SELECT count(*) AS cnt,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_size > 25)
+        """,
+        "cf_zero_false_negatives": """
+            SELECT count(DISTINCT l_partkey) AS n_probed,
+                   count(DISTINCT l_partkey) AS n_hits
+            FROM lineitem
+        """,
+        "cf_delete_then_lookup": """
+            SELECT count(*) AS n_odd, count(*) AS n_odd_hits
+            FROM (SELECT DISTINCT s_suppkey FROM supplier)
+            WHERE s_suppkey % 2 = 1
+        """,
+        "cf_merge_associativity": """
+            SELECT count(DISTINCT o_orderkey) AS n_keys,
+                   true AS orders_agree
+            FROM orders
+        """,
+        "hll_distinct_bound": """
+            SELECT count(DISTINCT l_partkey) AS exact_distinct,
+                   true AS within_bound
+            FROM lineitem
+        """,
+        "cms_frequency_bound": """
+            WITH top AS (
+                SELECT l_partkey, count(*) AS c FROM lineitem
+                GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 20)
+            SELECT CAST(sum(c) AS BIGINT) AS top20_total,
+                   true AS within_bound
+            FROM top
+        """,
+        "tdigest_quantile_bound": """
+            SELECT count(*) AS n, true AS within_bound FROM orders
+        """,
+        "kll_quantile_bound": """
+            SELECT count(*) AS n, true AS within_bound FROM lineitem
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS cnt,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+                       AS sum_price_c
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,149 @@
+"""Headline benchmark — distributed sketch ops at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload mirrors the reference's benchmark shape
+(``benchmarks/bulk-insert-and-query.cc``: bulk add → lookups at mixed
+hit rates → FPR) plus the companion sketches, run over (a) the
+synthetic pre-tokenized sequence table (BASELINE.json ``input_hint``),
+cached as Parquet per scale factor, and (b) the driver testdata
+lineitem/orders for the semi-join pruning query.
+
+Throughput figures (tokens/sec build, lookups/sec probe) land in the
+JSON under "extra" for BASELINE.md tracking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+N_DOCS = {0.001: 1_000, 0.01: 10_000, 0.1: 100_000}
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.1
+
+
+def tokens_path(spark, sf: float) -> str:
+    from cuckoofilter_spark.sources.tokens import write_tokens_table
+
+    n_docs = N_DOCS.get(sf, max(1000, int(sf * 1_000_000)))
+    path = os.path.join(BENCH_CACHE, f"tokens_sf{sf}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_tokens_table(spark, path, n_docs, seed=42)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+    from cuckoofilter_spark.operators.approx import (
+        approx_distinct, approx_quantiles, cms_sketch,
+    )
+    from cuckoofilter_spark.operators.semijoin import filter_semi_join
+    from cuckoofilter_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app="cuckoofilter-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    tpath = tokens_path(spark, sf)
+    tokens = spark.read.parquet(tpath)
+    n_tokens = tokens.agg(F.sum("n_tok")).collect()[0][0]
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- q1: bulk distributed cuckoo build over the token stream -------
+    t0 = time.time()
+    shards = build_sketch_shards(
+        tokens, "tokens", kind="cuckoo", lineage=False,
+        max_num_keys=1 << 21, bits_per_item=12, seed=7,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True, fanout=16)
+    queries["build_cuckoo"] = time.time() - t0
+    extra["build_tokens_per_sec"] = n_tokens / queries["build_cuckoo"]
+    extra["n_tokens"] = int(n_tokens)
+
+    # -- q2: probe 2M keys (~50% hit rate vs the 2^20 vocab) -----------
+    probe = might_contain_udf(spark, blob)
+    t0 = time.time()
+    n_hits = (
+        spark.range(0, 2 << 20)
+        .select(F.col("id").alias("tok"))
+        .select(probe("tok").alias("hit"))
+        .agg(F.sum(F.col("hit").cast("long")))
+        .collect()[0][0]
+    )
+    queries["probe_2m"] = time.time() - t0
+    extra["probe_lookups_per_sec"] = (2 << 20) / queries["probe_2m"]
+    extra["probe_hits"] = int(n_hits)
+
+    # -- q3: bloom build over the same stream ---------------------------
+    t0 = time.time()
+    bshards = build_sketch_shards(
+        tokens, "tokens", kind="bloom", lineage=False,
+        log_num_buckets=16, seed=7,
+    )
+    merge_shards_to_blob(bshards, dedup=False, fanout=16)
+    queries["build_bloom"] = time.time() - t0
+
+    # -- q4: HLL distinct tokens ----------------------------------------
+    t0 = time.time()
+    extra["hll_estimate"] = approx_distinct(tokens, "tokens", p=14, seed=7)
+    queries["hll_distinct"] = time.time() - t0
+
+    # -- q5: count-min heavy hitters -------------------------------------
+    t0 = time.time()
+    sk = cms_sketch(tokens, "tokens", eps=0.0001, delta=0.01, seed=7)
+    hot = sk.query_many(np.arange(64, dtype=np.uint64))
+    extra["cms_hot_token_max"] = int(hot.max())
+    queries["cms_build"] = time.time() - t0
+
+    # -- q6: t-digest quantiles of n_tok ---------------------------------
+    t0 = time.time()
+    qs = approx_quantiles(tokens, "n_tok", [0.01, 0.5, 0.99], kind="tdigest",
+                          seed=7)
+    extra["n_tok_p50_est"] = float(qs[1])
+    queries["tdigest_quantiles"] = time.time() - t0
+
+    # -- q7: cuckoo-pruned semi-join on the driver testdata ---------------
+    lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    t0 = time.time()
+    cnt = filter_semi_join(
+        lineitem, "l_orderkey",
+        orders.filter(F.col("o_totalprice") > 150000), "o_orderkey",
+        kind="cuckoo", exact=True,
+    ).count()
+    queries["cf_semijoin"] = time.time() - t0
+    extra["semijoin_rows"] = int(cnt)
+
+    total = sum(queries.values())
+    print(json.dumps({
+        "metric": "sketch_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "extra": {k: (round(v, 3) if isinstance(v, float) else v)
+                  for k, v in extra.items()},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

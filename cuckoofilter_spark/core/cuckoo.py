@@ -110,6 +110,7 @@ class CuckooFilter:
         self.victim = Victim()
         self.hasher = MultiplyShift(seed)
         self._rng = np.random.Generator(np.random.PCG64(seed ^ 0x9E3779B9))
+        self.kicks = 0  # build-stat: total evictions performed (not serialized)
 
     # ----------------------------------------------------------------- sizing
     @property
@@ -319,6 +320,7 @@ class CuckooFilter:
             if len(kick):
                 kb = cur_idx[kick].astype(np.int64)
                 kslot = self._rng.integers(0, ASSOC, size=len(kick))
+                self.kicks += len(kick)
                 old = table[kb, kslot].astype(np.uint32)
                 table[kb, kslot] = cur_tag[kick].astype(table.dtype)
                 ni = alt_index(cur_idx[kick], old, self.num_buckets)
@@ -354,6 +356,7 @@ class CuckooFilter:
                 row[empties[0]] = table.dtype.type(cur_tag)
                 return "placed"
             slot = int(self._rng.integers(0, ASSOC))
+            self.kicks += 1
             old = int(row[slot])
             row[slot] = table.dtype.type(cur_tag)
             cur_tag = old
@@ -439,7 +442,7 @@ class CuckooFilter:
             self._insert_tags(idx, tg)
 
     # ---------------------------------------------------------------- merge
-    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+    def merge(self, other: "CuckooFilter", dedup: bool = False) -> "CuckooFilter":
         """In-place union with a same-geometry, same-seed filter.
 
         Re-inserts every non-zero tag of ``other`` at its current
@@ -447,6 +450,19 @@ class CuckooFilter:
         alt index is recoverable from (bucket, tag) alone. Raises on
         geometry/seed mismatch; surfaces overflow via victim parking or
         RuntimeError exactly like Add.
+
+        ``dedup=True`` is **set-mode** merge (not in the reference —
+        merge itself is new, §2.1 of SURVEY.md): a tag of ``other`` is
+        skipped when the same fingerprint already sits in either of its
+        two legal buckets of ``self``, and duplicate (bucket-pair, tag)
+        entries across both inputs collapse to one copy. Membership
+        answers are identical to multiset merge — any key mapping to
+        that (bucket, tag) pair still hits — but hot keys inserted into
+        many shards no longer pile up 8+ copies and overflow the
+        4-slot buckets. This is what makes a distributed *set*
+        membership build shuffle-free: per-partition distinct + dedup
+        tree-merge. Counting deletes degrade (one stored copy per
+        fingerprint), so multiset mode stays the default.
         """
         if (
             other.f != self.f
@@ -458,16 +474,51 @@ class CuckooFilter:
             raise RuntimeError("merge into a full filter (victim occupied)")
         b_idx, b_slot = np.nonzero(other.table)
         if len(b_idx):
+            idx = b_idx.astype(np.uint64)
             tags = other.table[b_idx, b_slot].astype(np.uint32)
-            # phase=1: these tags are already "resident somewhere valid";
-            # start at their current bucket with eviction allowed.
-            self._merge_insert(b_idx.astype(np.uint64), tags)
+            if dedup:
+                idx, tags = self._dedup_pairs(idx, tags)
+            if len(idx):
+                # phase=1: these tags are already "resident somewhere
+                # valid"; start at their current bucket, eviction allowed.
+                self._merge_insert(idx, tags)
         if other.victim.used:
-            self._merge_insert(
-                np.array([other.victim.index], dtype=np.uint64),
-                np.array([other.victim.tag], dtype=np.uint32),
-            )
+            v_idx = np.array([other.victim.index], dtype=np.uint64)
+            v_tag = np.array([other.victim.tag], dtype=np.uint32)
+            if dedup:
+                v_idx, v_tag = self._dedup_pairs(v_idx, v_tag)
+            if len(v_idx):
+                self._merge_insert(v_idx, v_tag)
         return self
+
+    def _dedup_pairs(self, idx: np.ndarray, tags: np.ndarray):
+        """Canonicalize (bucket, tag) pairs, drop duplicates within the
+        batch and pairs already present in ``self``'s two legal buckets."""
+        alt = alt_index(idx, tags, self.num_buckets)
+        canon = np.minimum(idx, alt)
+        packed = (canon << np.uint64(32)) | tags.astype(np.uint64)
+        _, first = np.unique(packed, return_index=True)
+        idx, tags, canon = idx[first], tags[first], canon[first]
+        other_b = alt_index(canon, tags, self.num_buckets).astype(np.int64)
+        t = tags.astype(self.table.dtype)[:, None]
+        present = (self.table[canon.astype(np.int64)] == t).any(axis=1)
+        present |= (self.table[other_b] == t).any(axis=1)
+        if self.victim.used:
+            v_canon = min(
+                self.victim.index,
+                int(
+                    alt_index(
+                        np.array([self.victim.index], dtype=np.uint64),
+                        np.array([self.victim.tag], dtype=np.uint32),
+                        self.num_buckets,
+                    )[0]
+                ),
+            )
+            present |= (canon == np.uint64(v_canon)) & (
+                tags == np.uint32(self.victim.tag)
+            )
+        keep = ~present
+        return idx[keep], tags[keep]
 
     def _merge_insert(self, idx: np.ndarray, tags: np.ndarray) -> None:
         # try current bucket first (it IS one of the two legal buckets);
@@ -511,6 +562,7 @@ class CuckooFilter:
         obj.victim = Victim(index=v_idx, tag=v_tag, used=bool(v_used))
         obj.hasher = MultiplyShift(seed)
         obj._rng = np.random.Generator(np.random.PCG64(seed ^ 0x9E3779B9 ^ items))
+        obj.kicks = 0
         return obj
 
     # ----------------------------------------------------------- scalar API

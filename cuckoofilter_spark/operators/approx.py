@@ -1,0 +1,77 @@
+"""Approximate aggregates as two-phase distributed sketch UDAFs.
+
+Each function is the classic partial+final aggregate pattern
+(SURVEY.md §2.9): per-partition numpy sketch build (``mapInArrow``,
+zero shuffle) → merge of P small blobs → estimate. For P up to a few
+thousand the final merge happens driver-side on KB-sized partials
+(cheaper than another Spark round); for huge P pass
+``tree=True`` to run distributed ``tree_merge`` rounds first.
+
+Spark's built-ins (``approx_count_distinct``, ``count_min_sketch``,
+``percentile_approx``, ``hll_sketch_agg``) are the cross-validation
+oracles in tests — NOT the implementation (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from cuckoofilter_spark.operators.build import build_sketch_shards
+from cuckoofilter_spark.operators.merge import collect_merged, tree_merge
+
+
+def _merged_sketch(shards: DataFrame, tree: bool, dedup: bool = False):
+    if tree:
+        shards = tree_merge(shards, dedup=dedup)
+    return collect_merged(shards, dedup=dedup)
+
+
+def hll_sketch(df: DataFrame, column: str, p: int = 14, seed: int = 2014,
+               tree: bool = False):
+    """Merged HyperLogLog over ``column`` (scalar int or array<int>)."""
+    shards = build_sketch_shards(
+        df, column, kind="hll", distinct=False, lineage=False, p=p, seed=seed
+    )
+    return _merged_sketch(shards, tree)
+
+
+def approx_distinct(df: DataFrame, column: str, p: int = 14,
+                    seed: int = 2014) -> float:
+    """HLL estimate of ``count(distinct column)``; std err ≈ 1.04/√2^p."""
+    return float(hll_sketch(df, column, p=p, seed=seed).estimate())
+
+
+def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
+               delta: float = 0.01, seed: int = 2014, tree: bool = False):
+    """Merged count-min over ``column``; point estimates upper-bound the
+    true frequency, overshoot ≤ eps·N with prob ≥ 1-delta."""
+    shards = build_sketch_shards(
+        df, column, kind="cms", distinct=False, weight_by_count=True,
+        lineage=False, eps=eps, delta=delta, seed=seed,
+    )
+    return _merged_sketch(shards, tree)
+
+
+def tdigest_sketch(df: DataFrame, column: str, delta: float = 200.0,
+                   seed: int = 2014, tree: bool = False):
+    shards = build_sketch_shards(
+        df, column, kind="tdigest", lineage=False, delta=delta, seed=seed
+    )
+    return _merged_sketch(shards, tree)
+
+
+def kll_sketch(df: DataFrame, column: str, k: int = 200, seed: int = 2014,
+               tree: bool = False):
+    shards = build_sketch_shards(
+        df, column, kind="kll", lineage=False, k=k, seed=seed
+    )
+    return _merged_sketch(shards, tree)
+
+
+def approx_quantiles(df: DataFrame, column: str, qs, kind: str = "tdigest",
+                     **params) -> np.ndarray:
+    sk = (tdigest_sketch if kind == "tdigest" else kll_sketch)(
+        df, column, **params
+    )
+    return np.asarray(sk.quantiles(list(qs)), dtype=np.float64)

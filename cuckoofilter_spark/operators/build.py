@@ -1,0 +1,203 @@
+"""Distributed sketch build: the partial-aggregate half of a UDAF.
+
+One pass over the input, zero shuffles (unless the caller asks for a
+salted repartition to defuse skew): each input partition feeds one
+numpy sketch inside ``mapInArrow`` and emits exactly ONE row
+``(shard_id, kind, sketch, metrics, lineage)`` — the ``sketch_shards``
+shape of FIXTURES.md §3. ``tree_merge`` (operators/merge.py) is the
+final-aggregate half.
+
+Scale notes (the whole point):
+- token arrays are flattened **inside Arrow** (``ListArray.values`` is
+  zero-copy); no ``F.explode`` — exploding 10^12 sequences would
+  multiply the row count by ~300 before a shuffle that set-membership
+  build doesn't need.
+- per-partition ``np.unique`` gives local set semantics; cross-shard
+  duplicates collapse in the dedup tree-merge. Global shuffle-free.
+- the only Python<->JVM traffic is Arrow record batches in and P
+  sketch rows out (P = number of partitions).
+- cuckoo shards must share the GLOBAL geometry (capacity sized for the
+  merged total with headroom ≤0.85 load — a merged filter at >0.96
+  load can overflow; reference guard at ``src/cuckoofilter.h:92-95``).
+
+Reference parity anchors: bulk add loop = ``AddImpl``
+(``src/cuckoofilter.h:139-162``); this operator is the distributed
+re-expression of ``benchmarks/bulk-insert-and-query.cc:154-170``'s
+"time adds until full" loop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.core.registry import SKETCH_KINDS
+
+SHARD_SCHEMA = (
+    "shard_id int, kind string, sketch binary, "
+    "metrics struct<keys:long, load:double, bytes:long, kicks:long>, "
+    "lineage array<string>"
+)
+
+
+def _to_uint64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow column -> flat uint64 key array, flattening one list level.
+
+    Integers are reinterpreted (int64 -1 == uint64 2^64-1, matching how
+    the JVM side's xxhash64 output would be viewed); nulls dropped.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        chunks = arr.chunks
+    else:
+        chunks = [arr]
+    out = []
+    for c in chunks:
+        if pa.types.is_list(c.type) or pa.types.is_large_list(c.type):
+            c = c.flatten()
+        if c.null_count:
+            c = c.drop_null()
+        np_arr = c.to_numpy(zero_copy_only=False)
+        out.append(np_arr.astype(np.int64, copy=False).view(np.uint64))
+    if not out:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(out)
+
+
+def _to_float64(arr: pa.ChunkedArray) -> np.ndarray:
+    out = []
+    for c in arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]:
+        if pa.types.is_list(c.type) or pa.types.is_large_list(c.type):
+            c = c.flatten()
+        if c.null_count:
+            c = c.drop_null()
+        out.append(c.to_numpy(zero_copy_only=False).astype(np.float64, copy=False))
+    if not out:
+        return np.empty(0, dtype=np.float64)
+    return np.concatenate(out)
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int, key: str | Column, salt: int = 42
+) -> DataFrame:
+    """Explicit skew defusal: spread rows of a dominant key (e.g. one
+    ``source`` holding 60% of docs) uniformly over ``num_partitions``.
+
+    ``repartition`` alone hashes the raw key — every row of the hot key
+    lands on ONE reducer. Salting hashes (key, xxhash64(doc)) so hot
+    keys fan out. AQE's skew splitting does not apply inside
+    ``mapInArrow``/``applyInPandas`` groups, hence the explicit salt
+    (SURVEY.md §4)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return df.repartition(
+        num_partitions,
+        F.pmod(
+            F.xxhash64(key_col, F.spark_partition_id(), F.lit(salt)),
+            F.lit(num_partitions),
+        ),
+    )
+
+
+def build_sketch_shards(
+    df: DataFrame,
+    column: str,
+    *,
+    kind: str = "cuckoo",
+    distinct: bool = True,
+    lineage: bool = True,
+    weight_by_count: bool = False,
+    **params,
+) -> DataFrame:
+    """Per-partition sketch build -> one shard row per partition.
+
+    ``column`` may be a scalar numeric column or an ``array<int>``
+    column (flattened zero-copy in Arrow). For ``kind='cuckoo'`` pass
+    ``max_num_keys`` (GLOBAL capacity) and optionally ``bits_per_item``
+    / ``seed``; other kinds take their own constructor params.
+
+    ``distinct=True`` inserts each locally-distinct key once (set
+    semantics — required for membership filters over repetitive
+    streams). For frequency sketches (cms) set
+    ``weight_by_count=True`` to add local counts instead, which is
+    exact and cheaper than feeding duplicates one by one.
+    """
+    cls = SKETCH_KINDS[kind]
+    value_based = kind in ("tdigest", "kll")
+    if lineage:
+        try:
+            lineage = bool(df.inputFiles())
+        except Exception:
+            lineage = False
+    sel = [F.col(column).alias("__v")]
+    if lineage:
+        # hidden per-row file provenance from the file-source scan
+        sel.append(F.col("_metadata.file_path").alias("__file"))
+    projected = df.select(*sel)
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = cls(**params)
+        files: set = set()
+        pieces: list[np.ndarray] = []
+        for b in batches:
+            col = b.column(0)
+            if lineage and b.num_columns > 1:
+                files.update(b.column(1).unique().to_pylist())
+            if value_based:
+                vals = _to_float64(col)
+                if len(vals):
+                    sk.add_many(vals)  # streaming: digests self-compress
+            else:
+                keys = _to_uint64(col)
+                if len(keys):
+                    pieces.append(keys)
+        n_in = 0
+        if not value_based and pieces:
+            keys = np.concatenate(pieces)
+            n_in = len(keys)
+            if weight_by_count:
+                uniq, counts = np.unique(keys, return_counts=True)
+                sk.add_many(uniq, counts)
+            else:
+                if distinct:
+                    keys = np.unique(keys)
+                sk.add_many(keys)
+        tc = TaskContext.get()
+        shard_id = tc.partitionId() if tc is not None else 0
+        blob = sk.to_bytes()
+        n_keys = getattr(sk, "num_items", None)
+        if n_keys is None:
+            n_keys = getattr(sk, "n", n_in)
+        load = getattr(sk, "load_factor", 0.0)
+        kicks = getattr(sk, "kicks", 0)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "shard_id": pa.array([shard_id], pa.int32()),
+                "kind": pa.array([kind]),
+                "sketch": pa.array([blob], pa.binary()),
+                "metrics": pa.array(
+                    [
+                        {
+                            "keys": int(n_keys),
+                            "load": float(load),
+                            "bytes": len(blob),
+                            "kicks": int(kicks),
+                        }
+                    ],
+                    pa.struct(
+                        [
+                            ("keys", pa.int64()),
+                            ("load", pa.float64()),
+                            ("bytes", pa.int64()),
+                            ("kicks", pa.int64()),
+                        ]
+                    ),
+                ),
+                "lineage": pa.array([sorted(files)], pa.list_(pa.string())),
+            }
+        )
+
+    return projected.mapInArrow(build, SHARD_SCHEMA)

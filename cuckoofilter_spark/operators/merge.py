@@ -1,0 +1,119 @@
+"""Tree merge of sketch shards — the final-aggregate half of the UDAF.
+
+``tree_merge`` runs ⌈log_fanout(P)⌉ rounds of
+``groupBy(shard_id // fanout).applyInPandas(merge)`` until one row
+remains — the DataFrame re-expression of ``RDD.treeAggregate``. Each
+round is a shuffle of BLOBS, not data: P rows of ~MB sketches, so at
+P=10^5 shards and fanout=16 that is 5 rounds whose largest shuffle is
+P×blob bytes — trivially cheap next to the input scan.
+
+Merge semantics per kind (core classes): cuckoo = re-insert tags via
+the alt-index involution (set-mode dedup for membership builds);
+bloom/hll = bitwise OR / register max; cms = counter add; tdigest /
+kll = centroid/compactor merge. All raise loudly on geometry or seed
+mismatch — a silent mismatch would produce wrong answers, not errors.
+
+Why not a single ``groupBy().applyInPandas`` over all shards? One
+reducer would deserialize all P blobs — at P=10^5 that is a driver-
+sized hotspot. The tree bounds every task to ``fanout`` blobs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.core.registry import sketch_from_bytes
+from cuckoofilter_spark.operators.build import SHARD_SCHEMA
+
+
+def _merge_group(pdf: pd.DataFrame, dedup: bool) -> pd.DataFrame:
+    pdf = pdf.sort_values("shard_id").reset_index(drop=True)
+    acc = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
+    files: list = list(pdf["lineage"].iloc[0] or [])
+    for i in range(1, len(pdf)):
+        nxt = sketch_from_bytes(bytes(pdf["sketch"].iloc[i]))
+        if acc.KIND == "cuckoo":
+            acc.merge(nxt, dedup=dedup)
+        else:
+            acc.merge(nxt)
+        files.extend(pdf["lineage"].iloc[i] or [])
+    blob = acc.to_bytes()
+    n_keys = getattr(acc, "num_items", getattr(acc, "n", 0))
+    return pd.DataFrame(
+        {
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "kind": [pdf["kind"].iloc[0]],
+            "sketch": [blob],
+            "metrics": [
+                {
+                    "keys": int(n_keys),
+                    "load": float(getattr(acc, "load_factor", 0.0)),
+                    "bytes": len(blob),
+                    "kicks": int(getattr(acc, "kicks", 0)),
+                }
+            ],
+            "lineage": [sorted(set(files))],
+        }
+    )
+
+
+def tree_merge(
+    shards: DataFrame,
+    fanout: int = 16,
+    dedup: bool = True,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Merge shard rows down to a single-row DataFrame, fanout per round.
+
+    ``num_shards``: pass the known partition count to skip the initial
+    ``count()`` job (the count is cheap — shards are one row per
+    partition — but on a 10^5-task input it saves a scheduling round).
+    """
+    n = num_shards if num_shards is not None else shards.count()
+    rounds = 0
+    df = shards
+    while n > 1:
+        rounds += 1
+        def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _merge_group(pdf, dedup)
+
+        df = (
+            df.withColumn("shard_id", (F.col("shard_id") / fanout).cast("int"))
+            .groupBy("shard_id")
+            .applyInPandas(merge_fn, SHARD_SCHEMA)
+        )
+        n = (n + fanout - 1) // fanout
+        if rounds > 20:
+            raise RuntimeError("tree_merge failed to converge")
+    return df
+
+
+def merge_shards_to_blob(
+    shards: DataFrame, fanout: int = 16, dedup: bool = True,
+    num_shards: int | None = None,
+) -> bytes:
+    """Tree-merge then collect the single final blob to the driver."""
+    row = tree_merge(shards, fanout=fanout, dedup=dedup,
+                     num_shards=num_shards).collect()[0]
+    return bytes(row["sketch"])
+
+
+def collect_merged(shards: DataFrame, dedup: bool = True):
+    """Driver-side merge for SMALL shard counts (tests, approx queries
+    where P ≤ a few hundred): collect partials, merge locally. Avoids
+    extra Spark rounds; NOT for 10^5-shard builds."""
+    rows = shards.collect()
+    rows.sort(key=lambda r: r["shard_id"])
+    acc = sketch_from_bytes(bytes(rows[0]["sketch"]))
+    for r in rows[1:]:
+        nxt = sketch_from_bytes(bytes(r["sketch"]))
+        if acc.KIND == "cuckoo":
+            acc.merge(nxt, dedup=dedup)
+        else:
+            acc.merge(nxt)
+    return acc

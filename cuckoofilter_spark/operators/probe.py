@@ -1,0 +1,55 @@
+"""Broadcast membership probe — distributed ``Contain``.
+
+The merged sketch blob is broadcast once per job; a scalar
+``pandas_udf`` probes whole Arrow batches against it with the
+vectorized two-bucket numpy gather (reference semantics:
+``src/cuckoofilter.h:166-185``; zero false negatives). Usable directly
+inside ``df.filter(...)`` — the classic pre-join pruning role
+(left-semi analog; Spark's own runtime bloom-filter join is the
+built-in counterpart, SURVEY.md §2.9).
+
+Executor-side the filter object is deserialized ONCE per python
+worker (module-level cache keyed by broadcast id), not per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from cuckoofilter_spark.core.registry import sketch_from_bytes
+
+_FILTER_CACHE: dict = {}
+
+
+def _get_filter(bc) -> object:
+    key = id(bc)
+    sk = _FILTER_CACHE.get(key)
+    if sk is None:
+        sk = sketch_from_bytes(bytes(bc.value))
+        _FILTER_CACHE[key] = sk
+    return sk
+
+
+def might_contain_udf(spark: SparkSession, blob: bytes):
+    """Return a Column-function: ``f(col) -> boolean`` membership probe.
+
+    Works for any membership sketch kind (cuckoo, bloom) — dispatch on
+    the blob magic. Keys: integer column, reinterpreted as uint64
+    (matching the build side's view).
+    """
+    bc = spark.sparkContext.broadcast(bytes(blob))
+
+    @F.pandas_udf(BooleanType())
+    def probe(s: pd.Series) -> pd.Series:
+        sk = _get_filter(bc)
+        keys = s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        return pd.Series(sk.contains_many(keys))
+
+    def apply(col: str | Column) -> Column:
+        return probe(F.col(col) if isinstance(col, str) else col)
+
+    return apply

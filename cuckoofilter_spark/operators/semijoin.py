@@ -1,0 +1,88 @@
+"""Filter-pruned semi-join — the cuckoo/bloom filter's production role.
+
+``filter_semi_join(fact, key, dim, dim_key)``:
+
+1. build a membership sketch over the dim keys (distributed partial
+   build + merge — the dim side may itself be huge; nothing is
+   collected except the final KB..MB blob),
+2. broadcast the blob and prune the fact table with the vectorized
+   probe (zero false negatives ⇒ no row that should survive is lost),
+3. optionally finish with an exact join to drop the ≤FPR stragglers.
+
+At 100 TB the pruning happens BEFORE the join shuffle: with FPR ~0.1%
+and a selective dim predicate, the shuffle moves orders of magnitude
+fewer bytes. When the dim key set is small Spark would broadcast the
+join anyway — the sketch path is for dims too big to broadcast raw
+but whose *fingerprints* (12 bits/key) still fit: 10^9 keys ≈ 1.9 GB
+raw int64 vs ~0.2 GB cuckoo blob at f=12. Spark's own AQE runtime
+bloom (``spark.sql.optimizer.runtime.bloomFilter.enabled``) is the
+built-in analog (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.build import build_sketch_shards
+from cuckoofilter_spark.operators.merge import collect_merged
+from cuckoofilter_spark.operators.probe import might_contain_udf
+
+
+def build_membership_blob(
+    dim: DataFrame, dim_key: str, *, kind: str = "cuckoo",
+    bits_per_item: int = 12, seed: int = 2014, capacity: int | None = None,
+    headroom: float = 1.30,
+) -> bytes:
+    """Build + merge a membership sketch over ``dim[dim_key]``.
+
+    ``capacity`` defaults to ``dim.count()`` scaled by ``headroom`` —
+    the merged-load guard (a merged filter above ~0.96 load can
+    overflow; reference pre-doubles at 0.96, src/cuckoofilter.h:92-95).
+    """
+    if capacity is None:
+        capacity = dim.count()
+    capacity = max(64, int(capacity * headroom))
+    if kind == "cuckoo":
+        shards = build_sketch_shards(
+            dim, dim_key, kind="cuckoo", lineage=False,
+            max_num_keys=capacity, bits_per_item=bits_per_item, seed=seed,
+        )
+    elif kind == "bloom":
+        import math
+
+        log_nb = max(6, math.ceil(math.log2(max(1, capacity) * 1.0 / 25.6)))
+        shards = build_sketch_shards(
+            dim, dim_key, kind="bloom", lineage=False,
+            log_num_buckets=log_nb, seed=seed,
+        )
+    else:
+        raise ValueError(f"not a membership sketch kind: {kind!r}")
+    return collect_merged(shards, dedup=(kind == "cuckoo")).to_bytes()
+
+
+def filter_semi_join(
+    fact: DataFrame, key: str | Column, dim: DataFrame, dim_key: str,
+    *, kind: str = "cuckoo", exact: bool = True, bits_per_item: int = 12,
+    seed: int = 2014,
+) -> DataFrame:
+    """Rows of ``fact`` whose ``key`` appears in ``dim[dim_key]``.
+
+    ``exact=True`` (default) appends a broadcast left-semi join so the
+    result is exactly the semi-join — the sketch only *prunes*.
+    ``exact=False`` returns the pure approximate filter (≤FPR extra
+    rows, zero missing rows).
+    """
+    spark = fact.sparkSession
+    blob = build_membership_blob(
+        dim, dim_key, kind=kind, bits_per_item=bits_per_item, seed=seed
+    )
+    probe = might_contain_udf(spark, blob)
+    key_col = F.col(key) if isinstance(key, str) else key
+    pruned = fact.filter(probe(key_col))
+    if not exact:
+        return pruned
+    dim_keys = dim.select(F.col(dim_key).alias("__dk")).distinct()
+    return pruned.join(
+        F.broadcast(dim_keys), on=key_col == F.col("__dk"), how="left_semi"
+    )

@@ -1,0 +1,2 @@
+from cuckoofilter_spark.sources.ingest import read_table, read_tokens  # noqa: F401
+from cuckoofilter_spark.sources.tokens import synth_tokens_df, write_tokens_table  # noqa: F401
