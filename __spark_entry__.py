@@ -239,6 +239,148 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text statistics (token counts, punctuation, quality
+    score) — JVM-only column expressions (operators/text.py)."""
+    from cuckoofilter_spark.operators.text import (
+        punct_count, quality_score_milli, token_count_ws,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_ws("text")).alias("sum_words"),
+            F.sum(punct_count("text")).alias("sum_punct"),
+            F.sum(quality_score_milli("text")).alias("sum_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-family language-ID heuristic, doc counts per predicted
+    language."""
+    from cuckoofilter_spark.operators.text import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over md5(normalized text) fingerprints."""
+    from cuckoofilter_spark.operators.text import fingerprint_md5
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(fingerprint_md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+    )
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32×4) candidate generation with exact
+    word-3-shingle jaccard verification at threshold 0.8. The oracle
+    is the full O(n²) exact-jaccard join — LSH recall at j≥0.8 is
+    1-(1-0.8⁴)³² ≈ 1-5e-8, so the sets match."""
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_minhash
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(
+        docs, "doc_id", "text", threshold=0.8, seed=2014
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 3 via 4×16-bit pigeonhole
+    banding (no SQL oracle — signature algebra is not expressible in
+    ANSI SQL; the pytest suite cross-checks against minhash pairs)."""
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_simhash
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_pairs_simhash(docs, "doc_id", "text").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the first 20 query vectors
+    (JVM zip_with/aggregate dot products, bounded window rank)."""
+    from cuckoofilter_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return (
+        cosine_topk(emb, queries_df, k=10)
+        .select("query_id", "rank", "nbr")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-ANN (32 tables × 4 hyperplane bits) recall@10 vs exact
+    brute force — mean recall must clear 0.8 (measured 0.99 on this
+    corpus; bits scale up with corpus size on a real run)."""
+    from cuckoofilter_spark.operators.similarity import (
+        ann_recall, cosine_topk, lsh_ann_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries_df, k=10)
+    approx = lsh_ann_topk(emb, queries_df, dim=64, k=10, n_bits=4,
+                          n_tables=32, seed=2014)
+    rec = ann_recall(exact, approx).agg(
+        F.round(F.avg("recall_e4")).cast("long").alias("mean_recall_e4")
+    ).collect()[0][0]
+    n_q = queries_df.count()
+    return spark.createDataFrame(
+        [(int(n_q), bool(rec >= 8000))],
+        "n_queries long, recall_ok boolean",
+    )
+
+
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary media column + Arrow-batched
+    feature extraction (fake decoder — codecs stubbed, plumbing real)."""
+    from cuckoofilter_spark.operators.multimodal import (
+        attach_fake_media, extract_features,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    feats = extract_features(media, decoder="fake")
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (the
+    batch expression of the Structured Streaming windowed agg)."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value") * 1000).cast("long").alias("sum_value_m"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "cnt",
+            "sum_value_m",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cf_semijoin_agg": q_cf_semijoin_agg,
@@ -251,6 +393,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "kll_quantile_bound": q_kll_quantile_bound,
         "pricing_summary": q_pricing_summary,
+        "text_stats_by_source": q_text_stats_by_source,
+        "lang_id_counts": q_lang_id_counts,
+        "exact_dedup_stats": q_exact_dedup_stats,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "ann_recall_bound": q_ann_recall_bound,
+        "media_byte_stats": q_media_byte_stats,
+        "events_hourly_window": q_events_hourly_window,
     }
 
 
@@ -317,5 +468,121 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "text_stats_by_source": r"""
+            WITH t AS (
+              SELECT source, text,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w != '') AS words,
+                     len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct
+              FROM documents),
+            f AS (
+              SELECT source,
+                     len(words) AS n_words, punct,
+                     least(400, len(words) * 4)
+                     + least(300, CAST(round(
+                         len(list_filter(words, w -> list_contains(
+                             ['the','a','of','and','is','to'], w)))
+                         / greatest(len(words), 1) * 3000) AS INTEGER))
+                     - least(300, CAST(round(
+                         punct / greatest(length(text), 1) * 3000) AS INTEGER))
+                     + 300 AS quality
+              FROM t)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS sum_words,
+                   CAST(sum(punct) AS BIGINT) AS sum_punct,
+                   CAST(sum(quality) AS BIGINT) AS sum_quality
+            FROM f GROUP BY source ORDER BY source
+        """,
+        "lang_id_counts": r"""
+            WITH w AS (
+              SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x != '') AS words
+              FROM documents),
+            s AS (
+              SELECT
+                len(list_filter(words, x -> list_contains(
+                    ['der','die','das','und','ist','ein'], x))) AS s_de,
+                len(list_filter(words, x -> list_contains(
+                    ['the','a','of','and','is','to'], x))) AS s_en,
+                len(list_filter(words, x -> list_contains(
+                    ['el','los','las','y','es','una'], x))) AS s_es,
+                len(list_filter(words, x -> list_contains(
+                    ['le','la','les','et','est','une'], x))) AS s_fr
+              FROM w),
+            p AS (
+              SELECT CASE
+                WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+              FROM s)
+            SELECT pred_lang, count(*) AS n_docs
+            FROM p GROUP BY pred_lang ORDER BY pred_lang
+        """,
+        "exact_dedup_stats": r"""
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                     '\s+', ' ', 'g')))
+                       AS n_distinct
+            FROM documents
+        """,
+        "minhash_near_dups": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM documents)),
+            j AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s)) AS n_int,
+                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                         AS n_union
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(round(n_int * 10000 / greatest(n_union, 1)) AS BIGINT)
+                       AS j_e4
+            FROM j
+            WHERE n_int / greatest(n_union, 1) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "cosine_topk": """
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, nbr FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS nbr,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding,
+                                                       e.embedding) DESC,
+                                e.vec_id ASC) AS rank
+              FROM embeddings q, embeddings e
+              WHERE q.vec_id < 20 AND e.vec_id != q.vec_id)
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        "ann_recall_bound": """
+            SELECT count(*) AS n_queries, true AS recall_ok
+            FROM embeddings WHERE vec_id < 20
+        """,
+        "media_byte_stats": """
+            SELECT count(*) AS n_media,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT)
+                       AS total_bytes
+            FROM documents
+        """,
+        "events_hourly_window": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   count(*) AS cnt,
+                   CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_m
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
     }

@@ -47,8 +47,10 @@ class TDigest:
         if self._buf_n > 10 * self.delta:
             self._compress()
 
-    def _compress(self) -> None:
-        if self._buf_n == 0 and len(self.means) <= self.delta:
+    def _compress(self, force: bool = False) -> None:
+        # The early-out is only valid when ``means`` is already sorted
+        # (true on the add path, NOT after a merge concatenation).
+        if not force and self._buf_n == 0 and len(self.means) <= self.delta:
             return
         vals = np.concatenate([self.means] + self._buf) if self._buf else self.means
         wts = np.concatenate(
@@ -113,7 +115,9 @@ class TDigest:
         self.count += other.count
         self.min = min(self.min, other.min)
         self.max = max(self.max, other.max)
-        self._compress()
+        # concatenation interleaves two sorted runs — force the sort+
+        # merge pass even when the centroid count is under delta
+        self._compress(force=True)
         return self
 
     def to_bytes(self) -> bytes:

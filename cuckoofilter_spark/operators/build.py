@@ -93,12 +93,12 @@ def salted_repartition(
     ``mapInArrow``/``applyInPandas`` groups, hence the explicit salt
     (SURVEY.md §4)."""
     key_col = F.col(key) if isinstance(key, str) else key
+    # hash-partition on the full 64-bit salted hash (NOT a pre-bucketed
+    # pmod — re-hashing P small values collides them into < P buckets);
+    # spark_partition_id adds per-row entropy so one hot key fans out.
     return df.repartition(
         num_partitions,
-        F.pmod(
-            F.xxhash64(key_col, F.spark_partition_id(), F.lit(salt)),
-            F.lit(num_partitions),
-        ),
+        F.xxhash64(key_col, F.spark_partition_id(), F.lit(salt)),
     )
 
 

@@ -25,8 +25,10 @@ from cuckoofilter_spark.core.registry import sketch_from_bytes
 _FILTER_CACHE: dict = {}
 
 
-def _get_filter(bc) -> object:
-    key = id(bc)
+def _get_filter(bc, key: str) -> object:
+    # ``key`` is a driver-generated uuid baked into the UDF closure —
+    # NEVER use Python id() here: addresses get recycled after GC and
+    # a later probe would silently hit a stale filter.
     sk = _FILTER_CACHE.get(key)
     if sk is None:
         sk = sketch_from_bytes(bytes(bc.value))
@@ -41,11 +43,14 @@ def might_contain_udf(spark: SparkSession, blob: bytes):
     the blob magic. Keys: integer column, reinterpreted as uint64
     (matching the build side's view).
     """
+    import uuid
+
     bc = spark.sparkContext.broadcast(bytes(blob))
+    cache_key = uuid.uuid4().hex
 
     @F.pandas_udf(BooleanType())
     def probe(s: pd.Series) -> pd.Series:
-        sk = _get_filter(bc)
+        sk = _get_filter(bc, cache_key)
         keys = s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
         return pd.Series(sk.contains_many(keys))
 

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products run JVM-side (``zip_with`` + ``aggregate`` fold in
+  DOUBLE precision, whole-stage codegen); ranking is a bounded
+  per-query window. At scale: queries are broadcast, the corpus scan
+  is embarrassingly parallel, and only (n_queries × k) rows survive
+  to the final sort — never a corpus-wide shuffle of vectors.
+- ``lsh_ann_topk``: the scale path — L independent random-hyperplane
+  LSH tables; candidates = same bucket in ≥1 table; exact re-rank of
+  candidates only. Hyperplanes derive from a fixed seed (reproducible
+  across executors). Recall tunes with (n_bits, n_tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_EPS = 1e-12
+
+
+def _as_double(col) -> "F.Column":
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(col) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 10, exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors: (query_id, rank, neighbor_id, sim_e6).
+
+    ``sim_e6`` is cosine similarity in 1e-6 integer units — ranking
+    uses the full double, the reported value is FP-noise-proof.
+    Deterministic tie-break on neighbor id."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", _norm("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm("qv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("nbr") != F.col("query_id"))
+    scored = joined.withColumn(
+        "sim",
+        _dot("qv", "cv") / (F.col("qn") * F.col("cn") + F.lit(_EPS)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "nbr",
+            F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def lsh_bucket_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """pandas UDF: embedding -> array<long> of per-table bucket keys.
+
+    Vectorized per Arrow batch: one (batch, dim) @ (dim, tables*bits)
+    matmul, sign-bits packed per table."""
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    flat = planes.reshape(n_tables * n_bits, dim).T  # (dim, T*B)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ flat) > 0  # (batch, T*B)
+        bits = bits.reshape(len(m), n_tables, n_bits)
+        keys = (bits * weights[None, None, :]).sum(axis=2)  # (batch, T)
+        # offset per table so buckets never collide across tables
+        keys = keys + (np.arange(n_tables, dtype=np.int64) << np.int64(n_bits))[None, :]
+        return pd.Series(list(keys))
+
+    return bucketize
+
+
+def lsh_ann_topk(
+    corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int, k: int = 10, n_bits: int = 6,
+    n_tables: int = 16, seed: int = 2014, exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket candidate join + exact re-rank.
+
+    Output schema matches ``cosine_topk`` so recall can be computed by
+    a plain join of the two results."""
+    bucketize = lsh_bucket_udf(dim, n_bits, n_tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("nbr"), _as_double(vec_col).alias("cv"),
+        F.explode(bucketize(vec_col)).alias("bucket"),
+    ).withColumn("cn", _norm("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
+        F.explode(bucketize(vec_col)).alias("bucket"),
+    ).withColumn("qn", _norm("qv"))
+    cand = c.join(F.broadcast(q), "bucket").drop("bucket")
+    if exclude_self:
+        cand = cand.filter(F.col("nbr") != F.col("query_id"))
+    cand = cand.dropDuplicates(["query_id", "nbr"])
+    scored = cand.withColumn(
+        "sim", _dot("qv", "cv") / (F.col("qn") * F.col("cn") + F.lit(_EPS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "nbr",
+            F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"),
+        )
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """recall@k of the approx result against the exact result, per
+    query: |exact∩approx| / |exact|."""
+    e = exact.select("query_id", F.col("nbr").alias("e_nbr"))
+    a = approx.select("query_id", F.col("nbr").alias("a_nbr"))
+    hits = e.join(
+        a, (e.query_id == a.query_id) & (e.e_nbr == a.a_nbr)
+    ).groupBy(e.query_id).count()
+    totals = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .withColumn(
+            "recall_e4",
+            F.round(F.coalesce(F.col("count"), F.lit(0)) * 10000 / F.col("n_exact"))
+            .cast("long"),
+        )
+        .select("query_id", "recall_e4")
+    )

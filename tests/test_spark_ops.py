@@ -1,0 +1,246 @@
+"""Spark integration tests: distributed build/merge/probe, approx
+aggregates vs exact oracles, dedup, similarity, text, multimodal.
+
+SURVEY.md §5.2 integration list. Uses the driver testdata at sf0.01
+plus the synthetic tokens table (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+N_DOCS = 300  # small synth corpus for token-table tests
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    return synth_tokens_df(spark, N_DOCS, seed=42).cache()
+
+
+def test_tokens_deterministic_across_partitionings(spark):
+    """Per-row token-array equality regardless of parallelism — the
+    input_hint invariant."""
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    a = synth_tokens_df(spark, 50, seed=42, parts=2).collect()
+    b = synth_tokens_df(spark, 50, seed=42, parts=7).collect()
+    am = {r["doc_id"]: (r["tokens"], r["n_tok"], r["source"]) for r in a}
+    bm = {r["doc_id"]: (r["tokens"], r["n_tok"], r["source"]) for r in b}
+    assert am == bm
+    for r in a:
+        assert r["n_tok"] == len(r["tokens"])
+        assert 16 <= r["n_tok"] <= 4096
+
+
+def test_build_merge_probe_no_false_negatives(spark, tokens_df):
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import (
+        collect_merged, merge_shards_to_blob,
+    )
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    shards = build_sketch_shards(
+        tokens_df, "tokens", kind="cuckoo", lineage=False,
+        max_num_keys=1 << 18, bits_per_item=12, seed=7,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True, fanout=4)
+    # tree merge must equal driver-side fold
+    acc = collect_merged(
+        build_sketch_shards(
+            tokens_df, "tokens", kind="cuckoo", lineage=False,
+            max_num_keys=1 << 18, bits_per_item=12, seed=7,
+        ),
+        dedup=True,
+    )
+    probe = might_contain_udf(spark, blob)
+    truth = (
+        tokens_df.select(F.explode("tokens").alias("t")).distinct()
+    )
+    n_true = truth.count()
+    hits = truth.select(probe("t").alias("h")).filter("h").count()
+    assert hits == n_true, "false negatives in distributed build"
+    keys = np.array([r["t"] for r in truth.collect()], dtype=np.int64)
+    assert acc.contains_many(keys.view(np.uint64)).all()
+    # FPR within the f=12 paper bound 8/2^12 scaled for achieved load
+    absent = np.arange(1 << 21, (1 << 21) + 200_000, dtype=np.int64)
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+
+    merged = sketch_from_bytes(blob)
+    fpr = merged.contains_many(absent.view(np.uint64)).mean()
+    assert fpr <= 8 / (1 << 12), f"fpr {fpr} out of bound"
+
+
+def test_salted_repartition_balances_skew(spark, tokens_df):
+    from cuckoofilter_spark.operators.build import salted_repartition
+
+    df = salted_repartition(tokens_df, 8, "source", salt=13)
+    sizes = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    counts = np.array([r["count"] for r in sizes], dtype=float)
+    assert len(counts) == 8
+    # the dominant 'web' source (~62%) must NOT land on one partition
+    assert counts.max() / counts.sum() < 0.3
+
+
+def test_semijoin_matches_exact_join(spark):
+    from cuckoofilter_spark.operators.semijoin import filter_semi_join
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        "o_totalprice > 200000"
+    )
+    got = filter_semi_join(lineitem, "l_orderkey", orders, "o_orderkey")
+    want = lineitem.join(
+        orders.select("o_orderkey").distinct(),
+        lineitem.l_orderkey == F.col("o_orderkey"), "left_semi",
+    )
+    assert got.count() == want.count()
+    # approximate mode: superset with bounded overshoot
+    approx = filter_semi_join(
+        lineitem, "l_orderkey", orders, "o_orderkey", exact=False
+    )
+    n_want, n_approx = want.count(), approx.count()
+    assert n_approx >= n_want
+    assert n_approx - n_want <= 0.01 * lineitem.count()
+
+
+def test_hll_vs_exact_and_builtin(spark, tokens_df):
+    from cuckoofilter_spark.operators.approx import approx_distinct
+
+    est = approx_distinct(tokens_df, "tokens", p=14, seed=7)
+    exact = tokens_df.select(F.explode("tokens").alias("t")).distinct().count()
+    assert abs(est - exact) / exact <= 3 * 1.04 / (2**14) ** 0.5
+    builtin = (
+        tokens_df.select(F.explode("tokens").alias("t"))
+        .agg(F.approx_count_distinct("t", 0.02)).collect()[0][0]
+    )
+    assert abs(est - builtin) / exact <= 0.05
+
+
+def test_cms_upper_bounds_truth(spark, tokens_df):
+    from cuckoofilter_spark.operators.approx import cms_sketch
+
+    sk = cms_sketch(tokens_df, "tokens", eps=0.0005, delta=0.01, seed=7)
+    truth = (
+        tokens_df.select(F.explode("tokens").alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count")).limit(30).collect()
+    )
+    keys = np.array([r["t"] for r in truth], dtype=np.int64)
+    counts = np.array([r["count"] for r in truth], dtype=np.int64)
+    est = sk.query_many(keys.view(np.uint64))
+    total = tokens_df.agg(F.sum("n_tok")).collect()[0][0]
+    assert (est >= counts).all()
+    assert (est <= counts + 0.0005 * total + 1).all()
+
+
+def test_quantile_sketches_rank_error(spark, tokens_df):
+    from cuckoofilter_spark.operators.approx import approx_quantiles
+
+    vals = np.array(
+        [r["n_tok"] for r in tokens_df.select("n_tok").collect()], dtype=float
+    )
+    vals.sort()
+    for kind in ("tdigest", "kll"):
+        qs = [0.1, 0.5, 0.9]
+        est = approx_quantiles(tokens_df, "n_tok", qs, kind=kind, seed=7)
+        for q, e in zip(qs, est):
+            rank = np.searchsorted(vals, e, side="right") / len(vals)
+            assert abs(rank - q) <= 0.03, (kind, q, e, rank)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_minhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.8)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # known planted pairs (verified against O(n^2) exact jaccard)
+    assert (285, 301) in got and (98, 290) in got and (70, 447) in got
+    assert len(got) >= 20
+
+
+def test_simhash_subset_of_minhash(spark):
+    from cuckoofilter_spark.operators.dedup import (
+        near_dup_pairs_minhash, near_dup_pairs_simhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs_simhash(docs, "doc_id", "text").collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs_minhash(
+            docs, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert sh, "simhash found nothing"
+    assert sh <= mh, "hamming<=3 pairs must be high-jaccard pairs here"
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from cuckoofilter_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+    kept = dedup_exact(dup, "doc_id", "text")
+    assert kept.count() == 50
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 1000
+
+
+def test_ann_recall(spark):
+    from cuckoofilter_spark.operators.similarity import (
+        ann_recall, cosine_topk, lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, q, k=10)
+    assert exact.count() == 100
+    approx = lsh_ann_topk(emb, q, dim=64, k=10, n_bits=4, n_tables=32,
+                          seed=2014)
+    rec = ann_recall(exact, approx).agg(F.avg("recall_e4")).collect()[0][0]
+    assert rec >= 8000, f"mean recall {rec / 10000:.2%} too low"
+
+
+def test_multimodal_plumbing(spark):
+    from cuckoofilter_spark.operators.multimodal import (
+        attach_fake_media, extract_features,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    media = attach_fake_media(docs, "doc_id", "text")
+    feats = extract_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 40
+    byte_truth = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in rows:
+        assert r["n_bytes"] == byte_truth[r["media_id"]]
+        assert len(r["feature"]) == 16
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        extract_features(media, decoder="real").collect()
+
+
+def test_text_stats_deterministic(spark):
+    from cuckoofilter_spark.operators.text import with_text_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    a = with_text_stats(docs).collect()
+    b = with_text_stats(docs).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    for r in a:
+        assert r["n_words"] > 0
+        assert r["pred_lang"] in ("de", "en", "es", "fr", "und")
+        assert len(r["fingerprint"]) == 32
