@@ -31,17 +31,24 @@ from cuckoofilter_spark.core.registry import sketch_from_bytes
 from cuckoofilter_spark.operators.build import SHARD_SCHEMA
 
 
+def _lineage_list(v) -> list:
+    # lineage arrives as list OR numpy array (parquet round-trip) OR None
+    if v is None:
+        return []
+    return list(v)
+
+
 def _merge_group(pdf: pd.DataFrame, dedup: bool) -> pd.DataFrame:
     pdf = pdf.sort_values("shard_id").reset_index(drop=True)
     acc = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
-    files: list = list(pdf["lineage"].iloc[0] or [])
+    files: list = _lineage_list(pdf["lineage"].iloc[0])
     for i in range(1, len(pdf)):
         nxt = sketch_from_bytes(bytes(pdf["sketch"].iloc[i]))
         if acc.KIND == "cuckoo":
             acc.merge(nxt, dedup=dedup)
         else:
             acc.merge(nxt)
-        files.extend(pdf["lineage"].iloc[i] or [])
+        files.extend(_lineage_list(pdf["lineage"].iloc[i]))
     blob = acc.to_bytes()
     n_keys = getattr(acc, "num_items", getattr(acc, "n", 0))
     return pd.DataFrame(

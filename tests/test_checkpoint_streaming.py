@@ -1,0 +1,200 @@
+"""Checkpoint/resume, lineage coverage, streaming builds, and the
+spark-submit job entrypoints (SURVEY.md §7 steps 6+; north_rule:
+"resumable from checkpoint with per-partition lineage + metrics,
+run via spark-submit --py-files")."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, SF_DIR_SMALL
+
+PARAMS = {
+    "kind": "cuckoo", "max_num_keys": 300_000, "bits_per_item": 12,
+    "seed": 11,
+}
+
+
+def test_checkpointed_build_resume_and_lineage(spark, tmp_path):
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.plans.checkpoint import (
+        checkpointed_build, checkpointed_tree_merge, read_manifest,
+    )
+
+    root = str(tmp_path / "ckpt")
+    # multi-file input → multiple shards → real merge rounds + lineage
+    src = str(tmp_path / "li_src")
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(6) \
+        .write.parquet(src)
+    lineitem = spark.read.parquet(src)
+    shards = checkpointed_build(
+        spark, root, lineitem, "l_partkey", params=PARAMS
+    )
+    man = read_manifest(root)
+    assert man and "shards" in man["stages"]
+    # per-partition lineage covers exactly the input files
+    lineage = {
+        f for r in shards.select("lineage").collect() for f in r["lineage"]
+    }
+    assert {os.path.basename(f).split("?")[0] for f in lineage} == {
+        os.path.basename(f) for f in lineitem.inputFiles()
+    }
+    # param mismatch must refuse, not silently reuse
+    with pytest.raises(ValueError, match="rebuild=True"):
+        checkpointed_build(
+            spark, root, lineitem, "l_partkey",
+            params={**PARAMS, "seed": 99},
+        )
+    # resume path: second call reads back without rebuilding
+    again = checkpointed_build(spark, root, lineitem, "l_partkey",
+                               params=PARAMS)
+    assert again.count() == shards.count()
+
+    blob = checkpointed_tree_merge(spark, root, fanout=2)
+    # crash simulation: drop the LAST merge round; resume must redo
+    # only that round and produce an identical blob
+    man = read_manifest(root)
+    rounds = sorted(
+        k for k in man["stages"] if k.startswith("merge/round=")
+    )
+    last = rounds[-1]
+    shutil.rmtree(man["stages"][last]["path"])
+    del man["stages"][last]
+    with open(os.path.join(root, "MANIFEST.json"), "w") as fh:
+        json.dump(man, fh)
+    blob2 = checkpointed_tree_merge(spark, root, fanout=2)
+    assert blob2 == blob
+    # and the merged filter answers correctly
+    sk = sketch_from_bytes(blob)
+    keys = np.array(
+        [r[0] for r in lineitem.select("l_partkey").distinct().collect()],
+        dtype=np.int64,
+    )
+    assert sk.contains_many(keys.view(np.uint64)).all()
+
+
+def test_streaming_build_matches_batch(spark, tmp_path):
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import collect_merged
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_sketch_build,
+    )
+
+    src = str(tmp_path / "stream_src")
+    lineitem = spark.read.parquet(f"{SF_DIR_SMALL}/lineitem.parquet")
+    lineitem.repartition(6).write.parquet(src)  # 6 files → micro-batches
+
+    out = str(tmp_path / "stream_shards")
+    stream = (
+        spark.readStream.schema(lineitem.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    run_streaming_sketch_build(
+        stream, "l_orderkey", out_dir=out,
+        checkpoint_dir=str(tmp_path / "stream_ckpt"),
+        **{k: v for k, v in PARAMS.items() if k != "kind"}, kind="cuckoo",
+    )
+    got = collect_merged(
+        spark.read.parquet(os.path.join(out, "batch=*")), dedup=True
+    )
+    keys = np.array(
+        [r[0] for r in lineitem.select("l_orderkey").distinct().collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    assert got.contains_many(keys).all(), "stream-built filter lost keys"
+    want = collect_merged(
+        build_sketch_shards(lineitem, "l_orderkey", lineage=False, **PARAMS),
+        dedup=True,
+    )
+    absent = np.arange(10**9, 10**9 + 50_000, dtype=np.uint64)
+    got_fpr = got.contains_many(absent).mean()
+    want_fpr = want.contains_many(absent).mean()
+    assert abs(got_fpr - want_fpr) < 5e-3
+
+
+def test_streaming_stateful_distinct(spark, tmp_path):
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_distinct_by_key,
+    )
+
+    src = str(tmp_path / "ev_src")
+    events = spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = streaming_distinct_by_key(stream, "event_type", "user_id")
+    q = (
+        out.writeStream.format("memory").queryName("dist_by_key")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT key, max(distinct_est) AS est FROM dist_by_key GROUP BY key"
+    ).collect()
+    est = {r["key"]: r["est"] for r in rows}
+    truth = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(truth)
+    for k, t in truth.items():
+        assert abs(est[k] - t) / max(t, 1) < 0.05, (k, est[k], t)
+
+
+def test_spark_submit_jobs_end_to_end(tmp_path):
+    """Real ``spark-submit --py-files`` run of the build + query jobs."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "cuckoofilter_spark.zip")
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", zip_path,
+         os.path.join(repo, "cuckoofilter_spark")],
+        check=True,
+    )
+    out_blob = str(tmp_path / "filter.bin")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    r = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.host=127.0.0.1",
+            "--py-files", zip_path,
+            os.path.join(repo, "jobs", "build_filter.py"),
+            "--input", f"{SF_DIR_SMALL}/lineitem.parquet",
+            "--column", "l_orderkey", "--capacity", "3000",
+            "--checkpoint", str(tmp_path / "ck"), "--output", out_blob,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads(
+        open(out_blob + ".metrics.json").read()
+    )
+    assert metrics["keys"] > 0 and os.path.getsize(out_blob) > 64
+    r2 = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.host=127.0.0.1",
+            "--py-files", zip_path,
+            os.path.join(repo, "jobs", "query_filter.py"),
+            "--filter", out_blob,
+            "--input", f"{SF_DIR_SMALL}/lineitem.parquet",
+            "--column", "l_orderkey",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    stats = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats["hits"] == stats["rows"], "false negatives via job path"
