@@ -239,6 +239,29 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semisort_zero_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-sorted (permutation-encoded, f=13 ⇒ 12 bits/tag) filter:
+    distributed build + packed-blob merge keeps zero false negatives
+    (reference PackedTable/PermEncoding semantics, SURVEY.md §2.3-2.4)."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    orders = _read(spark, sf_dir, "orders")
+    n = orders.select("o_orderkey").distinct().count()
+    shards = build_sketch_shards(
+        orders, "o_orderkey", kind="semisort", lineage=False,
+        max_num_keys=int(n * 1.3) + 64, bits_per_item=13, seed=2014,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True)
+    probe = might_contain_udf(spark, blob)
+    keys = orders.select("o_orderkey").distinct()
+    return keys.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(probe("o_orderkey").cast("long")).alias("n_hits"),
+    )
+
+
 def q_text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text statistics (token counts, punctuation, quality
     score) — JVM-only column expressions (operators/text.py)."""
@@ -393,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "kll_quantile_bound": q_kll_quantile_bound,
         "pricing_summary": q_pricing_summary,
+        "semisort_zero_false_negatives": q_semisort_zero_false_negatives,
         "text_stats_by_source": q_text_stats_by_source,
         "lang_id_counts": q_lang_id_counts,
         "exact_dedup_stats": q_exact_dedup_stats,
@@ -468,6 +492,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "semisort_zero_false_negatives": """
+            SELECT count(DISTINCT o_orderkey) AS n_probed,
+                   count(DISTINCT o_orderkey) AS n_hits
+            FROM orders
         """,
         "text_stats_by_source": r"""
             WITH t AS (

@@ -10,12 +10,14 @@ from __future__ import annotations
 from cuckoofilter_spark.core.bloom import BlockedBloomFilter
 from cuckoofilter_spark.core.cms import CountMinSketch
 from cuckoofilter_spark.core.cuckoo import CuckooFilter
+from cuckoofilter_spark.core.semisort import SemiSortCuckooFilter
 from cuckoofilter_spark.core.hll import HyperLogLog
 from cuckoofilter_spark.core.kll import KLL
 from cuckoofilter_spark.core.tdigest import TDigest
 
 SKETCH_KINDS = {
     "cuckoo": CuckooFilter,
+    "semisort": SemiSortCuckooFilter,
     "bloom": BlockedBloomFilter,
     "hll": HyperLogLog,
     "cms": CountMinSketch,
@@ -25,6 +27,7 @@ SKETCH_KINDS = {
 
 _MAGIC_TO_CLS = {
     b"CKF1": CuckooFilter,
+    b"CKS1": SemiSortCuckooFilter,
     b"SBB1": BlockedBloomFilter,
     b"HLL1": HyperLogLog,
     b"CMS1": CountMinSketch,

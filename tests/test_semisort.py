@@ -1,0 +1,102 @@
+"""Semi-sorted (permutation-encoded) filter parity tests —
+SURVEY.md §2.3/§2.4: PermEncoding table invariants, packed layout
+round-trips for every supported width, space parity, distributed
+build/merge via the registry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cuckoofilter_spark.core.semisort import (
+    DEC_TABLE, ENC_TABLE, N_ENTS, SemiSortCuckooFilter, decode_codewords,
+    encode_lowbits,
+)
+
+
+def test_perm_tables_reference_invariants():
+    # 3876 = C(19,4) non-decreasing 4-nibble multisets
+    assert len(DEC_TABLE) == N_ENTS == 3876
+    assert len(ENC_TABLE) == 1 << 16
+    lbs = decode_codewords(np.arange(N_ENTS))
+    # every decoded multiset is non-decreasing; encode∘decode = id
+    assert (np.diff(lbs.astype(int), axis=1) >= 0).all()
+    assert (encode_lowbits(lbs) == np.arange(N_ENTS)).all()
+    # enumeration order: first is (0,0,0,0), last is (15,15,15,15);
+    # second is (0,0,0,1) per the reference recursion
+    assert lbs[0].tolist() == [0, 0, 0, 0]
+    assert lbs[1].tolist() == [0, 0, 0, 1]
+    assert lbs[-1].tolist() == [15, 15, 15, 15]
+    # dec_table values are unique codeword payloads
+    assert len(np.unique(DEC_TABLE)) == N_ENTS
+
+
+def test_rejects_unsupported_width():
+    with pytest.raises(ValueError):
+        SemiSortCuckooFilter(1000, 12)
+
+
+@pytest.mark.parametrize("f", [5, 6, 7, 8, 9, 13, 17])
+def test_roundtrip_preserves_membership(f):
+    sk = SemiSortCuckooFilter(4000, f, seed=3)
+    rng = np.random.default_rng(f)
+    keys = np.unique(rng.integers(0, 2**63, 3000, dtype=np.int64)).view(
+        np.uint64
+    )
+    sk.add_many(keys)
+    rt = SemiSortCuckooFilter.from_bytes(sk.to_bytes())
+    assert rt.f == f and rt.num_buckets == sk.num_buckets
+    assert rt.contains_many(keys).all(), "false negative after round-trip"
+    absent = np.arange(10**9, 10**9 + 50_000, dtype=np.uint64)
+    assert (rt.contains_many(absent) == sk.contains_many(absent)).all()
+    # bucket multisets identical (slot order may normalize)
+    for a, b in zip(sk.table.tolist(), rt.table.tolist()):
+        assert sorted(a) == sorted(b)
+
+
+def test_space_parity_f13_is_12_bits_per_tag():
+    sk = SemiSortCuckooFilter(100_000, 13, seed=1)
+    # (3 + 9) * 4 = 48 bits/bucket = 12 bits/tag (src/packedtable.h:13-18)
+    assert sk.bits_per_bucket == 48
+    assert sk.packed_size_bytes * 8 == sk.num_buckets * 4 * 12
+    blob = sk.to_bytes()
+    assert len(blob) == sk.packed_size_bytes + 48  # 48-byte header
+
+
+def test_registry_dispatch_and_merge():
+    from cuckoofilter_spark.core.registry import make_sketch, sketch_from_bytes
+
+    a = make_sketch("semisort", max_num_keys=2000, bits_per_item=13, seed=5)
+    b = make_sketch("semisort", max_num_keys=2000, bits_per_item=13, seed=5)
+    ka = np.arange(0, 700, dtype=np.uint64)
+    kb = np.arange(500, 1200, dtype=np.uint64)
+    a.add_many(ka)
+    b.add_many(kb)
+    a.merge(b, dedup=True)
+    assert a.contains_many(np.arange(0, 1200, dtype=np.uint64)).all()
+    rt = sketch_from_bytes(a.to_bytes())
+    assert isinstance(rt, type(a))
+    assert rt.contains_many(np.arange(0, 1200, dtype=np.uint64)).all()
+
+
+def test_distributed_semisort_build(spark):
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = orders.select("o_orderkey").distinct().count()
+    shards = build_sketch_shards(
+        orders, "o_orderkey", kind="semisort", lineage=False,
+        max_num_keys=int(n * 1.3) + 64, bits_per_item=13, seed=2014,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True)
+    probe = might_contain_udf(spark, blob)
+    misses = (
+        orders.select("o_orderkey").distinct()
+        .filter(~probe("o_orderkey")).count()
+    )
+    assert misses == 0
