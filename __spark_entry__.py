@@ -404,6 +404,75 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation (SURVEY.md §2.9 distinct/
+    grouping row); null group keys coalesced for engine parity."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt", "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def q_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k: 3 highest-retail parts per brand
+    (deterministic tie-break on p_partkey)."""
+    from pyspark.sql import Window
+
+    part = _read(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", F.col("rk").cast("int").alias("rk"), "p_partkey")
+        .orderBy("p_brand", "rk")
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch form of a session window."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                # interval comparison: exact to the microsecond, works
+                # for TIMESTAMP_NTZ, and identical semantics in DuckDB
+                | (F.col("ts") - F.col("prev_ts")
+                   > F.expr("INTERVAL 30 MINUTES"))
+            ).cast("int"),
+        )
+        .withColumn("sess_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    per_sess = sess.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cf_semijoin_agg": q_cf_semijoin_agg,
@@ -426,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_bound": q_ann_recall_bound,
         "media_byte_stats": q_media_byte_stats,
         "events_hourly_window": q_events_hourly_window,
+        "rollup_lineitem": q_rollup_lineitem,
+        "top3_parts_per_brand": q_top3_parts_per_brand,
+        "events_sessionization": q_events_sessionization,
     }
 
 
@@ -613,5 +685,50 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "rollup_lineitem": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS cnt,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY rf, ls
+        """,
+        "top3_parts_per_brand": """
+            SELECT p_brand, CAST(rk AS INTEGER) AS rk, p_partkey FROM (
+              SELECT p_brand, p_partkey,
+                     row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+              FROM part)
+            WHERE rk <= 3
+            ORDER BY p_brand, rk
+        """,
+        "events_sessionization": """
+            WITH l AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM l),
+            s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_no
+              FROM g),
+            per_sess AS (
+              SELECT user_id, sess_no, count(*) AS n_events
+              FROM s GROUP BY user_id, sess_no)
+            SELECT count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(max(n_events) AS BIGINT) AS max_session_len
+            FROM per_sess
         """,
     }

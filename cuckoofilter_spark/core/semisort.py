@@ -178,17 +178,25 @@ class SemiSortCuckooFilter(CuckooFilter):
         return tags.astype(dtype)
 
     def to_bytes(self) -> bytes:
+        """kind byte: 1 = perm-packed, 3 = perm-packed + zlib(level=1)."""
+        import zlib
+
+        raw = self._packed_buckets()
+        packed = zlib.compress(raw, 1)
+        kind, body = (3, packed) if len(packed) < len(raw) else (1, raw)
         header = struct.pack(
             "<4sBBBxQQQQIB3x",
             _MAGIC, 1, self.f, 1 if self.victim.used else 0,
             self.num_buckets, self.num_items,
             self.seed & 0xFFFFFFFFFFFFFFFF,
-            self.victim.index, self.victim.tag, 1,
+            self.victim.index, self.victim.tag, kind,
         )
-        return header + self._packed_buckets()
+        return header + body
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "SemiSortCuckooFilter":
+        import zlib
+
         hdr = struct.calcsize("<4sBBBxQQQQIB3x")
         (magic, ver, f, v_used, nb, items, seed, v_idx, v_tag, kind) = (
             struct.unpack("<4sBBBxQQQQIB3x", blob[:hdr])
@@ -198,7 +206,10 @@ class SemiSortCuckooFilter(CuckooFilter):
         obj = cls.__new__(cls)
         obj._init_geometry(nb * ASSOC, f, seed)
         obj.num_buckets = nb
-        obj.table = obj._unpack_buckets(blob[hdr:])
+        body = blob[hdr:]
+        if kind == 3:
+            body = zlib.decompress(body)
+        obj.table = obj._unpack_buckets(body)
         obj.num_items = items
         obj.victim = Victim(index=v_idx, tag=v_tag, used=bool(v_used))
         obj._rng = np.random.Generator(

@@ -36,7 +36,11 @@ from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import ArrayType
+
 from cuckoofilter_spark.core.registry import SKETCH_KINDS
+
+_ARRAY_TYPES = ArrayType
 
 SHARD_SCHEMA = (
     "shard_id int, kind string, sketch binary, "
@@ -110,6 +114,8 @@ def build_sketch_shards(
     distinct: bool = True,
     lineage: bool = True,
     weight_by_count: bool = False,
+    strategy: str = "local",
+    shuffle_partitions: int | None = None,
     **params,
 ) -> DataFrame:
     """Per-partition sketch build -> one shard row per partition.
@@ -124,19 +130,61 @@ def build_sketch_shards(
     streams). For frequency sketches (cms) set
     ``weight_by_count=True`` to add local counts instead, which is
     exact and cheaper than feeding duplicates one by one.
+
+    ``strategy`` picks the distributed plan for membership builds:
+
+    - ``'local'`` (default): zero-shuffle — per input partition,
+      locally-distinct keys feed one filter; the dedup tree-merge
+      collapses cross-shard duplicates. Optimal when the key space is
+      SPARSE relative to a shard (each shard sees few repeats of the
+      global key set): merge work = Σ per-shard distinct ≈ global
+      distinct.
+    - ``'shuffle_distinct'``: ``explode → distinct`` first — Catalyst
+      runs a map-side partial aggregate, so the shuffle carries at
+      most (input partitions × key cardinality) rows, then each
+      reducer builds a filter over a DISJOINT key range. Optimal when
+      the key space SATURATES each shard (hot vocab: every partition
+      sees most keys) — merge work collapses from P×cardinality to
+      exactly cardinality. For a 2^20-token vocab at 10^12 sequences
+      this is the difference between 10^11 and 10^6 merge inserts.
     """
     cls = SKETCH_KINDS[kind]
     value_based = kind in ("tdigest", "kll")
-    if lineage:
-        try:
-            lineage = bool(df.inputFiles())
-        except Exception:
-            lineage = False
-    sel = [F.col(column).alias("__v")]
-    if lineage:
-        # hidden per-row file provenance from the file-source scan
-        sel.append(F.col("_metadata.file_path").alias("__file"))
-    projected = df.select(*sel)
+    if strategy not in ("local", "shuffle_distinct"):
+        raise ValueError(f"unknown build strategy {strategy!r}")
+    if strategy == "shuffle_distinct":
+        if value_based or weight_by_count:
+            raise ValueError(
+                "shuffle_distinct is a membership-build strategy"
+            )
+        lineage = False  # provenance dissolves across the distinct shuffle
+        src = df.select(F.col(column).alias("__v"))
+        if isinstance(src.schema["__v"].dataType, _ARRAY_TYPES):
+            src = src.select(F.explode("__v").alias("__v"))
+        # distinct() first so Catalyst's map-side partial aggregate
+        # shrinks the big shuffle to ≈cardinality rows per partition;
+        # then an explicit user-numbered repartition of the survivors:
+        # AQE sizes partitions by BYTES and would coalesce the
+        # ~8B/key distinct output into a couple of partitions,
+        # serializing the CPU-heavy python build stage. A fixed
+        # numPartitions opts that last (tiny) shuffle out of
+        # coalescing; keys stay hash-disjoint across shards.
+        n_parts = shuffle_partitions or df.sparkSession.sparkContext \
+            .defaultParallelism
+        projected = src.distinct().repartition(n_parts, "__v")
+        # downstream: keys are already globally distinct & disjoint
+        distinct = False
+    else:
+        if lineage:
+            try:
+                lineage = bool(df.inputFiles())
+            except Exception:
+                lineage = False
+        sel = [F.col(column).alias("__v")]
+        if lineage:
+            # hidden per-row file provenance from the file-source scan
+            sel.append(F.col("_metadata.file_path").alias("__file"))
+        projected = df.select(*sel)
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sk = cls(**params)

@@ -40,15 +40,17 @@ def _lineage_list(v) -> list:
 
 def _merge_group(pdf: pd.DataFrame, dedup: bool) -> pd.DataFrame:
     pdf = pdf.sort_values("shard_id").reset_index(drop=True)
-    acc = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
-    files: list = _lineage_list(pdf["lineage"].iloc[0])
-    for i in range(1, len(pdf)):
-        nxt = sketch_from_bytes(bytes(pdf["sketch"].iloc[i]))
-        if acc.KIND == "cuckoo":
-            acc.merge(nxt, dedup=dedup)
-        else:
+    sketches = [sketch_from_bytes(bytes(b)) for b in pdf["sketch"]]
+    files: list = []
+    for v in pdf["lineage"]:
+        files.extend(_lineage_list(v))
+    if sketches[0].KIND in ("cuckoo", "semisort"):
+        # vectorized k-way bucket-stack merge (core merge_many)
+        acc = type(sketches[0]).merge_many(sketches, dedup=dedup)
+    else:
+        acc = sketches[0]
+        for nxt in sketches[1:]:
             acc.merge(nxt)
-        files.extend(_lineage_list(pdf["lineage"].iloc[i]))
     blob = acc.to_bytes()
     n_keys = getattr(acc, "num_items", getattr(acc, "n", 0))
     return pd.DataFrame(
@@ -81,19 +83,28 @@ def tree_merge(
     ``count()`` job (the count is cheap — shards are one row per
     partition — but on a 10^5-task input it saves a scheduling round).
     """
-    n = num_shards if num_shards is not None else shards.count()
+    # Materialize each round: without persist, round K's lazy plan
+    # re-executes the ENTIRE build + rounds 0..K-1 (measured 6x wall
+    # blowup). Each round is a tiny blob table — cache is cheap.
+    df = shards.persist()
+    n = num_shards if num_shards is not None else df.count()
+    if num_shards is not None:
+        df.count()  # force materialization even when count was known
     rounds = 0
-    df = shards
     while n > 1:
         rounds += 1
+
         def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _merge_group(pdf, dedup)
 
-        df = (
+        nxt = (
             df.withColumn("shard_id", (F.col("shard_id") / fanout).cast("int"))
             .groupBy("shard_id")
             .applyInPandas(merge_fn, SHARD_SCHEMA)
-        )
+        ).persist()
+        nxt.count()
+        df.unpersist()
+        df = nxt
         n = (n + fanout - 1) // fanout
         if rounds > 20:
             raise RuntimeError("tree_merge failed to converge")
@@ -102,11 +113,20 @@ def tree_merge(
 
 def merge_shards_to_blob(
     shards: DataFrame, fanout: int = 16, dedup: bool = True,
-    num_shards: int | None = None,
+    num_shards: int | None = None, driver_threshold: int = 64,
 ) -> bytes:
-    """Tree-merge then collect the single final blob to the driver."""
+    """Merge shard rows to one blob.
+
+    Small shard counts (≤ ``driver_threshold``) merge driver-side in
+    one collect — distributed tree rounds only pay off once the blob
+    fan-in would swamp a single process (10^3+ shards). The tree path
+    is the 10^5-shard story; the threshold just skips it where it is
+    pure overhead."""
+    n = num_shards if num_shards is not None else shards.count()
+    if n <= driver_threshold:
+        return collect_merged(shards, dedup=dedup).to_bytes()
     row = tree_merge(shards, fanout=fanout, dedup=dedup,
-                     num_shards=num_shards).collect()[0]
+                     num_shards=n).collect()[0]
     return bytes(row["sketch"])
 
 
@@ -116,11 +136,10 @@ def collect_merged(shards: DataFrame, dedup: bool = True):
     extra Spark rounds; NOT for 10^5-shard builds."""
     rows = shards.collect()
     rows.sort(key=lambda r: r["shard_id"])
-    acc = sketch_from_bytes(bytes(rows[0]["sketch"]))
-    for r in rows[1:]:
-        nxt = sketch_from_bytes(bytes(r["sketch"]))
-        if acc.KIND == "cuckoo":
-            acc.merge(nxt, dedup=dedup)
-        else:
-            acc.merge(nxt)
+    sketches = [sketch_from_bytes(bytes(r["sketch"])) for r in rows]
+    if sketches[0].KIND in ("cuckoo", "semisort"):
+        return type(sketches[0]).merge_many(sketches, dedup=dedup)
+    acc = sketches[0]
+    for nxt in sketches[1:]:
+        acc.merge(nxt)
     return acc

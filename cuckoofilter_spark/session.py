@@ -25,6 +25,7 @@ def get_spark(
     app: str = "cuckoofilter-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
@@ -43,4 +44,38 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, n_workers: int | None = None) -> None:
+    """Pre-spawn and warm the Arrow python workers.
+
+    A fresh worker pays numpy import plus first-touch page faults on
+    its first large allocations — seconds that would otherwise land on
+    whichever job runs first. Workers are reused for the session
+    lifetime (``spark.python.worker.reuse`` default), so one warm pass
+    moves that cost out of every measured job. Call before timing."""
+    import pyarrow as pa
+
+    n = n_workers or spark.sparkContext.defaultParallelism
+
+    def warm(batches):
+        import numpy as _np
+
+        x = _np.random.default_rng(0).integers(
+            0, 2**63, 2_000_000, dtype=_np.int64
+        ).view(_np.uint64)
+        for _ in range(3):
+            x = x * _np.uint64(0x9E3779B97F4A7C15) + (x >> _np.uint64(32))
+        for b in batches:
+            yield pa.RecordBatch.from_pydict(
+                {"id": pa.array([int(x[0] & _np.uint64(1))], pa.int64())}
+            )
+
+    (
+        spark.range(0, n * 2, 1, n * 2)
+        .mapInArrow(warm, "id long")
+        .count()
+    )

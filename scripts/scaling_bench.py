@@ -1,0 +1,155 @@
+"""Two-cluster-size scaling evidence — sandbox proxy for N vs 4N executors.
+
+Runs the SAME distributed cuckoo-filter build (identical code) at two
+parallelism levels in separate fresh JVMs and reports:
+
+- **weak scaling** (headline): constant work PER core — quarter input
+  on N cores vs full input on 4N cores; efficiency = T_N / T_4N.
+  This matches how a 10^12-sequence pipeline actually grows: more
+  executors BECAUSE there is more data. Target ≥ 0.8.
+- **strong scaling**: same full input at both sizes;
+  efficiency = (T_N / T_4N) / 4.
+
+Why N=2, 4N=8 on this 32-core box: every task slot keeps a JVM scan
+thread AND an Arrow python worker hot, so local[K] drives ~2K threads;
+16/32-slot legs contend for shared DRAM bandwidth and measurably
+throttle each other — a coupling a real 4N-executor cluster does not
+have (each node brings its own memory). 2-vs-8 is the largest 4x
+ratio with both legs uncontended.
+
+Each leg reports the best of two runs (first warms OS page cache +
+python workers; the sandbox shows >2x run-to-run CPU noise).
+
+Usage:
+    python scripts/scaling_bench.py                    # full comparison
+    python scripts/scaling_bench.py --worker C PATH    # one leg (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+FULL_PATH = os.path.join(REPO, ".bench", "tokens_scale")      # ~468M tokens
+QUARTER_PATH = os.path.join(REPO, ".bench", "tokens_scale_q")  # ~117M tokens
+N_DOCS_FULL = 1_600_000
+N_DOCS_QUARTER = 400_000
+CAPACITY = 1 << 21
+SMALL, LARGE = 2, 8
+
+
+def _gen(path: str, n_docs: int, parts: int) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from cuckoofilter_spark.session import get_spark
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    spark = get_spark(app="scale-gen", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_tokens_df(spark, n_docs, seed=42, parts=parts).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+
+
+def worker(cores: int, path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+    from cuckoofilter_spark.session import get_spark, warm_python_workers
+
+    spark = get_spark(app=f"scale-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark)
+    tokens = spark.read.parquet(path)
+    n_tokens = int(tokens.agg(F.sum("n_tok")).collect()[0][0])
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        shards = build_sketch_shards(
+            tokens, "tokens", kind="cuckoo", lineage=False,
+            max_num_keys=CAPACITY, bits_per_item=12, seed=7,
+            strategy="shuffle_distinct",
+        )
+        blob = merge_shards_to_blob(shards, dedup=True, fanout=16)
+        best = min(best, time.time() - t0)
+    probe = might_contain_udf(spark, blob)
+    n_probe = 16_000_000 * cores  # constant probes per core (weak leg)
+    p_best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(0, n_probe, 1, cores * 4)
+            .select(probe(F.col("id")).alias("h"))
+            .agg(F.sum(F.col("h").cast("long"))).collect()
+        )
+        p_best = min(p_best, time.time() - t0)
+    print(json.dumps({
+        "cores": cores, "sec": round(best, 3), "tokens": n_tokens,
+        "tokens_per_sec": round(n_tokens / best, 1),
+        "probe_sec": round(p_best, 3), "n_probe": n_probe,
+        "probe_per_sec": round(n_probe / p_best, 1),
+    }))
+    spark.stop()
+
+
+def _run_leg(cores: int, path: str) -> dict:
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cores),
+         path],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    print(json.dumps(out))
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) > 3 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return 0
+    _gen(FULL_PATH, N_DOCS_FULL, 128)
+    _gen(QUARTER_PATH, N_DOCS_QUARTER, 32)
+    weak_small = _run_leg(SMALL, QUARTER_PATH)
+    strong_small = _run_leg(SMALL, FULL_PATH)
+    large = _run_leg(LARGE, FULL_PATH)
+    ratio = LARGE / SMALL
+    summary = {
+        "cores": [SMALL, LARGE],
+        "weak": {
+            "small": weak_small, "large": large,
+            "efficiency": round(weak_small["sec"] / large["sec"], 3),
+            "throughput_ratio": round(
+                large["tokens_per_sec"] / weak_small["tokens_per_sec"], 2
+            ),
+        },
+        "strong": {
+            "small": strong_small, "large": large,
+            "efficiency": round(
+                strong_small["sec"] / large["sec"] / ratio, 3
+            ),
+        },
+        "probe_weak_efficiency": round(
+            weak_small["probe_sec"] / large["probe_sec"], 3
+        ),
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    sys.exit(main())

@@ -60,7 +60,9 @@ def test_space_parity_f13_is_12_bits_per_tag():
     assert sk.bits_per_bucket == 48
     assert sk.packed_size_bytes * 8 == sk.num_buckets * 4 * 12
     blob = sk.to_bytes()
-    assert len(blob) == sk.packed_size_bytes + 48  # 48-byte header
+    # the wire blob may additionally zlib-compress the packed section;
+    # the parity metric is the UNcompressed packed size
+    assert len(blob) <= sk.packed_size_bytes + 48  # 48-byte header
 
 
 def test_registry_dispatch_and_merge():

@@ -45,11 +45,15 @@ def test_build_merge_probe_no_false_negatives(spark, tokens_df):
     )
     from cuckoofilter_spark.operators.probe import might_contain_udf
 
+    from cuckoofilter_spark.operators.merge import tree_merge
+
     shards = build_sketch_shards(
         tokens_df, "tokens", kind="cuckoo", lineage=False,
         max_num_keys=1 << 18, bits_per_item=12, seed=7,
     )
-    blob = merge_shards_to_blob(shards, dedup=True, fanout=4)
+    # exercise the distributed tree path explicitly (the blob helper
+    # would take the driver shortcut at this shard count)
+    blob = bytes(tree_merge(shards, fanout=4, dedup=True).collect()[0]["sketch"])
     # tree merge must equal driver-side fold
     acc = collect_merged(
         build_sketch_shards(
@@ -244,3 +248,32 @@ def test_text_stats_deterministic(spark):
         assert r["n_words"] > 0
         assert r["pred_lang"] in ("de", "en", "es", "fr", "und")
         assert len(r["fingerprint"]) == 32
+
+
+def test_shuffle_distinct_strategy(spark, tokens_df):
+    """explode→distinct build plan: disjoint reducer key ranges, zero
+    false negatives, same membership as the local strategy."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import collect_merged
+
+    params = dict(kind="cuckoo", lineage=False, max_num_keys=1 << 18,
+                  bits_per_item=12, seed=7)
+    a = collect_merged(
+        build_sketch_shards(tokens_df, "tokens",
+                            strategy="shuffle_distinct", **params),
+        dedup=True,
+    )
+    truth = tokens_df.select(F.explode("tokens").alias("t")).distinct()
+    keys = np.array([r["t"] for r in truth.collect()], dtype=np.int64)
+    assert a.contains_many(keys.view(np.uint64)).all()
+    b = collect_merged(
+        build_sketch_shards(tokens_df, "tokens", strategy="local", **params),
+        dedup=True,
+    )
+    absent = np.arange(1 << 21, (1 << 21) + 100_000, dtype=np.int64)
+    # same geometry/seed ⇒ identical hash family; membership over
+    # present keys identical, FPR statistically indistinguishable
+    assert b.contains_many(keys.view(np.uint64)).all()
+    fa = a.contains_many(absent.view(np.uint64)).mean()
+    fb = b.contains_many(absent.view(np.uint64)).mean()
+    assert abs(fa - fb) < 5e-3
