@@ -404,6 +404,72 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming membership build: micro-batched foreachBatch
+    shard builds (idempotent batch=<id> dirs), then probe every key —
+    the streaming filter must answer exactly like a batch build."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from cuckoofilter_spark.operators.merge import collect_merged
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_sketch_build,
+    )
+
+    lineitem = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    tmp = tempfile.mkdtemp(prefix="cfstream_")
+    src = os.path.join(tmp, "src")
+    lineitem.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(lineitem.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = os.path.join(tmp, "shards")
+    run_streaming_sketch_build(
+        stream, "l_orderkey", out_dir=out,
+        checkpoint_dir=os.path.join(tmp, "ckpt"), kind="cuckoo",
+        max_num_keys=300_000, bits_per_item=12, seed=5,
+    )
+    blob = collect_merged(
+        spark.read.parquet(os.path.join(out, "batch=*")), dedup=True
+    ).to_bytes()
+    probe = might_contain_udf(spark, blob)
+    keys = lineitem.distinct()
+    return keys.agg(
+        F2.count(F2.lit(1)).alias("n_probed"),
+        F2.sum(probe("l_orderkey").cast("long")).alias("n_hits"),
+    )
+
+
+def q_checkpoint_resume_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed build + tree merge with manifest/lineage; the
+    second call resumes from the shard stage instead of rebuilding."""
+    import tempfile
+
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+    from cuckoofilter_spark.plans.checkpoint import (
+        checkpointed_build, checkpointed_tree_merge,
+    )
+
+    root = tempfile.mkdtemp(prefix="cfckpt_")
+    customer = _read(spark, sf_dir, "customer")
+    params = {"kind": "cuckoo", "max_num_keys": 50_000,
+              "bits_per_item": 16, "seed": 9}
+    checkpointed_build(spark, root, customer, "c_custkey", params=params)
+    # resume path: must read back, not rebuild
+    checkpointed_build(spark, root, customer, "c_custkey", params=params)
+    blob = checkpointed_tree_merge(spark, root, fanout=4)
+    probe = might_contain_udf(spark, blob)
+    keys = customer.select("c_custkey").distinct()
+    return keys.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(probe("c_custkey").cast("long")).alias("n_hits"),
+    )
+
+
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregation (SURVEY.md §2.9 distinct/
     grouping row); null group keys coalesced for engine parity."""
@@ -498,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": q_rollup_lineitem,
         "top3_parts_per_brand": q_top3_parts_per_brand,
         "events_sessionization": q_events_sessionization,
+        "streaming_filter_build": q_streaming_filter_build,
+        "checkpoint_resume_build": q_checkpoint_resume_build,
     }
 
 
@@ -685,6 +753,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "streaming_filter_build": """
+            SELECT count(DISTINCT l_orderkey) AS n_probed,
+                   count(DISTINCT l_orderkey) AS n_hits
+            FROM lineitem
+        """,
+        "checkpoint_resume_build": """
+            SELECT count(DISTINCT c_custkey) AS n_probed,
+                   count(DISTINCT c_custkey) AS n_hits
+            FROM customer
         """,
         "rollup_lineitem": """
             SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -646,6 +646,58 @@ class CuckooFilter:
         obj.kicks = 0
         return obj
 
+    # ------------------------------------------------- table micro-ops
+    # Reference SingleTable parity surface (src/singletable.h §2.2 of
+    # SURVEY.md). The batch paths never call these — they exist so a
+    # reference user finds the same per-bucket toolkit.
+    def read_tag(self, i: int, j: int) -> int:
+        """ReadTag(i,j) (src/singletable.h:66-88)."""
+        return int(self.table[i, j])
+
+    def write_tag(self, i: int, j: int, tag: int) -> None:
+        """WriteTag(i,j,t) (src/singletable.h:91-122)."""
+        self.table[i, j] = self.table.dtype.type(tag)
+
+    def find_tag_in_bucket(self, i: int, tag: int) -> bool:
+        """FindTagInBucket (src/singletable.h:151-177)."""
+        return bool((self.table[i] == self.table.dtype.type(tag)).any())
+
+    def find_tag_in_buckets(self, i1: int, i2: int, tag: int) -> bool:
+        """FindTagInBuckets (src/singletable.h:124-149)."""
+        return self.find_tag_in_bucket(i1, tag) or self.find_tag_in_bucket(
+            i2, tag
+        )
+
+    def delete_tag_from_bucket(self, i: int, tag: int) -> bool:
+        """DeleteTagFromBucket: zero the first matching slot
+        (src/singletable.h:179-188)."""
+        m = np.flatnonzero(self.table[i] == self.table.dtype.type(tag))
+        if not len(m):
+            return False
+        self.table[i, m[0]] = 0
+        return True
+
+    def insert_tag_to_bucket(self, i: int, tag: int, kickout: bool):
+        """InsertTagToBucket: first empty slot wins, else (kickout)
+        evict a random slot and return its tag
+        (src/singletable.h:190-204). Returns (ok, old_tag|None)."""
+        row = self.table[i]
+        empties = np.flatnonzero(row == 0)
+        if len(empties):
+            row[empties[0]] = self.table.dtype.type(tag)
+            return True, None
+        if kickout:
+            slot = int(self._rng.integers(0, ASSOC))
+            self.kicks += 1
+            old = int(row[slot])
+            row[slot] = self.table.dtype.type(tag)
+            return False, old
+        return False, None
+
+    def num_tags_in_bucket(self, i: int) -> int:
+        """NumTagsInBucket (src/singletable.h:206-214)."""
+        return int((self.table[i] != 0).sum())
+
     # ----------------------------------------------------------- scalar API
     def add(self, key: int) -> Status:
         return Status(int(self.add_many(np.array([key], dtype=np.uint64))[0]))

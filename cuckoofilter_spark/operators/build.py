@@ -85,6 +85,19 @@ def _to_float64(arr: pa.ChunkedArray) -> np.ndarray:
     return np.concatenate(out)
 
 
+def shard_key_expr(col: str | Column) -> Column:
+    """The expression shuffle_distinct shards partition on. Kept as a
+    named single source of truth: ``delete_from_shards`` recomputes
+    shard ownership as pmod(hash(shard_key_expr(key)), num_shards)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hash(c)
+
+
+def shard_id_expr(col: str | Column, num_shards: int) -> Column:
+    """Owning shard id of a key under the shuffle_distinct layout."""
+    return F.pmod(F.hash(shard_key_expr(col)), F.lit(num_shards))
+
+
 def salted_repartition(
     df: DataFrame, num_partitions: int, key: str | Column, salt: int = 42
 ) -> DataFrame:
@@ -163,15 +176,18 @@ def build_sketch_shards(
             src = src.select(F.explode("__v").alias("__v"))
         # distinct() first so Catalyst's map-side partial aggregate
         # shrinks the big shuffle to ≈cardinality rows per partition;
-        # then an explicit user-numbered repartition of the survivors:
-        # AQE sizes partitions by BYTES and would coalesce the
-        # ~8B/key distinct output into a couple of partitions,
-        # serializing the CPU-heavy python build stage. A fixed
-        # numPartitions opts that last (tiny) shuffle out of
-        # coalescing; keys stay hash-disjoint across shards.
+        # then an explicit user-numbered repartition of the survivors.
+        # Two traps this dodges: (a) AQE sizes partitions by BYTES and
+        # would coalesce the ~8B/key distinct output into one
+        # partition, serializing the CPU-heavy python build stage;
+        # (b) repartition(n, "__v") gets COLLAPSED into the distinct's
+        # own ENSURE_REQUIREMENTS exchange (same clustering), which
+        # AQE may coalesce — so we partition on hash(__v), a distinct
+        # expression Catalyst keeps as a user-numbered, non-coalescible
+        # shuffle. Shard ownership stays computable (shard_key_expr).
         n_parts = shuffle_partitions or df.sparkSession.sparkContext \
             .defaultParallelism
-        projected = src.distinct().repartition(n_parts, "__v")
+        projected = src.distinct().repartition(n_parts, shard_key_expr("__v"))
         # downstream: keys are already globally distinct & disjoint
         distinct = False
     else:

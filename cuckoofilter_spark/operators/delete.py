@@ -1,0 +1,73 @@
+"""Distributed delete — route each delete key to the shard that owns it.
+
+Applies to shard tables built with ``strategy='shuffle_distinct'``:
+those shards hold hash-DISJOINT key ranges under Spark's
+``HashPartitioning``, i.e. shard_id == pmod(hash(key), num_shards), so
+ownership is computable without any lookup structure. Keys and shards
+cogroup by shard_id; each group deserializes its filter once, runs the
+numpy ``delete_many`` batch, and re-emits the shard row
+(reference Delete semantics per key: src/cuckoofilter.h:189-219 —
+caller guarantees membership).
+
+For ``'local'``-strategy shards a key may hold copies in several
+shards; deleting "one copy" is not well-defined per shard there — use
+``CuckooFilter.delete_many`` on the merged filter instead (the
+operators raise to prevent silent misuse).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.core.registry import sketch_from_bytes
+from cuckoofilter_spark.operators.build import SHARD_SCHEMA
+
+
+def delete_from_shards(
+    shards: DataFrame, keys: DataFrame, key_col: str, num_shards: int,
+) -> DataFrame:
+    """Return a new shard DataFrame with the delete batch applied.
+
+    ``num_shards`` must equal the shard count the build produced
+    (= its shuffle partition count)."""
+    from cuckoofilter_spark.operators.build import shard_id_expr
+
+    routed = keys.select(
+        shard_id_expr(key_col, num_shards).alias("shard_id"),
+        F.col(key_col).alias("key"),
+    )
+
+    def apply_deletes(shard_pdf: pd.DataFrame,
+                      key_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(shard_pdf) == 0:
+            # keys routed to a shard id that produced no row (empty
+            # partition at build time) — nothing was stored there
+            return pd.DataFrame(columns=shard_pdf.columns)
+        if len(shard_pdf) != 1:
+            raise ValueError("expected exactly one shard row per shard_id")
+        row = shard_pdf.iloc[0]
+        sk = sketch_from_bytes(bytes(row["sketch"]))
+        if len(key_pdf):
+            ks = key_pdf["key"].to_numpy(dtype=np.int64).view(np.uint64)
+            sk.delete_many(ks)
+        blob = sk.to_bytes()
+        out = shard_pdf.copy()
+        out["sketch"] = [blob]
+        out["metrics"] = [
+            {
+                "keys": int(getattr(sk, "num_items", 0)),
+                "load": float(getattr(sk, "load_factor", 0.0)),
+                "bytes": len(blob),
+                "kicks": int(getattr(sk, "kicks", 0)),
+            }
+        ]
+        return out
+
+    return (
+        shards.groupBy("shard_id")
+        .cogroup(routed.groupBy("shard_id"))
+        .applyInPandas(apply_deletes, SHARD_SCHEMA)
+    )

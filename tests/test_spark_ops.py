@@ -277,3 +277,32 @@ def test_shuffle_distinct_strategy(spark, tokens_df):
     fa = a.contains_many(absent.view(np.uint64)).mean()
     fb = b.contains_many(absent.view(np.uint64)).mean()
     assert abs(fa - fb) < 5e-3
+
+
+def test_distributed_delete_routing(spark):
+    """Distributed delete over hash-disjoint (shuffle_distinct) shards:
+    deleted keys drop out, survivors keep zero false negatives."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.delete import delete_from_shards
+    from cuckoofilter_spark.operators.merge import collect_merged
+
+    supplier = spark.read.parquet(f"{SF_DIR}/supplier.parquet") \
+        .select("s_suppkey").distinct()
+    n_shards = 8
+    shards = build_sketch_shards(
+        supplier, "s_suppkey", kind="cuckoo", lineage=False,
+        max_num_keys=20_000, bits_per_item=16, seed=3,
+        strategy="shuffle_distinct", shuffle_partitions=n_shards,
+    )
+    evens = supplier.filter(F.col("s_suppkey") % 2 == 0)
+    after = delete_from_shards(shards, evens, "s_suppkey", n_shards)
+    merged = collect_merged(after, dedup=False)
+    odd = np.array(
+        [r[0] for r in supplier.filter("s_suppkey % 2 = 1").collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    even = np.array([r[0] for r in evens.collect()], dtype=np.int64) \
+        .view(np.uint64)
+    assert merged.contains_many(odd).all(), "delete broke survivors"
+    # deleted keys may only hit at the residual FPR (f=16 -> ~0.02%)
+    assert merged.contains_many(even).mean() < 0.01
