@@ -156,6 +156,31 @@ def main() -> None:
     queries["cf_semijoin"] = time.time() - t0
     extra["semijoin_rows"] = int(cnt)
 
+    # -- q7b/c/d: training-pipeline operators over documents ------------
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_minhash
+
+    extra["minhash_pairs"] = near_dup_pairs_minhash(
+        docs, "doc_id", "text", threshold=0.8
+    ).count()
+    queries["minhash_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    from cuckoofilter_spark.operators.text import with_text_stats
+
+    with_text_stats(docs).agg(F.sum("quality_milli")).collect()
+    queries["text_stats"] = time.time() - t0
+
+    t0 = time.time()
+    from cuckoofilter_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    extra["cosine_rows"] = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=10
+    ).count()
+    queries["cosine_topk"] = time.time() - t0
+
     # -- q8: reference-shaped single-node microbench (conext-figure5 /
     # bulk-insert-and-query analog): core numpy kernels, no Spark —
     # directly comparable to BASELINE.md's single-machine numbers.

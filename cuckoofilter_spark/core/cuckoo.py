@@ -394,17 +394,37 @@ class CuckooFilter:
         return "victim"
 
     # --------------------------------------------------------------- lookup
+    _SWAR_LOW = np.uint64(0x0001000100010001)
+    _SWAR_HIGH = np.uint64(0x8000800080008000)
+
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         """Vectorized Contain (src/cuckoofilter.h:166-185): victim check
-        then a two-bucket probe. Never a false negative."""
+        then a two-bucket probe. Never a false negative.
+
+        For ≤16-bit tags the whole 4-slot bucket is one uint64 word and
+        the probe is the reference's SWAR ``hasvalue16``
+        (src/bitsutil.h:8-19, src/singletable.h:124-149) vectorized
+        over the batch — one gather + ~6 word ops per bucket instead
+        of a (n,4) row gather + lane compare (~2x faster)."""
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
         i1, tag = self._index_tag(keys)
         i2 = alt_index(i1, tag, self.num_buckets)
-        t = tag.astype(self.table.dtype)[:, None]
-        hit = (self.table[i1.astype(np.int64)] == t).any(axis=1)
-        hit |= (self.table[i2.astype(np.int64)] == t).any(axis=1)
+        if self.table.dtype == np.uint16:
+            t64 = self.table.reshape(-1).view(np.uint64)  # no copy
+            pat = tag.astype(np.uint64) * self._SWAR_LOW
+            v1 = t64[i1.astype(np.int64)] ^ pat
+            v2 = t64[i2.astype(np.int64)] ^ pat
+            hit = (
+                ((v1 - self._SWAR_LOW) & ~v1 & self._SWAR_HIGH) != 0
+            ) | (
+                ((v2 - self._SWAR_LOW) & ~v2 & self._SWAR_HIGH) != 0
+            )
+        else:
+            t = tag.astype(self.table.dtype)[:, None]
+            hit = (self.table[i1.astype(np.int64)] == t).any(axis=1)
+            hit |= (self.table[i2.astype(np.int64)] == t).any(axis=1)
         if self.victim.used:
             v_hit = (tag == np.uint32(self.victim.tag)) & (
                 (i1 == np.uint64(self.victim.index)) | (i2 == np.uint64(self.victim.index))

@@ -62,35 +62,60 @@ def _perm_params(num_hashes: int, seed: int):
     return a, b
 
 
+def _shingle_hashes(text: str, k: int, seed: int) -> np.ndarray:
+    """Distinct word-k-shingle hashes of one document (uint64 via
+    blake2b — process-independent, unlike Python hash()). Shingle
+    definition matches ``shingles_col``/the SQL oracles exactly:
+    whitespace words, k-grams joined by single spaces, de-duplicated.
+    """
+    import hashlib
+
+    words = text.split()
+    if len(words) < k:
+        return np.empty(0, dtype=np.uint64)
+    salt = seed.to_bytes(8, "little", signed=False)
+    seen = set()
+    for i in range(len(words) - k + 1):
+        seen.add(" ".join(words[i:i + k]))
+    out = np.empty(len(seen), dtype=np.uint64)
+    for j, s in enumerate(seen):
+        out[j] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8, key=salt).digest(),
+            "little",
+        )
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text: str, *, num_hashes: int = 128,
     shingle_k: int = 3, seed: int = 2014,
 ) -> DataFrame:
     """(doc, sig array<long>[num_hashes]) per document.
 
-    Shingle hashing is JVM-side (``xxhash64`` inside ``transform``);
-    the pandas UDF only does the (a·h + b) mod p row-min in numpy.
+    One Arrow-batched pandas UDF does shingle→hash→(a·h+b) mod p
+    row-min. Shingling deliberately lives in Python: Spark's nested
+    higher-order array lambdas are CodegenFallback (interpreted,
+    measured ~2ms/doc); the batch UDF does the same work in ~20µs/doc.
     Docs with < shingle_k words get an all-sentinel signature (they
     can only pair with other empty docs)."""
     a, b = _perm_params(num_hashes, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(hashes: pd.Series) -> pd.Series:
+    def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
+        for txt in texts:
+            hs = _shingle_hashes(txt or "", shingle_k, seed)
+            if len(hs) == 0:
                 out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
                 continue
-            h = np.asarray(hs, dtype=np.int64)[:, None] % _MERSENNE
+            h = hs.astype(np.int64)[:, None] % _MERSENNE
             # (n_shingles, num_hashes) — one broadcast multiply, min over rows
             sig = ((h * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
             out.append(sig)
         return pd.Series(out)
 
-    sh = shingles_col(text, k=shingle_k)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
     return df.select(
-        F.col(id_col).alias("doc"), sig_udf(hashed).alias("sig")
+        F.col(id_col).alias("doc"), sig_udf(F.col(text)).alias("sig")
     )
 
 
@@ -133,27 +158,40 @@ def verified_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-shingle jaccard on candidate pairs; keep ≥ threshold.
 
-    Output jaccard is scaled to an integer in 1e-4 units (j_e4) so
-    downstream equality checks are FP-noise-proof."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles_col(text, k=shingle_k).alias("sh")
-    )
+    Texts join onto the (small) candidate-pair set, then one batched
+    UDF computes exact set jaccard per pair — same shingle definition
+    as the SQL oracle's list_distinct/list_intersect. Output jaccard
+    is in 1e-4 integer units (j_e4), FP-noise-proof."""
+    txt = df.select(F.col(id_col).alias("doc"), F.col(text).alias("txt"))
+
+    @F.pandas_udf(LongType())
+    def j_e4_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta), dtype=np.int64)
+        for i in range(len(ta)):
+            wa = (ta.iloc[i] or "").split()
+            wb = (tb.iloc[i] or "").split()
+            sa = {" ".join(wa[j:j + shingle_k])
+                  for j in range(len(wa) - shingle_k + 1)}
+            sb = {" ".join(wb[j:j + shingle_k])
+                  for j in range(len(wb) - shingle_k + 1)}
+            n_int = len(sa & sb)
+            n_union = len(sa) + len(sb) - n_int
+            # threshold test with the SAME IEEE ops as the SQL oracle
+            # (divide then compare) — boundary pairs agree bit-for-bit
+            if n_int / max(n_union, 1) >= threshold:
+                out[i] = round(n_int * 10000 / max(n_union, 1))
+            else:
+                out[i] = -1
+        return pd.Series(out)
+
     j = (
-        pairs.join(sh.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}), "doc_b")
-        .withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_int")
-        )
-        .withColumn(
-            "j_e4",
-            F.round(F.col("n_int") * 10000 / F.greatest("n_union", F.lit(1)))
-            .cast("long"),
-        )
+        pairs.join(txt.withColumnsRenamed({"doc": "doc_a", "txt": "t_a"}),
+                   "doc_a")
+        .join(txt.withColumnsRenamed({"doc": "doc_b", "txt": "t_b"}),
+              "doc_b")
+        .withColumn("j_e4", j_e4_udf("t_a", "t_b"))
     )
-    return j.filter(
-        F.col("n_int") * 1.0 / F.greatest("n_union", F.lit(1)) >= threshold
-    ).select("doc_a", "doc_b", "j_e4")
+    return j.filter(F.col("j_e4") >= 0).select("doc_a", "doc_b", "j_e4")
 
 
 def near_dup_pairs_minhash(
@@ -182,12 +220,12 @@ def simhash64(
     degenerates when all docs share one vocabulary."""
 
     @F.pandas_udf(LongType())
-    def sim_udf(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            h = _shingle_hashes(txt or "", shingle_k, seed)
+            if len(h) == 0:
                 continue
-            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
             bits = (
                 (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             ).astype(np.int64)  # signed BEFORE the vote arithmetic
@@ -198,10 +236,9 @@ def simhash64(
             out[i] = np.int64(sim.astype(np.int64))
         return pd.Series(out)
 
-    hashed = F.transform(
-        shingles_col(text, k=shingle_k), lambda s: F.xxhash64(s, F.lit(seed))
+    return df.select(
+        F.col(id_col).alias("doc"), sim_udf(F.col(text)).alias("simhash")
     )
-    return df.select(F.col(id_col).alias("doc"), sim_udf(hashed).alias("simhash"))
 
 
 def near_dup_pairs_simhash(
