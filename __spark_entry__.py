@@ -368,6 +368,16 @@ def q_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at threshold 0.44 (chosen
+    inside a ~2e-3 gap of this corpus's similarity distribution, four
+    orders above cross-engine float noise)."""
+    from cuckoofilter_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.44).orderBy("id_a", "id_b")
+
+
 def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary media column + Arrow-batched
     feature extraction (fake decoder — codecs stubbed, plumbing real)."""
@@ -559,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "ann_recall_bound": q_ann_recall_bound,
+        "embedding_near_dups": q_embedding_near_dups,
         "media_byte_stats": q_media_byte_stats,
         "events_hourly_window": q_events_hourly_window,
         "rollup_lineitem": q_rollup_lineitem,
@@ -739,6 +750,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_bound": """
             SELECT count(*) AS n_queries, true AS recall_ok
             FROM embeddings WHERE vec_id < 20
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.44
+            ORDER BY id_a, id_b
         """,
         "media_byte_stats": """
             SELECT count(*) AS n_media,

@@ -136,6 +136,31 @@ def lsh_ann_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.44,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+
+    Brute-force O(n²) — correct baseline for validation scales; the
+    100 TB path runs the same scoring over ``lsh_ann_topk`` candidate
+    buckets instead of the full cross join."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
+    ).withColumn("na", _norm("va"))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb")
+    ).withColumn("nb", _norm("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim", _dot("va", "vb") / (F.col("na") * F.col("nb") + F.lit(_EPS))
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """recall@k of the approx result against the exact result, per
     query: |exact∩approx| / |exact|."""

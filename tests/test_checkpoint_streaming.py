@@ -198,3 +198,40 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     stats = json.loads(r2.stdout.strip().splitlines()[-1])
     assert stats["hits"] == stats["rows"], "false negatives via job path"
+
+
+def test_streaming_watermark_windowed_agg(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over the event stream —
+    the late-data-tolerant counterpart of q_events_hourly_window.
+    With availableNow over a bounded file source nothing is actually
+    late, so the final counts must equal the batch windows exactly."""
+    src = str(tmp_path / "wm_src")
+    events = spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+        # watermarks require TIMESTAMP (tz-aware); testdata is NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("wm_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window"]["start"], r["event_type"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM wm_counts").collect()
+    }
+    want = {
+        (r["window"]["start"], r["event_type"]): r["cnt"]
+        for r in events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
