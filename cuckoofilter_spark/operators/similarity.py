@@ -40,6 +40,11 @@ def _dot(a, b) -> "F.Column":
     )
 
 
+def _cosine(va: str, vb: str, na: str, nb: str) -> "F.Column":
+    """Shared cosine score; the single place the epsilon lives."""
+    return _dot(va, vb) / (F.col(na) * F.col(nb) + F.lit(_EPS))
+
+
 def cosine_topk(
     corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 10, exclude_self: bool = True,
@@ -58,10 +63,7 @@ def cosine_topk(
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("nbr") != F.col("query_id"))
-    scored = joined.withColumn(
-        "sim",
-        _dot("qv", "cv") / (F.col("qn") * F.col("cn") + F.lit(_EPS)),
-    )
+    scored = joined.withColumn("sim", _cosine("qv", "cv", "qn", "cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -122,9 +124,7 @@ def lsh_ann_topk(
     if exclude_self:
         cand = cand.filter(F.col("nbr") != F.col("query_id"))
     cand = cand.dropDuplicates(["query_id", "nbr"])
-    scored = cand.withColumn(
-        "sim", _dot("qv", "cv") / (F.col("qn") * F.col("cn") + F.lit(_EPS))
-    )
+    scored = cand.withColumn("sim", _cosine("qv", "cv", "qn", "cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -153,9 +153,7 @@ def cosine_near_dup_pairs(
     ).withColumn("nb", _norm("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim", _dot("va", "vb") / (F.col("na") * F.col("nb") + F.lit(_EPS))
-        )
+        .withColumn("sim", _cosine("va", "vb", "na", "nb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
     )

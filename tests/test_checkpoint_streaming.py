@@ -201,10 +201,13 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
 
 
 def test_streaming_watermark_windowed_agg(spark, tmp_path):
-    """Watermarked tumbling-window aggregation over the event stream —
-    the late-data-tolerant counterpart of q_events_hourly_window.
-    With availableNow over a bounded file source nothing is actually
-    late, so the final counts must equal the batch windows exactly."""
+    """Watermarked tumbling-window aggregation in APPEND mode — the
+    mode where the watermark actually gates emission: a window row is
+    emitted only once the watermark (max event time - 1h) passes its
+    end. Every emitted count must equal the batch count exactly, and
+    the tail windows (not yet past the watermark) must be withheld —
+    proving the watermark drove finalization rather than being a
+    no-op (as it would be in complete mode)."""
     src = str(tmp_path / "wm_src")
     events = spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet")
     events.repartition(4).write.parquet(src)
@@ -221,7 +224,7 @@ def test_streaming_watermark_windowed_agg(spark, tmp_path):
     )
     q = (
         agg.writeStream.format("memory").queryName("wm_counts")
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination()
     got = {
@@ -234,4 +237,8 @@ def test_streaming_watermark_windowed_agg(spark, tmp_path):
         .groupBy(F.window("ts", "6 hours"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    assert got == want
+    assert got, "watermark emitted nothing"
+    for key, cnt in got.items():
+        assert want.get(key) == cnt, f"finalized window {key} wrong"
+    # the tail windows sit within the 1h watermark lag -> withheld
+    assert len(got) < len(want), "append mode emitted unfinalized windows"
