@@ -134,9 +134,17 @@ def collect_merged(shards: DataFrame, dedup: bool = True):
     """Driver-side merge for SMALL shard counts (tests, approx queries
     where P ≤ a few hundred): collect partials, merge locally. Avoids
     extra Spark rounds; NOT for 10^5-shard builds."""
+    from concurrent.futures import ThreadPoolExecutor
+
     rows = shards.collect()
     rows.sort(key=lambda r: r["shard_id"])
-    sketches = [sketch_from_bytes(bytes(r["sketch"])) for r in rows]
+    # zlib + numpy decode release the GIL — thread-parallel deserialize
+    # (the semisort perm-decode is ~0.13s/blob; serial x128 shards is
+    # a real driver tail)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        sketches = list(
+            ex.map(lambda r: sketch_from_bytes(bytes(r["sketch"])), rows)
+        )
     if sketches[0].KIND in ("cuckoo", "semisort"):
         return type(sketches[0]).merge_many(sketches, dedup=dedup)
     acc = sketches[0]
