@@ -6,15 +6,16 @@ Designed for the 100 TB shape of the problem:
   hash-partitioned groupBy on the fingerprint — the only shuffle moves
   16-byte digests + doc ids, never document bodies.
 - **MinHash+LSH**: per-doc signatures are computed WITHOUT exploding
-  shingles — shingle hashes stay an array column (JVM xxhash64 inside
-  ``transform``), and one Arrow-batched pandas UDF turns each hash
-  array into a 128-slot signature (numpy broadcast over all perms at
-  once). Banding then explodes only B=32 short band rows per doc; the
-  self-join on (band, band_hash) is the classic LSH candidate join and
-  the only O(candidates) stage. Exact-jaccard verification runs only
-  on candidate pairs.
-- **SimHash**: 64-bit signature per doc from word hashes (same
-  no-explode trick), Hamming-≤k candidate generation by pigeonhole
+  shingles — one Arrow-batched pandas UDF does shingle→blake2b-hash→
+  128-perm row-min per document (per-doc text work belongs in a batch
+  UDF: Spark's nested higher-order array lambdas are CodegenFallback,
+  measured ~2ms/doc interpreted vs ~20µs/doc here). Banding then
+  explodes only B=32 short band rows per doc; the self-join on
+  (band, band_hash) is the classic LSH candidate join and the only
+  O(candidates) stage. Exact-jaccard verification runs only on
+  candidate pairs.
+- **SimHash**: 64-bit signature per doc from shingle hashes (same
+  batch-UDF path), Hamming-≤k candidate generation by pigeonhole
   banding into 4×16-bit keys, verification with JVM ``bit_count``.
 
 MinHash perm parameters derive from a fixed seed — signatures are
@@ -30,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from cuckoofilter_spark.operators.text import fingerprint_md5, shingles_col
+from cuckoofilter_spark.operators.text import fingerprint_md5
 
 _MERSENNE = (1 << 61) - 1
 

@@ -20,10 +20,7 @@ sized hotspot. The tree bounds every task to ``fanout`` blobs.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
-import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
