@@ -156,19 +156,30 @@ class CuckooFilter:
         return i1, tag
 
     # -------------------------------------------------------------- insert
+    _ADD_CHUNK = 1 << 18  # keys per internal insert round
+
     def add_many(self, keys: np.ndarray) -> np.ndarray:
-        """Insert a batch; returns a Status int array aligned with keys."""
+        """Insert a batch; returns a Status int array aligned with keys.
+
+        Internally chunked: one giant batch driven to ~95% load would
+        hand the placement machinery an eviction queue larger than the
+        remaining free space (the vectorized multi-chain kicker then
+        refuses and every chain degrades to the sequential per-item
+        path — measured 25x slower). Fixed-size chunks keep each
+        round's spill small enough to stay on the vectorized path."""
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         n = len(keys)
         statuses = np.full(n, int(Status.Ok), dtype=np.int8)
         if n == 0:
             return statuses
-        if self.victim.used:
-            statuses[:] = int(Status.NotEnoughSpace)
-            return statuses
-        i1, tag = self._index_tag(keys)
-        st = self._insert_tags(i1, tag)
-        statuses[:] = st
+        step = self._ADD_CHUNK
+        for s in range(0, n, step):
+            if self.victim.used:
+                statuses[s:] = int(Status.NotEnoughSpace)
+                break
+            e = min(n, s + step)
+            i1, tag = self._index_tag(keys[s:e])
+            statuses[s:e] = self._insert_tags(i1, tag)
         return statuses
 
     def _insert_tags(
@@ -191,18 +202,16 @@ class CuckooFilter:
         """
         n = len(idx)
         out = np.full(n, int(Status.Ok), dtype=np.int8)
-        table = self.table
         inserted = 0
-        evict_q: list[tuple[int, int, int]] = []  # (bucket, tag, owner)
 
         cur_idx = idx.astype(np.uint64, copy=True)
         cur_tag = tags.astype(np.uint32, copy=True)
         owner = np.arange(n)
-        # Two bulk phases (i1 then i2), ONE sort each: group items by
-        # bucket, rank them within the group, and scatter the r-th
-        # arrival of a bucket into that bucket's r-th empty slot. This
-        # replaces the old one-placement-per-bucket-per-round loop
-        # (O(rounds · n log n)) with O(n log n) total per phase.
+        # Two bulk phases (i1 then i2): per round, one item per
+        # distinct bucket claims a free slot (claim-stamp scatter, O(q)
+        # per round, no sort); batch-internal duplicates retry next
+        # round. Expected rounds ≈ small constant (duplicate-bucket
+        # rate within a chunk), so the phase is ~O(n).
         for phase in (0, 1):
             if not len(cur_idx):
                 break
@@ -213,14 +222,11 @@ class CuckooFilter:
             )
             if phase == 0 and len(cur_idx):
                 cur_idx = alt_index(cur_idx, cur_tag, self.num_buckets)
-        for j in range(len(cur_idx)):
-            # both buckets full → eviction chain
-            evict_q.append((int(cur_idx[j]), int(cur_tag[j]), int(owner[j])))
 
-        if evict_q:
+        if len(cur_idx):
+            # both buckets full → eviction chains
             free_slots = self.size_in_tags - (self.num_items + inserted)
-            safe = (not self.victim.used) and free_slots >= 2 * len(evict_q) + 64
-            forced: list[tuple[int, int]] = []
+            safe = (not self.victim.used) and free_slots >= 2 * len(cur_idx) + 64
             if safe:
                 # vectorized multi-chain kicking: all chains advance one
                 # kick per round (unique buckets per round → no write
@@ -228,124 +234,179 @@ class CuckooFilter:
                 # in an empty-slot placement. In this headroom regime a
                 # 500-kick exhaustion is ~impossible; any stragglers fall
                 # back to the exact sequential path below. After this
-                # call every original queue tag is table-resident.
-                leftovers = self._batched_kick(evict_q)
-                inserted += len(evict_q) - len(leftovers)
-                evict_q = []
-                # leftovers carry displaced *resident* tags: they can be
-                # parked (victim) but NEVER refused/dropped.
-                forced = leftovers
-            # sequential kick chains — reference-faithful single-Add
-            # eviction with exact single-slot victim semantics
-            for bucket, tag in forced:
-                if self.victim.used:
-                    raise RuntimeError(
-                        "cuckoo filter overflow: victim occupied while a "
-                        "displaced resident tag is in flight — refusing to "
-                        "drop it (grow capacity or lower the load factor)"
-                    )
-                if self._kick_chain(bucket, tag) == "placed":
-                    inserted += 1
-            for bucket, tag, own in evict_q:
-                if self.victim.used:
-                    if must_place:
+                # call every original queue tag is table-resident except
+                # the returned leftovers, which carry displaced *resident*
+                # tags: they can be parked (victim) but NEVER dropped.
+                leftovers = self._batched_kick(cur_idx, cur_tag)
+                inserted += len(cur_idx) - len(leftovers)
+                for bucket, tag in leftovers:
+                    if self.victim.used:
                         raise RuntimeError(
-                            "cuckoo merge overflow: victim occupied — refusing "
-                            "to silently drop a resident tag"
+                            "cuckoo filter overflow: victim occupied while a "
+                            "displaced resident tag is in flight — refusing to "
+                            "drop it (grow capacity or lower the load factor)"
                         )
-                    out[own] = int(Status.NotEnoughSpace)
-                    continue
-                result = self._kick_chain(bucket, tag)
-                if result == "placed":
-                    inserted += 1
-                # "victim": occupancy-neutral (new tag in, displaced tag
-                # parked); owner still gets Ok (src/cuckoofilter.h:158-161)
+                    if self._kick_chain(bucket, tag) == "placed":
+                        inserted += 1
+            else:
+                # low-headroom regime: reference-faithful single-Add
+                # eviction with exact single-slot victim semantics
+                for j in range(len(cur_idx)):
+                    if self.victim.used:
+                        if must_place:
+                            raise RuntimeError(
+                                "cuckoo merge overflow: victim occupied — "
+                                "refusing to silently drop a resident tag"
+                            )
+                        out[owner[j]] = int(Status.NotEnoughSpace)
+                        continue
+                    result = self._kick_chain(int(cur_idx[j]), int(cur_tag[j]))
+                    if result == "placed":
+                        inserted += 1
+                    # "victim": occupancy-neutral (new tag in, displaced
+                    # tag parked); owner still gets Ok
+                    # (src/cuckoofilter.h:158-161)
 
         self.num_items += inserted
         return out
 
-    # empty-slot dispatch LUTs indexed by the 4-bit empty mask:
-    # _SLOT_LUT[m, r] = slot index of the r-th empty slot, _NEMPTY[m] =
-    # number of empty slots. Replaces a per-bucket argsort.
-    _SLOT_LUT = np.array(
-        [[j for j in range(ASSOC) if m & (1 << j)]
-         + [0] * (ASSOC - bin(m).count("1")) for m in range(16)],
-        dtype=np.int8,
-    )
-    _NEMPTY = np.array([bin(m).count("1") for m in range(16)], dtype=np.int8)
+    def _claim_buf(self) -> np.ndarray:
+        """Reusable bucket-claim scratch (int32 per bucket), allocated
+        lazily on the ADD path only — probe-only filters never pay for
+        it. Entries are always written before being read within a
+        round, so no clearing between rounds/calls is needed."""
+        buf = getattr(self, "_claim", None)
+        if buf is None or len(buf) != self.num_buckets:
+            buf = np.full(self.num_buckets, -1, dtype=np.int32)
+            self._claim = buf
+        return buf
+
+    @staticmethod
+    def _swar_first_empty(w: np.ndarray):
+        """(has_empty_mask, lane_shift) for a batch of uint64 bucket
+        words — the reference ``haszero16`` trick (src/bitsutil.h:8-19).
+        Flag bits above the LOWEST zero lane can be spurious (borrow
+        propagation), so only the lowest set flag is used — which is
+        exactly the first-empty-slot semantic we need."""
+        m = (w - CuckooFilter._SWAR_LOW) & ~w & CuckooFilter._SWAR_HIGH
+        has = m != 0
+        lb = m & (np.uint64(0) - m)             # lowest empty-lane flag
+        shift = (
+            (lb >= np.uint64(1 << 16)).astype(np.uint64)
+            + (lb >= np.uint64(1 << 32))
+            + (lb >= np.uint64(1 << 48))
+        ) << np.uint64(4)                        # slot * 16
+        return has, shift
 
     def _bulk_place(self, idx: np.ndarray, tags: np.ndarray):
-        """Grouped empty-slot fill: each item lands in its bucket's
-        next free slot, honoring arrival order within the batch.
+        """Claim-round empty-slot fill: per round, one item per distinct
+        bucket wins (claim-stamp scatter, O(q)); losers retry next round.
+        The expected round count is the max batch-internal bucket
+        multiplicity — a small constant for chunked random keys — so
+        this replaces the old O(n log n) stable argsort with ~O(n).
+
+        uint16 tables take the SWAR word path: one uint64 gather + ~6
+        word ops per bucket instead of a (q,4) row gather + 3 lane
+        reductions.
 
         Returns (n_placed, spill_mask) where ``spill_mask`` marks items
         whose bucket ran out of free slots."""
         table = self.table
         n = len(idx)
-        order = np.argsort(idx, kind="stable")
-        sidx = idx[order].astype(np.int64)
-        # run boundaries on the sorted buckets (cheaper than np.unique,
-        # which would sort a second time)
-        flag = np.empty(n, dtype=bool)
-        flag[0] = True
-        np.not_equal(sidx[1:], sidx[:-1], out=flag[1:])
-        g_start = np.flatnonzero(flag)
-        uniq = sidx[g_start]
-        gid = np.cumsum(flag) - 1               # group id per sorted item
-        rank = np.arange(n) - g_start[gid]
-        rows = table[uniq]                      # (G, 4) gather
-        empty = rows == 0
-        emask = (
-            empty[:, 0].astype(np.int8)
-            | (empty[:, 1] << 1) | (empty[:, 2] << 2) | (empty[:, 3] << 3)
-        ).astype(np.int64)
-        n_empty = self._NEMPTY[emask]
-        can = rank < n_empty[gid]
-        if can.any():
-            g = gid[can]
-            slots = self._SLOT_LUT[emask[g], rank[can]]
-            table[uniq[g], slots] = tags[order[can]].astype(table.dtype)
+        claim = self._claim_buf()
+        remaining = np.arange(n, dtype=np.int32)
         spill = np.zeros(n, dtype=bool)
-        spill[order[~can]] = True
-        return int(can.sum()), spill
+        placed = 0
+        words = table.dtype == np.uint16
+        t64 = table.reshape(-1).view(np.uint64) if words else None
+        while len(remaining):
+            b = idx[remaining].astype(np.int64)
+            claim[b] = remaining                # last writer wins
+            win = claim[b] == remaining
+            wsel = remaining[win]
+            wb = b[win]
+            if words:
+                w = t64[wb]
+                has, shift = self._swar_first_empty(w)
+                ok = wsel[has]
+                if len(ok):
+                    # the target lane is zero → OR suffices, no mask
+                    t64[wb[has]] = w[has] | (
+                        tags[ok].astype(np.uint64) << shift[has]
+                    )
+                    placed += len(ok)
+            else:
+                rows = table[wb]
+                empty = rows == 0
+                has = empty.any(axis=1)
+                slot = empty.argmax(axis=1)
+                ok = wsel[has]
+                if len(ok):
+                    table[wb[has], slot[has]] = tags[ok].astype(table.dtype)
+                    placed += len(ok)
+            spill[wsel[~has]] = True
+            remaining = remaining[~win]
+        return placed, spill
 
-    def _batched_kick(self, evict_q: list) -> list:
+    _KICK_TAIL = 48  # below this queue length, scalar chains win
+
+    def _batched_kick(self, cur_idx: np.ndarray, cur_tag: np.ndarray) -> list:
         """Advance all eviction chains concurrently, one random kick per
-        round per distinct bucket. Returns chains still unplaced after
-        MAX_CUCKOO_KICKS as (bucket, tag) tuples; the returned tags are
-        *in-flight displaced resident* tags (never droppable)."""
+        round per distinct bucket (claim-stamp uniqueness — two chains
+        never write the same bucket in a round). Returns chains still
+        unplaced after MAX_CUCKOO_KICKS as (bucket, tag) tuples; the
+        returned tags are *in-flight displaced resident* tags (never
+        droppable). Queues shorter than ``_KICK_TAIL`` finish on scalar
+        chains — vector-round overhead dominates tiny queues."""
         table = self.table
-        cur_idx = np.array([e[0] for e in evict_q], dtype=np.uint64)
-        cur_tag = np.array([e[1] for e in evict_q], dtype=np.uint32)
-        owners = np.array([e[2] for e in evict_q], dtype=np.int64)
-        counts = np.zeros(len(evict_q), dtype=np.int32)
+        cur_idx = cur_idx.astype(np.uint64, copy=True)
+        cur_tag = cur_tag.astype(np.uint32, copy=True)
+        counts = np.zeros(len(cur_idx), dtype=np.int32)
         leftovers: list[tuple[int, int]] = []
+        claim = self._claim_buf()
 
-        while len(cur_idx):
-            order = np.argsort(cur_idx, kind="stable")
-            sidx = cur_idx[order]
-            first = np.ones(len(sidx), dtype=bool)
-            first[1:] = sidx[1:] != sidx[:-1]
-            sel = order[first]
-            defer = order[~first]
-
-            b = cur_idx[sel].astype(np.int64)
-            rows = table[b]
-            empty = rows == 0
-            has_empty = empty.any(axis=1)
-            slot = empty.argmax(axis=1)
-            if has_empty.any():
-                p = has_empty
-                table[b[p], slot[p]] = cur_tag[sel[p]].astype(table.dtype)
-
-            kick = sel[~has_empty]
-            new_idx, new_tag, new_cnt, new_own = [], [], [], []
+        words = table.dtype == np.uint16
+        t64 = table.reshape(-1).view(np.uint64) if words else None
+        while len(cur_idx) > self._KICK_TAIL:
+            q = len(cur_idx)
+            ar = np.arange(q, dtype=np.int32)
+            b = cur_idx.astype(np.int64)
+            claim[b] = ar
+            winm = claim[b] == ar
+            sel = np.flatnonzero(winm)
+            bw = b[sel]
+            if words:
+                w = t64[bw]
+                has, shift = self._swar_first_empty(w)
+                if has.any():
+                    t64[bw[has]] = w[has] | (
+                        cur_tag[sel[has]].astype(np.uint64) << shift[has]
+                    )
+            else:
+                rows = table[bw]
+                empty = rows == 0
+                has = empty.any(axis=1)
+                slot = empty.argmax(axis=1)
+                if has.any():
+                    table[bw[has], slot[has]] = (
+                        cur_tag[sel[has]].astype(table.dtype)
+                    )
+            kick = sel[~has]
+            defer = np.flatnonzero(~winm)
             if len(kick):
-                kb = cur_idx[kick].astype(np.int64)
+                kb = b[kick]
                 kslot = self._rng.integers(0, ASSOC, size=len(kick))
                 self.kicks += len(kick)
-                old = table[kb, kslot].astype(np.uint32)
-                table[kb, kslot] = cur_tag[kick].astype(table.dtype)
+                if words:
+                    s16 = kslot.astype(np.uint64) << np.uint64(4)
+                    wk = t64[kb]
+                    old = ((wk >> s16) & np.uint64(0xFFFF)).astype(np.uint32)
+                    t64[kb] = (wk & ~(np.uint64(0xFFFF) << s16)) | (
+                        cur_tag[kick].astype(np.uint64) << s16
+                    )
+                else:
+                    old = table[kb, kslot].astype(np.uint32)
+                    table[kb, kslot] = cur_tag[kick].astype(table.dtype)
                 ni = alt_index(cur_idx[kick], old, self.num_buckets)
                 kc = counts[kick] + 1
                 over = kc > MAX_CUCKOO_KICKS
@@ -353,19 +414,43 @@ class CuckooFilter:
                     for j in np.flatnonzero(over):
                         leftovers.append((int(ni[j]), int(old[j])))
                     keep = ~over
-                    kick, old, ni, kc = kick[keep], old[keep], ni[keep], kc[keep]
-                if len(kick):
-                    new_idx.append(ni)
-                    new_tag.append(old)
-                    new_cnt.append(kc)
-                    new_own.append(owners[kick])
+                    old, ni, kc = old[keep], ni[keep], kc[keep]
+                cur_idx = np.concatenate([cur_idx[defer], ni])
+                cur_tag = np.concatenate([cur_tag[defer], old])
+                counts = np.concatenate([counts[defer], kc])
+            else:
+                cur_idx = cur_idx[defer]
+                cur_tag = cur_tag[defer]
+                counts = counts[defer]
 
-            cur_idx = np.concatenate([cur_idx[defer]] + new_idx).astype(np.uint64)
-            cur_tag = np.concatenate([cur_tag[defer]] + new_tag).astype(np.uint32)
-            counts = np.concatenate([counts[defer]] + new_cnt).astype(np.int32)
-            owners = np.concatenate([owners[defer]] + new_own)
-
+        for j in range(len(cur_idx)):
+            left = self._kick_chain_int(
+                int(cur_idx[j]), int(cur_tag[j]), int(counts[j])
+            )
+            if left is not None:
+                leftovers.append(left)
         return leftovers
+
+    def _kick_chain_int(self, bucket: int, tag: int, count0: int = 0):
+        """Scalar kick chain on plain python ints (no per-step numpy
+        temporaries). Returns None when placed, else the in-flight
+        (bucket, tag) after MAX_CUCKOO_KICKS."""
+        table = self.table
+        mask = self.num_buckets - 1
+        dt = table.dtype.type
+        for _ in range(count0, MAX_CUCKOO_KICKS):
+            row = table[bucket]
+            for s in range(ASSOC):
+                if not row[s]:
+                    row[s] = dt(tag)
+                    return None
+            slot = int(self._rng.integers(0, ASSOC))
+            self.kicks += 1
+            old = int(row[slot])
+            row[slot] = dt(tag)
+            tag = old
+            bucket = (bucket ^ ((tag * 0x5BD1E995) & 0xFFFFFFFF)) & mask
+        return (bucket, tag)
 
     def _kick_chain(self, bucket: int, tag: int) -> str:
         """One sequential eviction chain, ≤ MAX_CUCKOO_KICKS random

@@ -43,6 +43,20 @@ def sketch_from_bytes(blob: bytes):
     return cls.from_bytes(blob)
 
 
+def wire_bytes(sk) -> bytes:
+    """Serialize a sketch for TRANSPORT (shard rows, intermediate merge
+    rounds): the fastest self-describing format.
+
+    Semi-sorted filters skip the permutation codec here — the 1
+    bit/tag saving (reference src/packedtable.h:13) belongs on the
+    final stored/broadcast blob only; paying pack+unpack on every
+    shuffle boundary dominated the build (BENCH_r01). ``to_bytes()``
+    without arguments remains the space-optimal final format."""
+    if getattr(sk, "KIND", None) == "semisort":
+        return sk.to_bytes(packed=False)
+    return sk.to_bytes()
+
+
 def make_sketch(kind: str, **params):
     """Construct a fresh sketch of ``kind`` with constructor params."""
     cls = SKETCH_KINDS[kind]

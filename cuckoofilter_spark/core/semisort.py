@@ -184,13 +184,27 @@ class SemiSortCuckooFilter(CuckooFilter):
         dtype = np.uint32 if self.f > 16 else np.uint16
         return tags.astype(dtype)
 
-    def to_bytes(self) -> bytes:
-        """kind byte: 1 = perm-packed, 3 = perm-packed + zlib(level=1)."""
+    def to_bytes(self, packed: bool = True) -> bytes:
+        """kind byte: 1 = perm-packed, 3 = perm-packed + zlib(level=1);
+        0 = raw uint16 table, 2 = raw + zlib — the *wire* format.
+
+        ``packed=False`` skips the permutation codec entirely. Shard
+        blobs and intermediate merge rounds use it (via
+        ``registry.wire_bytes``): the 1 bit/tag the reference's
+        PackedTable saves (src/packedtable.h:13) only matters on the
+        blob that is STORED or BROADCAST — the final one — while the
+        codec cost would otherwise be paid on every shuffle boundary
+        (measured 3.5x of the whole build at sf0.1, BENCH_r01)."""
         import zlib
 
-        raw = self._packed_buckets()
-        packed = zlib.compress(raw, 1)
-        kind, body = (3, packed) if len(packed) < len(raw) else (1, raw)
+        if packed:
+            raw = self._packed_buckets()
+            body = zlib.compress(raw, 1)
+            kind, body = (3, body) if len(body) < len(raw) else (1, raw)
+        else:
+            raw = self.table.tobytes()
+            body = zlib.compress(raw, 1)
+            kind, body = (2, body) if len(body) < len(raw) else (0, raw)
         header = struct.pack(
             "<4sBBBxQQQQIB3x",
             _MAGIC, 1, self.f, 1 if self.victim.used else 0,
@@ -211,12 +225,23 @@ class SemiSortCuckooFilter(CuckooFilter):
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad semisort blob")
         obj = cls.__new__(cls)
-        obj._init_geometry(nb * ASSOC, f, seed)
-        obj.num_buckets = nb
+        # direct geometry — do NOT run the sizing heuristic against
+        # nb*ASSOC (its 0.96 guard would double num_buckets and
+        # allocate a transient 2x table that is immediately replaced)
+        obj.f = int(f)
+        obj.seed = int(seed)
+        obj.num_buckets = int(nb)
+        obj.hasher = MultiplyShift(seed)
         body = blob[hdr:]
-        if kind == 3:
+        if kind in (2, 3):
             body = zlib.decompress(body)
-        obj.table = obj._unpack_buckets(body)
+        if kind in (1, 3):
+            obj.table = obj._unpack_buckets(body)
+        else:
+            dtype = np.uint32 if f > 16 else np.uint16
+            obj.table = (
+                np.frombuffer(body, dtype=dtype).reshape(nb, ASSOC).copy()
+            )
         obj.num_items = items
         obj.victim = Victim(index=v_idx, tag=v_tag, used=bool(v_used))
         obj._rng = np.random.Generator(

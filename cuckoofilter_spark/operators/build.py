@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.types import ArrayType
 
-from cuckoofilter_spark.core.registry import SKETCH_KINDS
+from cuckoofilter_spark.core.registry import SKETCH_KINDS, wire_bytes
 
 _ARRAY_TYPES = ArrayType
 
@@ -231,7 +231,7 @@ def build_sketch_shards(
                 sk.add_many(keys)
         tc = TaskContext.get()
         shard_id = tc.partitionId() if tc is not None else 0
-        blob = sk.to_bytes()
+        blob = wire_bytes(sk)  # transport format; final blob packs
         n_keys = getattr(sk, "num_items", None)
         if n_keys is None:
             n_keys = getattr(sk, "n", n_in)

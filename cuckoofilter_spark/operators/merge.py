@@ -20,11 +20,13 @@ sized hotspot. The tree bounds every task to ``fanout`` blobs.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cuckoofilter_spark.core.registry import sketch_from_bytes
+from cuckoofilter_spark.core.registry import sketch_from_bytes, wire_bytes
 from cuckoofilter_spark.operators.build import SHARD_SCHEMA
 
 
@@ -35,7 +37,8 @@ def _lineage_list(v) -> list:
     return list(v)
 
 
-def _merge_group(pdf: pd.DataFrame, dedup: bool) -> pd.DataFrame:
+def _merge_group(pdf: pd.DataFrame, dedup: bool,
+                 final: bool = False) -> pd.DataFrame:
     pdf = pdf.sort_values("shard_id").reset_index(drop=True)
     sketches = [sketch_from_bytes(bytes(b)) for b in pdf["sketch"]]
     files: list = []
@@ -48,7 +51,9 @@ def _merge_group(pdf: pd.DataFrame, dedup: bool) -> pd.DataFrame:
         acc = sketches[0]
         for nxt in sketches[1:]:
             acc.merge(nxt)
-    blob = acc.to_bytes()
+    # intermediate rounds stay in the fast wire format; only the FINAL
+    # blob pays the semisort perm codec (1 bit/tag space parity)
+    blob = acc.to_bytes() if final else wire_bytes(acc)
     n_keys = getattr(acc, "num_items", getattr(acc, "n", 0))
     return pd.DataFrame(
         {
@@ -90,9 +95,10 @@ def tree_merge(
     rounds = 0
     while n > 1:
         rounds += 1
-
-        def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _merge_group(pdf, dedup)
+        is_final = (n + fanout - 1) // fanout == 1
+        # exactly ONE positional arg — applyInPandas switches to
+        # (key, pdf) calling convention for 2-arg callables
+        merge_fn = functools.partial(_merge_group, dedup=dedup, final=is_final)
 
         nxt = (
             df.withColumn("shard_id", (F.col("shard_id") / fanout).cast("int"))

@@ -20,6 +20,7 @@ coverage: union(lineage) == manifest inputs.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -120,8 +121,12 @@ def checkpointed_tree_merge(
     n = df.count()
     rnd = start
     while n > 1:
-        def merge_single(pdf):
-            return _merge_group(pdf, dedup)
+        is_final = (n + fanout - 1) // fanout == 1
+        # exactly ONE positional arg — applyInPandas switches to
+        # (key, pdf) calling convention for 2-arg callables
+        merge_single = functools.partial(
+            _merge_group, dedup=dedup, final=is_final
+        )
 
         df = (
             df.withColumn("shard_id", (F.col("shard_id") / fanout).cast("int"))

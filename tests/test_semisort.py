@@ -102,3 +102,38 @@ def test_distributed_semisort_build(spark):
         .filter(~probe("o_orderkey")).count()
     )
     assert misses == 0
+
+
+def test_wire_format_roundtrip_and_final_blob_packed():
+    """Shards/merge rounds travel in the raw wire format (kind 0/2);
+    only the final blob pays the perm codec (kind 1/3) — and both
+    deserialize to identical tables."""
+    import struct
+
+    from cuckoofilter_spark.core.registry import sketch_from_bytes, wire_bytes
+
+    sk = SemiSortCuckooFilter(20_000, 13, seed=11)
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(0, 2**63, 15_000, dtype=np.int64)).view(
+        np.uint64
+    )
+    sk.add_many(keys)
+    hdr = struct.calcsize("<4sBBBxQQQQIB3x")
+
+    wire = wire_bytes(sk)
+    kind_wire = struct.unpack("<4sBBBxQQQQIB3x", wire[:hdr])[-1]
+    assert kind_wire in (0, 2), "wire blob must skip the perm codec"
+    packed = sk.to_bytes()
+    kind_packed = struct.unpack("<4sBBBxQQQQIB3x", packed[:hdr])[-1]
+    assert kind_packed in (1, 3), "final blob must be perm-packed"
+
+    a = sketch_from_bytes(wire)
+    b = sketch_from_bytes(packed)
+    assert isinstance(a, SemiSortCuckooFilter)
+    assert a.num_buckets == b.num_buckets == sk.num_buckets
+    # wire format preserves exact slot order; packed normalizes per
+    # bucket — multisets must agree, membership must be identical
+    assert (a.table == sk.table).all()
+    for ra, rb in zip(a.table.tolist(), b.table.tolist()):
+        assert sorted(ra) == sorted(rb)
+    assert a.contains_many(keys).all() and b.contains_many(keys).all()
