@@ -44,9 +44,37 @@ _ARRAY_TYPES = ArrayType
 
 SHARD_SCHEMA = (
     "shard_id int, kind string, sketch binary, "
-    "metrics struct<keys:long, load:double, bytes:long, kicks:long>, "
-    "lineage array<string>"
+    "metrics struct<keys:long, load:double, bytes:long, kicks:long, "
+    "n_deleted:long, n_not_found:long>, "
+    "strategy string, num_shards int, lineage array<string>"
 )
+
+METRICS_FIELDS = pa.struct(
+    [
+        ("keys", pa.int64()),
+        ("load", pa.float64()),
+        ("bytes", pa.int64()),
+        ("kicks", pa.int64()),
+        ("n_deleted", pa.int64()),
+        ("n_not_found", pa.int64()),
+    ]
+)
+
+
+def metrics_dict(sk, blob: bytes, *, n_deleted: int = 0,
+                 n_not_found: int = 0) -> dict:
+    """Uniform metrics struct for a shard row (build/merge/delete)."""
+    n_keys = getattr(sk, "num_items", None)
+    if n_keys is None:
+        n_keys = getattr(sk, "n", 0)
+    return {
+        "keys": int(n_keys),
+        "load": float(getattr(sk, "load_factor", 0.0)),
+        "bytes": len(blob),
+        "kicks": int(getattr(sk, "kicks", 0)),
+        "n_deleted": int(n_deleted),
+        "n_not_found": int(n_not_found),
+    }
 
 
 def _to_uint64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -202,6 +230,16 @@ def build_sketch_shards(
             sel.append(F.col("_metadata.file_path").alias("__file"))
         projected = df.select(*sel)
 
+    # shard rows record their build strategy so downstream operators
+    # (delete_from_shards) can validate routing assumptions; num_shards
+    # is the shuffle partition count for shuffle_distinct (-1 = n/a)
+    n_shards_meta = -1
+    if strategy == "shuffle_distinct":
+        n_shards_meta = int(
+            shuffle_partitions
+            or df.sparkSession.sparkContext.defaultParallelism
+        )
+
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sk = cls(**params)
         files: set = set()
@@ -232,34 +270,14 @@ def build_sketch_shards(
         tc = TaskContext.get()
         shard_id = tc.partitionId() if tc is not None else 0
         blob = wire_bytes(sk)  # transport format; final blob packs
-        n_keys = getattr(sk, "num_items", None)
-        if n_keys is None:
-            n_keys = getattr(sk, "n", n_in)
-        load = getattr(sk, "load_factor", 0.0)
-        kicks = getattr(sk, "kicks", 0)
         yield pa.RecordBatch.from_pydict(
             {
                 "shard_id": pa.array([shard_id], pa.int32()),
                 "kind": pa.array([kind]),
                 "sketch": pa.array([blob], pa.binary()),
-                "metrics": pa.array(
-                    [
-                        {
-                            "keys": int(n_keys),
-                            "load": float(load),
-                            "bytes": len(blob),
-                            "kicks": int(kicks),
-                        }
-                    ],
-                    pa.struct(
-                        [
-                            ("keys", pa.int64()),
-                            ("load", pa.float64()),
-                            ("bytes", pa.int64()),
-                            ("kicks", pa.int64()),
-                        ]
-                    ),
-                ),
+                "metrics": pa.array([metrics_dict(sk, blob)], METRICS_FIELDS),
+                "strategy": pa.array([strategy]),
+                "num_shards": pa.array([n_shards_meta], pa.int32()),
                 "lineage": pa.array([sorted(files)], pa.list_(pa.string())),
             }
         )

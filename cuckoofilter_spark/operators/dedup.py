@@ -34,6 +34,34 @@ from pyspark.sql.types import ArrayType, LongType
 from cuckoofilter_spark.operators.text import fingerprint_md5
 
 _MERSENNE = (1 << 61) - 1
+_P = np.uint64(_MERSENNE)
+_61 = np.uint64(61)
+
+
+def _mod_p61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61-1) for any uint64 x, exact (2^61 ≡ 1 mod p)."""
+    x = (x >> _61) + (x & _P)
+    return np.where(x >= _P, x - _P, x)
+
+
+def _mulmod_p61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(x*y) mod (2^61-1) exactly for x, y < 2^61 (uint64, broadcasts).
+
+    32-bit limb decomposition; every partial product stays < 2^64 and
+    reduces via 2^64 ≡ 8, 2^61 ≡ 1 (mod p). A plain int64 multiply
+    would wrap mod 2^64 BEFORE the mod-p reduction and silently leave
+    the advertised universal family (a·h+b) mod p."""
+    m32 = np.uint64(0xFFFFFFFF)
+    x_lo, x_hi = x & m32, x >> np.uint64(32)
+    y_lo, y_hi = y & m32, y >> np.uint64(32)
+    ll = x_lo * y_lo                      # < 2^64
+    mid = x_lo * y_hi + x_hi * y_lo       # < 2^62 (x_hi,y_hi < 2^29)
+    hh = x_hi * y_hi                      # < 2^58
+    # mid·2^32 = (mid >> 29)·2^61 + (mid & (2^29-1))·2^32 ≡ …
+    m29 = np.uint64((1 << 29) - 1)
+    r_mid = (mid >> np.uint64(29)) + ((mid & m29) << np.uint64(32))
+    total = _mod_p61(ll) + _mod_p61(r_mid) + _mod_p61(hh << np.uint64(3))
+    return _mod_p61(total)
 
 
 def exact_duplicate_groups(df: DataFrame, id_col: str, text: str) -> DataFrame:
@@ -100,6 +128,8 @@ def minhash_signatures(
     Docs with < shingle_k words get an all-sentinel signature (they
     can only pair with other empty docs)."""
     a, b = _perm_params(num_hashes, seed)
+    a_u = a.astype(np.uint64)
+    b_u = b.astype(np.uint64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
@@ -109,10 +139,12 @@ def minhash_signatures(
             if len(hs) == 0:
                 out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
                 continue
-            h = hs.astype(np.int64)[:, None] % _MERSENNE
-            # (n_shingles, num_hashes) — one broadcast multiply, min over rows
-            sig = ((h * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
-            out.append(sig)
+            h = _mod_p61(hs)[:, None]
+            # (n_shingles, num_hashes): exact (a·h+b) mod p per cell,
+            # min over shingles — the universal-family guarantee the
+            # LSH recall analysis (1-(1-j^r)^b) assumes
+            sig = _mod_p61(_mulmod_p61(h, a_u[None, :]) + b_u[None, :])
+            out.append(sig.min(axis=0).astype(np.int64))
         return pd.Series(out)
 
     return df.select(

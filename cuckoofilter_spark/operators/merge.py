@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cuckoofilter_spark.core.registry import sketch_from_bytes, wire_bytes
-from cuckoofilter_spark.operators.build import SHARD_SCHEMA
+from cuckoofilter_spark.operators.build import SHARD_SCHEMA, metrics_dict
 
 
 def _lineage_list(v) -> list:
@@ -54,20 +54,14 @@ def _merge_group(pdf: pd.DataFrame, dedup: bool,
     # intermediate rounds stay in the fast wire format; only the FINAL
     # blob pays the semisort perm codec (1 bit/tag space parity)
     blob = acc.to_bytes() if final else wire_bytes(acc)
-    n_keys = getattr(acc, "num_items", getattr(acc, "n", 0))
     return pd.DataFrame(
         {
             "shard_id": [int(pdf["shard_id"].iloc[0])],
             "kind": [pdf["kind"].iloc[0]],
             "sketch": [blob],
-            "metrics": [
-                {
-                    "keys": int(n_keys),
-                    "load": float(getattr(acc, "load_factor", 0.0)),
-                    "bytes": len(blob),
-                    "kicks": int(getattr(acc, "kicks", 0)),
-                }
-            ],
+            "metrics": [metrics_dict(acc, blob)],
+            "strategy": [pdf["strategy"].iloc[0]],
+            "num_shards": [int(pdf["num_shards"].iloc[0])],
             "lineage": [sorted(set(files))],
         }
     )

@@ -52,7 +52,15 @@ def might_contain_udf(spark: SparkSession, blob: bytes):
     def probe(s: pd.Series) -> pd.Series:
         sk = _get_filter(bc, cache_key)
         keys = s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-        return pd.Series(sk.contains_many(keys))
+        hits = sk.contains_many(keys)
+        na = s.isna().to_numpy()
+        if na.any():
+            # null key -> null result (never "probe key 0"), matching
+            # Spark's built-in might_contain null semantics
+            out = pd.array(hits, dtype="boolean")
+            out[na] = None
+            return pd.Series(out, dtype="boolean")
+        return pd.Series(hits)
 
     def apply(col: str | Column) -> Column:
         return probe(F.col(col) if isinstance(col, str) else col)

@@ -306,3 +306,100 @@ def test_distributed_delete_routing(spark):
     assert merged.contains_many(odd).all(), "delete broke survivors"
     # deleted keys may only hit at the residual FPR (f=16 -> ~0.02%)
     assert merged.contains_many(even).mean() < 0.01
+
+
+def test_delete_refuses_local_strategy_and_wrong_num_shards(spark):
+    """Shard rows carry build strategy + shard count; misrouted deletes
+    (local-strategy shards or a wrong num_shards) raise instead of
+    silently missing the owning shard."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.delete import delete_from_shards
+
+    supplier = spark.read.parquet(f"{SF_DIR}/supplier.parquet") \
+        .select("s_suppkey").distinct()
+    local_shards = build_sketch_shards(
+        supplier, "s_suppkey", kind="cuckoo", lineage=False,
+        max_num_keys=20_000, bits_per_item=16, seed=3,
+    )
+    keys = supplier.limit(10)
+    with pytest.raises(PythonException, match="shuffle_distinct"):
+        delete_from_shards(local_shards, keys, "s_suppkey", 8).collect()
+
+    sd_shards = build_sketch_shards(
+        supplier, "s_suppkey", kind="cuckoo", lineage=False,
+        max_num_keys=20_000, bits_per_item=16, seed=3,
+        strategy="shuffle_distinct", shuffle_partitions=8,
+    )
+    with pytest.raises(PythonException, match="num_shards"):
+        delete_from_shards(sd_shards, keys, "s_suppkey", 16).collect()
+
+
+def test_delete_surfaces_not_found_counts(spark):
+    """Deleting never-stored keys lands in metrics.n_not_found instead
+    of being silently swallowed."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.delete import delete_from_shards
+
+    supplier = spark.read.parquet(f"{SF_DIR}/supplier.parquet") \
+        .select("s_suppkey").distinct()
+    shards = build_sketch_shards(
+        supplier, "s_suppkey", kind="cuckoo", lineage=False,
+        max_num_keys=20_000, bits_per_item=16, seed=3,
+        strategy="shuffle_distinct", shuffle_partitions=8,
+    )
+    absent = spark.range(10**9, 10**9 + 100).select(
+        F.col("id").alias("s_suppkey")
+    )
+    after = delete_from_shards(shards, absent, "s_suppkey", 8)
+    rows = after.select("metrics.n_deleted", "metrics.n_not_found").collect()
+    assert sum(r["n_not_found"] for r in rows) == 100
+    assert sum(r["n_deleted"] for r in rows) == 0
+
+
+def test_probe_null_keys_return_null(spark):
+    """NULL keys must not be coerced to key 0 — the probe returns NULL
+    for them (Spark might_contain semantics)."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    base = spark.range(1, 1001).select(F.col("id").alias("k"))
+    shards = build_sketch_shards(
+        base, "k", kind="cuckoo", lineage=False,
+        max_num_keys=2000, bits_per_item=16, seed=1,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True)
+    probe = might_contain_udf(spark, blob)
+    df = spark.createDataFrame(
+        [(1,), (None,), (500,), (None,)], "k long"
+    ).select(F.col("k"), probe("k").alias("hit"))
+    rows = {r["k"]: r["hit"] for r in df.collect()}
+    assert rows[1] is True and rows[500] is True
+    assert df.filter(F.col("hit").isNull()).count() == 2
+
+
+def test_minhash_mulmod_is_exact_universal_family():
+    """The (a·h+b) mod p permutation must be computed in 128-bit — an
+    int64 wrap before the reduction leaves the universal family."""
+    from cuckoofilter_spark.operators.dedup import (
+        _MERSENNE, _mod_p61, _mulmod_p61,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    x = rng.integers(0, _MERSENNE, 5000, dtype=np.uint64)
+    y = rng.integers(0, _MERSENNE, 5000, dtype=np.uint64)
+    got = _mulmod_p61(x, y)
+    for i in range(0, 5000, 37):
+        assert int(got[i]) == (int(x[i]) * int(y[i])) % _MERSENNE
+    edge = np.array([0, 1, _MERSENNE - 1, 2**60], dtype=np.uint64)
+    for a in edge:
+        for b in edge:
+            g = _mulmod_p61(np.array([a]), np.array([b]))[0]
+            assert int(g) == (int(a) * int(b)) % _MERSENNE
+    z = rng.integers(0, 2**64, 5000, dtype=np.uint64)
+    red = _mod_p61(z)
+    for i in range(0, 5000, 37):
+        assert int(red[i]) == int(z[i]) % _MERSENNE
