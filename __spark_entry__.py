@@ -91,25 +91,28 @@ def q_cf_zero_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cf_delete_then_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delete parity (src/cuckoofilter.h:189-219): delete the even
-    suppkeys, every odd key must still hit (multiset build: colliding
-    fingerprints keep per-key copies, so deletes never create false
-    negatives for remaining keys)."""
+    """Delete parity (src/cuckoofilter.h:189-219), fully distributed:
+    shuffle_distinct build → hash-routed ``delete_from_shards`` of the
+    even suppkeys (no driver-side key collect) → merged filter must
+    still hit every odd key (disjoint shards hold each key exactly
+    once, so deletes never create false negatives for survivors)."""
     from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.delete import delete_from_shards
     from cuckoofilter_spark.operators.merge import collect_merged
     from cuckoofilter_spark.operators.probe import might_contain_udf
 
     supplier = _read(spark, sf_dir, "supplier").select("s_suppkey").distinct()
     n = supplier.count()
+    n_shards = 8
     shards = build_sketch_shards(
-        supplier, "s_suppkey", kind="cuckoo", distinct=False, lineage=False,
+        supplier, "s_suppkey", kind="cuckoo", lineage=False,
         max_num_keys=int(n * 1.5) + 64, bits_per_item=16, seed=2014,
+        strategy="shuffle_distinct", shuffle_partitions=n_shards,
     )
-    filt = collect_merged(shards, dedup=False)
-    keys = np.array([r[0] for r in supplier.collect()], dtype=np.int64)
-    even = keys[keys % 2 == 0].view(np.uint64)
-    filt.delete_many(even)
-    probe = might_contain_udf(spark, filt.to_bytes())
+    even = supplier.filter(F.col("s_suppkey") % 2 == 0)
+    after = delete_from_shards(shards, even, "s_suppkey", n_shards)
+    blob = collect_merged(after, dedup=False).to_bytes()
+    probe = might_contain_udf(spark, blob)
     odd = supplier.filter(F.col("s_suppkey") % 2 == 1)
     return odd.agg(
         F.count(F.lit(1)).alias("n_odd"),
@@ -146,6 +149,59 @@ def q_cf_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = bool((a == b).all() and a.all() and b.all())
     return spark.createDataFrame(
         [(int(len(keys)), agree)], "n_keys long, orders_agree boolean"
+    )
+
+
+def q_cf_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership filter over a STRING key column (documents.doc_id):
+    keys pre-hash JVM-side via xxhash64 (role of the reference's
+    string HashUtil, src/hashutil.h:19-41) on both the build and the
+    probe side — zero false negatives end to end."""
+    from cuckoofilter_spark.operators.build import (
+        build_sketch_shards, string_key_expr,
+    )
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_key")
+    )
+    n = docs.distinct().count()
+    shards = build_sketch_shards(
+        docs, "doc_key", kind="cuckoo", lineage=False,
+        max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True)
+    probe = might_contain_udf(spark, blob)
+    keys = docs.distinct()
+    return keys.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(probe(string_key_expr("doc_key")).cast("long")).alias("n_hits"),
+    )
+
+
+def q_cf_tabulation_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable hash family (reference template param HashFamily,
+    src/cuckoofilter.h:32-35): the same distributed build/merge/probe
+    pipeline under SimpleTabulation (src/hashutil.h:70-90) keeps zero
+    false negatives; merge refuses cross-family blobs."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    part = _read(spark, sf_dir, "part")
+    n = part.select("p_partkey").distinct().count()
+    shards = build_sketch_shards(
+        part, "p_partkey", kind="cuckoo", lineage=False,
+        max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+        hash_family="tabulation",
+    )
+    blob = merge_shards_to_blob(shards, dedup=True)
+    probe = might_contain_udf(spark, blob)
+    keys = part.select("p_partkey").distinct()
+    return keys.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(probe("p_partkey").cast("long")).alias("n_hits"),
     )
 
 
@@ -320,14 +376,36 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming ≤ 3 via 4×16-bit pigeonhole
-    banding (no SQL oracle — signature algebra is not expressible in
-    ANSI SQL; the pytest suite cross-checks against minhash pairs)."""
-    from cuckoofilter_spark.operators.dedup import near_dup_pairs_simhash
+    """SimHash-64 near-dup pairs at Hamming ≤ 3, checked two
+    independent ways inside Spark: (a) the production 4×16-bit
+    pigeonhole band join, (b) exact all-pairs ``bit_count(xor)`` on the
+    signature table. The pigeonhole bound guarantees set equality, so
+    the returned agreement boolean is deterministically true and the
+    DuckDB oracle can assert it (signature algebra itself — keyed
+    blake2b shingle hashes — is not SQL-expressible; pair-level detail
+    is covered by pytest against minhash)."""
+    from cuckoofilter_spark.operators.dedup import (
+        near_dup_pairs_simhash, simhash64,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    return near_dup_pairs_simhash(docs, "doc_id", "text").orderBy(
-        "doc_a", "doc_b"
+    banded = near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+    sims = simhash64(docs, "doc_id", "text")
+    a = sims.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"))
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .select("doc_a", "doc_b")
+    )
+    n_banded = banded.count()
+    n_exact = exact.count()
+    n_inter = (
+        banded.select("doc_a", "doc_b").join(exact, ["doc_a", "doc_b"]).count()
+    )
+    agree = n_banded == n_exact == n_inter
+    return spark.createDataFrame(
+        [(int(docs.count()), bool(agree))], "n_docs long, pairs_agree boolean"
     )
 
 
@@ -372,11 +450,21 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at threshold 0.44 — a cut
     sitting in a measured gap of the corpus similarity distribution
     (~2e-3 at sf0.01, ~1e-4 at sf0.1; either is ≥1700x DuckDB's fp32
-    accumulation noise of ~2e-7, so no boundary pair can flip)."""
-    from cuckoofilter_spark.operators.similarity import cosine_near_dup_pairs
+    accumulation noise of ~2e-7, so no boundary pair can flip).
+
+    Runs the block-tiled exact GEMM plan: equi-join shuffles only, no
+    CartesianProduct/BroadcastNestedLoopJoin (asserted in
+    tests/test_plans.py) — pairs exist AT the threshold here, so a
+    probabilistic bucketing cannot be both complete and subquadratic;
+    the quadratic work is shaped into bounded BLAS tiles instead."""
+    from cuckoofilter_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.44).orderBy("id_a", "id_b")
+    return cosine_near_dup_pairs_blocked(
+        emb, threshold=0.44, n_blocks=16
+    ).orderBy("id_a", "id_b")
 
 
 def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +588,27 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregation (SURVEY.md §2.9 distinct/grouping
+    row — the cube counterpart to rollup_lineitem); null group keys
+    coalesced for engine parity."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice") * 100).cast("long")
+            .alias("sum_price_c"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            "cnt", "sum_price_c",
+        )
+        .orderBy("st", "pri")
+    )
+
+
 def q_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function top-k: 3 highest-retail parts per brand
     (deterministic tie-break on p_partkey)."""
@@ -557,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_zero_false_negatives": q_cf_zero_false_negatives,
         "cf_delete_then_lookup": q_cf_delete_then_lookup,
         "cf_merge_associativity": q_cf_merge_associativity,
+        "cf_string_keys": q_cf_string_keys,
+        "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
         "hll_distinct_bound": q_hll_distinct_bound,
         "cms_frequency_bound": q_cms_frequency_bound,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
@@ -574,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": q_media_byte_stats,
         "events_hourly_window": q_events_hourly_window,
         "rollup_lineitem": q_rollup_lineitem,
+        "cube_orders": q_cube_orders,
         "top3_parts_per_brand": q_top3_parts_per_brand,
         "events_sessionization": q_events_sessionization,
         "streaming_filter_build": q_streaming_filter_build,
@@ -614,6 +726,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT o_orderkey) AS n_keys,
                    true AS orders_agree
             FROM orders
+        """,
+        "cf_string_keys": """
+            SELECT count(DISTINCT doc_id) AS n_probed,
+                   count(DISTINCT doc_id) AS n_hits
+            FROM documents
+        """,
+        "cf_tabulation_zero_fn": """
+            SELECT count(DISTINCT p_partkey) AS n_probed,
+                   count(DISTINCT p_partkey) AS n_hits
+            FROM part
         """,
         "hll_distinct_bound": """
             SELECT count(DISTINCT l_partkey) AS exact_distinct,
@@ -735,6 +857,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_int / greatest(n_union, 1) >= 0.8
             ORDER BY doc_a, doc_b
         """,
+        "simhash_near_dups": """
+            SELECT count(*) AS n_docs, true AS pairs_agree
+            FROM documents
+        """,
         "cosine_topk": """
             SELECT query_id, CAST(rank AS INTEGER) AS rank, nbr FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS nbr,
@@ -790,6 +916,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY rf, ls
+        """,
+        "cube_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS st,
+                   coalesce(o_orderpriority, 'ALL') AS pri,
+                   count(*) AS cnt,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT)
+                       AS sum_price_c
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY st, pri
         """,
         "top3_parts_per_brand": """
             SELECT p_brand, CAST(rk AS INTEGER) AS rk, p_partkey FROM (

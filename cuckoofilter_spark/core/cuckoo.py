@@ -55,7 +55,9 @@ from dataclasses import dataclass
 import numpy as np
 
 from cuckoofilter_spark.core.hashing import (
-    MultiplyShift,
+    FAMILY_IDS,
+    FAMILY_NAMES,
+    HASH_FAMILIES,
     alt_index,
     index_hash,
     tag_hash,
@@ -93,11 +95,18 @@ class CuckooFilter:
 
     KIND = "cuckoo"
 
-    def __init__(self, max_num_keys: int, bits_per_item: int = 12, seed: int = 2014):
+    def __init__(self, max_num_keys: int, bits_per_item: int = 12,
+                 seed: int = 2014, hash_family: str = "multiply_shift"):
         if bits_per_item not in (2, 4, 8, 12, 16, 32):
             raise ValueError(f"unsupported fingerprint width f={bits_per_item}")
+        if hash_family not in HASH_FAMILIES:
+            raise ValueError(
+                f"unknown hash_family {hash_family!r}; "
+                f"choose from {sorted(HASH_FAMILIES)}"
+            )
         self.f = int(bits_per_item)
         self.seed = int(seed)
+        self.hash_family = hash_family
         # sizing formula, src/cuckoofilter.h:89-98
         num_buckets = upperpower2(max(1, max_num_keys // ASSOC))
         frac = max_num_keys / (num_buckets * ASSOC)
@@ -108,7 +117,7 @@ class CuckooFilter:
         self.table = np.zeros((num_buckets, ASSOC), dtype=dtype)
         self.num_items = 0
         self.victim = Victim()
-        self.hasher = MultiplyShift(seed)
+        self.hasher = HASH_FAMILIES[hash_family](seed)
         self._rng = np.random.Generator(np.random.PCG64(seed ^ 0x9E3779B9))
         self.kicks = 0  # build-stat: total evictions performed (not serialized)
 
@@ -596,8 +605,11 @@ class CuckooFilter:
             other.f != self.f
             or other.num_buckets != self.num_buckets
             or other.seed != self.seed
+            or other.hash_family != self.hash_family
         ):
-            raise ValueError("merge requires identical geometry and seed")
+            raise ValueError(
+                "merge requires identical geometry, seed and hash family"
+            )
         if self.victim.used:
             raise RuntimeError("merge into a full filter (victim occupied)")
         b_idx, b_slot = np.nonzero(other.table)
@@ -645,8 +657,11 @@ class CuckooFilter:
         tag_parts: list[np.ndarray] = []
         for f in filters[1:]:
             if (f.f != base.f or f.num_buckets != base.num_buckets
-                    or f.seed != base.seed):
-                raise ValueError("merge requires identical geometry and seed")
+                    or f.seed != base.seed
+                    or f.hash_family != base.hash_family):
+                raise ValueError(
+                    "merge requires identical geometry, seed and hash family"
+                )
             b_idx, b_slot = np.nonzero(f.table)
             idx_parts.append(b_idx.astype(np.uint64))
             tag_parts.append(f.table[b_idx, b_slot].astype(np.uint32))
@@ -710,8 +725,10 @@ class CuckooFilter:
         raw = self.table.tobytes()
         packed = zlib.compress(raw, 1)
         kind, body = (2, packed) if len(packed) < len(raw) else (0, raw)
+        # family byte sits in a former pad position — older blobs read
+        # back as 0 = multiply_shift, the only family they could use
         header = struct.pack(
-            "<4sBBBxQQQQIB3x",
+            "<4sBBBxQQQQIBB2x",
             _MAGIC,
             1,                      # version
             self.f,
@@ -722,6 +739,7 @@ class CuckooFilter:
             self.victim.index,
             self.victim.tag,
             kind,
+            FAMILY_IDS[self.hash_family],
         )
         return header + body
 
@@ -729,16 +747,16 @@ class CuckooFilter:
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
         import zlib
 
-        hdr_size = struct.calcsize("<4sBBBxQQQQIB3x")
-        (magic, ver, f, v_used, nb, items, seed, v_idx, v_tag, kind) = struct.unpack(
-            "<4sBBBxQQQQIB3x", blob[:hdr_size]
-        )
+        hdr_size = struct.calcsize("<4sBBBxQQQQIBB2x")
+        (magic, ver, f, v_used, nb, items, seed, v_idx, v_tag, kind,
+         family) = struct.unpack("<4sBBBxQQQQIBB2x", blob[:hdr_size])
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad cuckoo blob")
         obj = cls.__new__(cls)
         obj.f = f
         obj.seed = seed
         obj.num_buckets = nb
+        obj.hash_family = FAMILY_NAMES[family]
         dtype = np.uint32 if f > 16 else np.uint16
         body = blob[hdr_size:]
         if kind == 2:
@@ -746,7 +764,7 @@ class CuckooFilter:
         obj.table = np.frombuffer(body, dtype=dtype).reshape(nb, ASSOC).copy()
         obj.num_items = items
         obj.victim = Victim(index=v_idx, tag=v_tag, used=bool(v_used))
-        obj.hasher = MultiplyShift(seed)
+        obj.hasher = HASH_FAMILIES[obj.hash_family](seed)
         obj._rng = np.random.Generator(np.random.PCG64(seed ^ 0x9E3779B9 ^ items))
         obj.kicks = 0
         return obj

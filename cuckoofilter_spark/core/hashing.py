@@ -174,3 +174,16 @@ class SimpleTabulation:
             )
             out ^= self.tables[byte][idx]
         return out
+
+
+# Pluggable hash family — the role of the reference's ``HashFamily``
+# template parameter (src/cuckoofilter.h:32-35). The reference ships
+# tabulation hashing because multiply-shift has known pathological key
+# sets (benchmarks/random.h:16-20). Family ids are serialized in the
+# filter blob header so merges can refuse cross-family unions.
+HASH_FAMILIES = {
+    "multiply_shift": MultiplyShift,
+    "tabulation": SimpleTabulation,
+}
+FAMILY_IDS = {"multiply_shift": 0, "tabulation": 1}
+FAMILY_NAMES = {v: k for k, v in FAMILY_IDS.items()}

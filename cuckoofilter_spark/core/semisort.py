@@ -30,7 +30,11 @@ import struct
 import numpy as np
 
 from cuckoofilter_spark.core.cuckoo import ASSOC, CuckooFilter, Victim
-from cuckoofilter_spark.core.hashing import MultiplyShift
+from cuckoofilter_spark.core.hashing import (
+    FAMILY_IDS,
+    FAMILY_NAMES,
+    HASH_FAMILIES,
+)
 
 _MAGIC = b"CKS1"
 
@@ -96,20 +100,23 @@ class SemiSortCuckooFilter(CuckooFilter):
     WIDTHS = (5, 6, 7, 8, 9, 13, 17)  # src/packedtable.h:126-189
 
     def __init__(self, max_num_keys: int, bits_per_item: int = 13,
-                 seed: int = 2014):
+                 seed: int = 2014, hash_family: str = "multiply_shift"):
         if bits_per_item not in self.WIDTHS:
             raise ValueError(
                 f"semi-sorted width f={bits_per_item} not in {self.WIDTHS}"
             )
         # bypass the parent's width check, reuse its geometry logic
-        self._init_geometry(max_num_keys, bits_per_item, seed)
+        self._init_geometry(max_num_keys, bits_per_item, seed, hash_family)
 
     def _init_geometry(self, max_num_keys: int, bits_per_item: int,
-                       seed: int) -> None:
+                       seed: int, hash_family: str) -> None:
         from cuckoofilter_spark.core.hashing import upperpower2
 
+        if hash_family not in HASH_FAMILIES:
+            raise ValueError(f"unknown hash_family {hash_family!r}")
         self.f = int(bits_per_item)
         self.seed = int(seed)
+        self.hash_family = hash_family
         num_buckets = upperpower2(max(1, max_num_keys // ASSOC))
         if max_num_keys / (num_buckets * ASSOC) > 0.96:
             num_buckets <<= 1
@@ -118,7 +125,7 @@ class SemiSortCuckooFilter(CuckooFilter):
         self.table = np.zeros((num_buckets, ASSOC), dtype=dtype)
         self.num_items = 0
         self.victim = Victim()
-        self.hasher = MultiplyShift(seed)
+        self.hasher = HASH_FAMILIES[hash_family](seed)
         self._rng = np.random.Generator(np.random.PCG64(seed ^ 0x9E3779B9))
         self.kicks = 0
 
@@ -206,11 +213,12 @@ class SemiSortCuckooFilter(CuckooFilter):
             body = zlib.compress(raw, 1)
             kind, body = (2, body) if len(body) < len(raw) else (0, raw)
         header = struct.pack(
-            "<4sBBBxQQQQIB3x",
+            "<4sBBBxQQQQIBB2x",
             _MAGIC, 1, self.f, 1 if self.victim.used else 0,
             self.num_buckets, self.num_items,
             self.seed & 0xFFFFFFFFFFFFFFFF,
             self.victim.index, self.victim.tag, kind,
+            FAMILY_IDS[self.hash_family],
         )
         return header + body
 
@@ -218,10 +226,9 @@ class SemiSortCuckooFilter(CuckooFilter):
     def from_bytes(cls, blob: bytes) -> "SemiSortCuckooFilter":
         import zlib
 
-        hdr = struct.calcsize("<4sBBBxQQQQIB3x")
-        (magic, ver, f, v_used, nb, items, seed, v_idx, v_tag, kind) = (
-            struct.unpack("<4sBBBxQQQQIB3x", blob[:hdr])
-        )
+        hdr = struct.calcsize("<4sBBBxQQQQIBB2x")
+        (magic, ver, f, v_used, nb, items, seed, v_idx, v_tag, kind,
+         family) = struct.unpack("<4sBBBxQQQQIBB2x", blob[:hdr])
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad semisort blob")
         obj = cls.__new__(cls)
@@ -231,7 +238,8 @@ class SemiSortCuckooFilter(CuckooFilter):
         obj.f = int(f)
         obj.seed = int(seed)
         obj.num_buckets = int(nb)
-        obj.hasher = MultiplyShift(seed)
+        obj.hash_family = FAMILY_NAMES[family]
+        obj.hasher = HASH_FAMILIES[obj.hash_family](seed)
         body = blob[hdr:]
         if kind in (2, 3):
             body = zlib.decompress(body)

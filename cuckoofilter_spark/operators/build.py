@@ -36,11 +36,21 @@ from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pyspark.sql.types import ArrayType
+from pyspark.sql.types import ArrayType, StringType
 
 from cuckoofilter_spark.core.registry import SKETCH_KINDS, wire_bytes
 
 _ARRAY_TYPES = ArrayType
+
+
+def string_key_expr(col: str | Column) -> Column:
+    """JVM-side pre-hash for string keys: ``xxhash64(col)`` (the role
+    of the reference's string ``HashUtil`` overloads,
+    src/hashutil.h:19-41, done vectorized inside codegen instead of a
+    per-row Python loop). The SAME expression must wrap the probe-side
+    column — build and probe agree on the 64-bit key space."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
 
 SHARD_SCHEMA = (
     "shard_id int, kind string, sketch binary, "
@@ -202,6 +212,10 @@ def build_sketch_shards(
         src = df.select(F.col(column).alias("__v"))
         if isinstance(src.schema["__v"].dataType, _ARRAY_TYPES):
             src = src.select(F.explode("__v").alias("__v"))
+        if isinstance(src.schema["__v"].dataType, StringType):
+            # hash BEFORE distinct: the shuffle then moves 8-byte
+            # hashes, never the strings themselves
+            src = src.select(string_key_expr("__v").alias("__v"))
         # distinct() first so Catalyst's map-side partial aggregate
         # shrinks the big shuffle to ≈cardinality rows per partition;
         # then an explicit user-numbered repartition of the survivors.
@@ -224,7 +238,15 @@ def build_sketch_shards(
                 lineage = bool(df.inputFiles())
             except Exception:
                 lineage = False
-        sel = [F.col(column).alias("__v")]
+        dt = df.schema[column].dataType
+        key_col = F.col(column)
+        if isinstance(dt, StringType):
+            key_col = string_key_expr(key_col)
+        elif isinstance(dt, _ARRAY_TYPES) and isinstance(
+            dt.elementType, StringType
+        ):
+            key_col = F.transform(key_col, string_key_expr)
+        sel = [key_col.alias("__v")]
         if lineage:
             # hidden per-row file provenance from the file-source scan
             sel.append(F.col("_metadata.file_path").alias("__file"))

@@ -142,9 +142,12 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
 
-    Brute-force O(n²) — correct baseline for validation scales; the
-    100 TB path runs the same scoring over ``lsh_ann_topk`` candidate
-    buckets instead of the full cross join."""
+    Brute-force O(n²) non-equi self-join — kept ONLY as the oracle
+    baseline for tests (Spark executes it as BroadcastNestedLoop).
+    Production paths: ``cosine_near_dup_pairs_blocked`` (exact, tiled
+    GEMM, equi-join shuffles only) or ``lsh_near_dup_pairs``
+    (subquadratic, for thresholds with a collision-probability
+    margin)."""
     a = corpus.select(
         F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
     ).withColumn("na", _norm("va"))
@@ -154,6 +157,127 @@ def cosine_near_dup_pairs(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sim", _cosine("va", "vb", "na", "nb"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def cosine_near_dup_pairs_blocked(
+    corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.44, n_blocks: int = 16,
+) -> DataFrame:
+    """EXACT near-dup pairs via block-tiled matrix products — the plan
+    that survives scale-up when the threshold sits inside the bulk of
+    the similarity distribution (here pairs exist AT 0.44, so any
+    probabilistic bucketing either misses pairs or degenerates to
+    all-pairs; exact answers are inherently Θ(n²) — the design goal is
+    making the quadratic work *well-shaped*, not pretending it away).
+
+    Plan: each vector hash-blocks into one of B blocks and replicates
+    to the B tiles (i,j), i≤j, it participates in; one
+    ``groupBy(tile).applyInPandas`` computes the tile's similarity
+    block as a single BLAS GEMM and emits only pairs ≥ threshold.
+
+    Scale properties (vs the naive id_a<id_b theta-join):
+    - shuffle = n·B vector copies (√-replication), NOT n² rows;
+    - no CartesianProduct/BroadcastNestedLoopJoin anywhere — the only
+      wide node is a hash partition on the tile key;
+    - every task holds two (n/B, d) matrices → memory bounded by B;
+    - candidate pairs never materialize as rows, they stream out of a
+      vectorized numpy comparison.
+    Pick B ≈ n·d·8 / (target task bytes); B=16 bounds tasks to ~2·n/16
+    vectors each here."""
+    if n_blocks < 1:
+        raise ValueError("n_blocks must be >= 1")
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # tile membership: block b joins tiles (i,b) for i<=b and (b,j) for
+    # j>b — exactly one tile per unordered block pair, so no pair dedup
+    tiles = F.array(
+        *(
+            [
+                F.when(F.lit(i) <= F.col("blk"),
+                       F.lit(i) * n_blocks + F.col("blk"))
+                .otherwise(F.col("blk") * n_blocks + F.lit(i))
+                for i in range(n_blocks)
+            ]
+        )
+    )
+    exploded = vecs.select(
+        "vid", "v", "blk", F.explode(tiles).alias("tile")
+    )
+
+    thr = float(threshold)
+    nb = int(n_blocks)
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(pdf["tile"].iloc[0])
+        ti, tj = tile // nb, tile % nb
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(M, axis=1) + _EPS
+        ids = pdf["vid"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        if ti == tj:
+            S = (M @ M.T) / (norms[:, None] * norms[None, :])
+            ia, ib = np.nonzero(np.triu(S >= thr, k=1))
+        else:
+            a = blks == ti
+            b = ~a
+            S = (M[a] @ M[b].T) / (
+                norms[a][:, None] * norms[b][None, :]
+            )
+            ra, rb = np.nonzero(S >= thr)
+            ia = np.flatnonzero(a)[ra]
+            ib = np.flatnonzero(b)[rb]
+        id_a = np.minimum(ids[ia], ids[ib])
+        id_b = np.maximum(ids[ia], ids[ib])
+        keep = id_a != id_b
+        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+
+    return (
+        exploded.groupBy("tile")
+        .applyInPandas(tile_pairs, "id_a long, id_b long")
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, dim: int, n_bits: int = 16, n_tables: int = 32,
+    seed: int = 2014,
+) -> DataFrame:
+    """SUBQUADRATIC near-dup pairs for HIGH thresholds: hyperplane-LSH
+    bucket equi-join for candidates, exact cosine verification.
+
+    Recall for a pair at cosine s: per-bit collision p = 1 - acos(s)/π;
+    miss probability (1-p^n_bits)^n_tables. Defaults (16 bits, 32
+    tables) at s=0.9 → p=0.856, miss ≈ 7%·…: callers MUST size
+    (n_bits, n_tables) for their threshold — at s=0.95 the defaults
+    give miss ≈ (1-0.181)^32 ≈ 1.7e-3. Precision is exact (candidates
+    verify with the true cosine). Candidates stay near-linear when
+    2^n_bits ≫ corpus/bucket-occupancy; for thresholds near the bulk
+    of the distribution use ``cosine_near_dup_pairs_blocked``."""
+    bucketize = lsh_bucket_udf(dim, n_bits, n_tables, seed)
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"),
+        F.explode(bucketize(vec_col)).alias("bucket"),
+    ).withColumn("nrm", _norm("v"))
+    left = tagged.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    right = tagged.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", _cosine("va", "vb", "na", "nb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
     )

@@ -277,3 +277,27 @@ def test_info_and_metrics():
 
 def test_kick_chain_bounded():
     assert MAX_CUCKOO_KICKS == 500  # kMaxCuckooCount, src/cuckoofilter.h:23
+
+
+def test_hash_family_pluggable_tabulation():
+    """HashFamily template-param parity (src/cuckoofilter.h:32-35):
+    tabulation-hashed filters keep zero FN + the FPR bound, round-trip
+    the family byte, and refuse cross-family merges."""
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 2**64, 120_000, dtype=np.uint64))
+    t = CuckooFilter(len(keys), 12, seed=9, hash_family="tabulation")
+    assert (t.add_many(keys) == 0).all()
+    assert t.contains_many(keys).all()
+    rt = CuckooFilter.from_bytes(t.to_bytes())
+    assert rt.hash_family == "tabulation"
+    assert rt.contains_many(keys).all()
+    absent = rng.integers(0, 2**64, 400_000, dtype=np.uint64)
+    # published bound ~2b/2^f = 8/4096 ~ 0.2% at full load; generous 2x
+    assert rt.contains_many(absent).mean() < 0.004
+    import pytest
+
+    ms = CuckooFilter(len(keys), 12, seed=9)  # multiply_shift default
+    with pytest.raises(ValueError, match="hash family"):
+        ms.merge(t)
+    with pytest.raises(ValueError, match="hash_family"):
+        CuckooFilter(1000, 12, seed=1, hash_family="nope")

@@ -89,3 +89,63 @@ def test_shuffle_distinct_plan_is_partial_agg(spark):
     # explode feeds a map-side partial distinct before the exchange
     assert "Generate" in plan or "Explode" in plan
     assert "HashAggregate" in plan and "Exchange" in plan
+
+
+def test_blocked_near_dup_plan_has_no_cartesian(spark):
+    """The exact near-dup plan must be equi-join shaped: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere (the naive
+    id_a < id_b theta-join degenerates to one), and its answer must
+    equal the brute-force baseline."""
+    from cuckoofilter_spark.operators.similarity import (
+        cosine_near_dup_pairs, cosine_near_dup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    blocked = cosine_near_dup_pairs_blocked(emb, threshold=0.44, n_blocks=8)
+    plan = explain_str(blocked)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = sorted((r["id_a"], r["id_b"]) for r in blocked.collect())
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.44).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_lsh_near_dup_pairs_high_threshold(spark):
+    """Subquadratic LSH near-dup path: on a corpus with planted
+    high-similarity duplicates, bucket-join + exact verify returns
+    exactly the brute-force pair set (miss prob per pair at s=0.95
+    with 12 bits x 48 tables: (1-0.52^12)^48 ~ 4e-5... sized so the
+    planted pairs at ~0.99 are certain)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((60, 32))
+    rows = []
+    vid = 0
+    for i in range(60):
+        rows.append((vid, base[i].tolist())); vid += 1
+    # plant 20 near-dups: tiny perturbations of the first 20 vectors
+    for i in range(20):
+        v = base[i] + 0.02 * rng.standard_normal(32)
+        rows.append((vid, v.tolist())); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from cuckoofilter_spark.operators.similarity import (
+        cosine_near_dup_pairs, lsh_near_dup_pairs,
+    )
+
+    approx = lsh_near_dup_pairs(
+        emb, threshold=0.9, dim=32, n_bits=12, n_tables=48, seed=7
+    )
+    plan = explain_str(approx)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = sorted((r["id_a"], r["id_b"]) for r in approx.collect())
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    )
+    assert got == want and len(got) >= 20

@@ -403,3 +403,29 @@ def test_minhash_mulmod_is_exact_universal_family():
     red = _mod_p61(z)
     for i in range(0, 5000, 37):
         assert int(red[i]) == int(z[i]) % _MERSENNE
+
+
+def test_string_key_build_and_probe(spark):
+    """String key columns pre-hash JVM-side (xxhash64) on build AND
+    probe — zero false negatives over a string id column."""
+    from cuckoofilter_spark.operators.build import (
+        build_sketch_shards, string_key_expr,
+    )
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    docs = spark.range(0, 3000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    for strategy in ("local", "shuffle_distinct"):
+        shards = build_sketch_shards(
+            docs, "k", kind="cuckoo", lineage=False,
+            max_num_keys=6000, bits_per_item=16, seed=4,
+            strategy=strategy,
+            **({"shuffle_partitions": 8}
+               if strategy == "shuffle_distinct" else {}),
+        )
+        blob = merge_shards_to_blob(shards, dedup=True)
+        probe = might_contain_udf(spark, blob)
+        misses = docs.filter(~probe(string_key_expr("k"))).count()
+        assert misses == 0, f"false negatives under {strategy}"
