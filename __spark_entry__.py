@@ -244,11 +244,15 @@ def q_cms_frequency_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rank_of(df: DataFrame, column: str, values) -> np.ndarray:
-    n = df.count()
-    ranks = []
-    for v in values:
-        ranks.append(df.filter(F.col(column) <= float(v)).count() / n)
-    return np.array(ranks)
+    """Empirical rank of each value — ONE scan with conditional sums
+    (not one count() job per value)."""
+    aggs = [
+        F.sum((F.col(column) <= float(v)).cast("long")).alias(f"r{i}")
+        for i, v in enumerate(values)
+    ] + [F.count(F.lit(1)).alias("n")]
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    return np.array([row[f"r{i}"] / n for i in range(len(values))])
 
 
 def q_tdigest_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:

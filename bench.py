@@ -226,6 +226,26 @@ def main() -> None:
             break
     extra["core_fill_load_at_failure"] = round(fill.load_factor, 4)
 
+    # previous-round side-by-side: latest BENCH_r*.json committed by
+    # the driver, so every round's numbers carry their predecessor
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as fh:
+                prev = json.load(fh)
+            prev_parsed = prev.get("parsed", prev)
+            extra["prev_round"] = {
+                "file": os.path.basename(prev_files[-1]),
+                "queries": prev_parsed.get("queries", {}),
+                "total": prev_parsed.get("value"),
+                "sf": prev_parsed.get("sf"),
+            }
+        except Exception:
+            pass
+
     total = sum(queries.values())
     print(json.dumps({
         "metric": "sketch_bench_total",

@@ -33,35 +33,23 @@ from pyspark.sql.types import ArrayType, LongType
 
 from cuckoofilter_spark.operators.text import fingerprint_md5
 
-_MERSENNE = (1 << 61) - 1
-_P = np.uint64(_MERSENNE)
-_61 = np.uint64(61)
+# MinHash permutation field: the Mersenne prime 2^31-1. With a, b, h
+# all < p the product a·h < 2^62 fits uint64 EXACTLY — no 128-bit
+# arithmetic needed, unlike p=2^61-1 where a naive int64 multiply
+# wraps mod 2^64 BEFORE the mod-p reduction and silently leaves the
+# advertised universal family (a·h+b) mod p. Reducing the 64-bit
+# shingle hash to 31 bits costs a ~5e-10 per-pair collision
+# probability — far below the minhash estimator's own noise.
+_MERSENNE = (1 << 31) - 1
+_P31 = np.uint64(_MERSENNE)
 
 
-def _mod_p61(x: np.ndarray) -> np.ndarray:
-    """x mod (2^61-1) for any uint64 x, exact (2^61 ≡ 1 mod p)."""
-    x = (x >> _61) + (x & _P)
-    return np.where(x >= _P, x - _P, x)
-
-
-def _mulmod_p61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """(x*y) mod (2^61-1) exactly for x, y < 2^61 (uint64, broadcasts).
-
-    32-bit limb decomposition; every partial product stays < 2^64 and
-    reduces via 2^64 ≡ 8, 2^61 ≡ 1 (mod p). A plain int64 multiply
-    would wrap mod 2^64 BEFORE the mod-p reduction and silently leave
-    the advertised universal family (a·h+b) mod p."""
-    m32 = np.uint64(0xFFFFFFFF)
-    x_lo, x_hi = x & m32, x >> np.uint64(32)
-    y_lo, y_hi = y & m32, y >> np.uint64(32)
-    ll = x_lo * y_lo                      # < 2^64
-    mid = x_lo * y_hi + x_hi * y_lo       # < 2^62 (x_hi,y_hi < 2^29)
-    hh = x_hi * y_hi                      # < 2^58
-    # mid·2^32 = (mid >> 29)·2^61 + (mid & (2^29-1))·2^32 ≡ …
-    m29 = np.uint64((1 << 29) - 1)
-    r_mid = (mid >> np.uint64(29)) + ((mid & m29) << np.uint64(32))
-    total = _mod_p61(ll) + _mod_p61(r_mid) + _mod_p61(hh << np.uint64(3))
-    return _mod_p61(total)
+def _fold31(x: np.ndarray) -> np.ndarray:
+    """x mod (2^31-1) for any uint64 x, exact (2^31 ≡ 1 mod p, so
+    summing the 31-bit limbs preserves the residue)."""
+    x = (x & _P31) + ((x >> np.uint64(31)) & _P31) + (x >> np.uint64(62))
+    x = (x & _P31) + (x >> np.uint64(31))
+    return np.where(x >= _P31, x - _P31, x)
 
 
 def exact_duplicate_groups(df: DataFrame, id_col: str, text: str) -> DataFrame:
@@ -128,8 +116,8 @@ def minhash_signatures(
     Docs with < shingle_k words get an all-sentinel signature (they
     can only pair with other empty docs)."""
     a, b = _perm_params(num_hashes, seed)
-    a_u = a.astype(np.uint64)
-    b_u = b.astype(np.uint64)
+    a_u = a.astype(np.uint64)[None, :]
+    b_u = b.astype(np.uint64)[None, :]
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
@@ -139,11 +127,12 @@ def minhash_signatures(
             if len(hs) == 0:
                 out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
                 continue
-            h = _mod_p61(hs)[:, None]
-            # (n_shingles, num_hashes): exact (a·h+b) mod p per cell,
-            # min over shingles — the universal-family guarantee the
-            # LSH recall analysis (1-(1-j^r)^b) assumes
-            sig = _mod_p61(_mulmod_p61(h, a_u[None, :]) + b_u[None, :])
+            h = _fold31(hs)[:, None]
+            # (n_shingles, num_hashes): exact (a·h+b) mod p per cell
+            # (a·h < 2^62 — no uint64 overflow), min over shingles —
+            # the universal-family guarantee the LSH recall analysis
+            # (1-(1-j^r)^b) assumes
+            sig = _fold31(h * a_u + b_u)
             out.append(sig.min(axis=0).astype(np.int64))
         return pd.Series(out)
 
@@ -152,14 +141,36 @@ def minhash_signatures(
     )
 
 
+_TILE_K = 1 << 20  # tile id encoding base (chunk ids < 2^20 always)
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, *, bands: int = 32, rows_per_band: int = 4
+    sigs: DataFrame, *, bands: int = 32, rows_per_band: int = 4,
+    bucket_cap: int | None = 8192,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) sharing ≥1 identical signature band.
 
     S-curve: pair at jaccard j collides w.p. 1-(1-j^r)^b; with b=32,
     r=4 the 50% threshold sits at (1/32)^(1/4) ≈ 0.42 and recall at
-    j≥0.8 exceeds 0.99999."""
+    j≥0.8 exceeds 0.99999.
+
+    Skew guard (``bucket_cap``): one boilerplate family holding 30% of
+    a corpus lands its whole membership in a single (band, band_hash)
+    bucket — the equi-join then feeds one task m rows and it computes
+    m²/2 pairs alone. Buckets larger than ``bucket_cap`` are
+    chunk-tiled exactly like the blocked GEMM plan: members split into
+    g = ⌈m/cap⌉ deterministic chunks and replicate to the g tiles each
+    chunk pair owns, so every join task sees ≤ 2·cap rows while the
+    emitted pair set is IDENTICAL (each cross-chunk pair lives in
+    exactly one tile; intra-chunk duplicates collapse in the final
+    distinct). The hot-bucket list itself is tiny (aggregated then
+    broadcast). ``bucket_cap=None`` disables the guard.
+
+    ``sigs`` is persisted here: the signature pandas-UDF feeds three
+    consumers (hot-bucket agg, join left, join right) and must compute
+    once, not three times. Spark's ContextCleaner reclaims the cache
+    when the DataFrame goes out of scope."""
+    sigs = sigs.persist()
     banded = sigs.select(
         "doc",
         F.posexplode(
@@ -171,15 +182,36 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bh"),
     )
+    join_keys = ["band", "bh"]
+    if bucket_cap:
+        hot = (
+            banded.groupBy("band", "bh").count()
+            .filter(F.col("count") > bucket_cap)
+            .select(
+                "band", "bh",
+                F.ceil(F.col("count") / bucket_cap).cast("int").alias("g"),
+            )
+        )
+        tiles = F.transform(
+            F.sequence(F.lit(0), F.col("g") - 1),
+            lambda i: F.when(
+                i <= F.col("c"), i * _TILE_K + F.col("c")
+            ).otherwise(F.col("c") * _TILE_K + i),
+        )
+        banded = (
+            banded.join(F.broadcast(hot), ["band", "bh"], "left")
+            .withColumn("g", F.coalesce("g", F.lit(1)))
+            .withColumn("c", F.pmod(F.hash("doc"), F.col("g")))
+            .select("doc", "band", "bh", F.explode(tiles).alias("tile"))
+        )
+        join_keys = ["band", "bh", "tile"]
     left = banded.alias("l")
     right = banded.alias("r")
+    cond = F.col("l.doc") < F.col("r.doc")
+    for k in join_keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
+        left.join(right, cond)
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
@@ -230,14 +262,17 @@ def verified_jaccard_pairs(
 def near_dup_pairs_minhash(
     df: DataFrame, id_col: str, text: str, *, threshold: float = 0.8,
     num_hashes: int = 128, bands: int = 32, rows_per_band: int = 4,
-    shingle_k: int = 3, seed: int = 2014,
+    shingle_k: int = 3, seed: int = 2014, bucket_cap: int | None = 8192,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded LSH
-    candidates → exact-jaccard verification."""
+    candidates (skew-tiled above ``bucket_cap``) → exact-jaccard
+    verification."""
     sigs = minhash_signatures(
         df, id_col, text, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
     )
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band, bucket_cap=bucket_cap
+    )
     return verified_jaccard_pairs(
         df, cands, id_col, text, shingle_k=shingle_k, threshold=threshold
     )

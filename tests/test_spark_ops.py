@@ -381,28 +381,39 @@ def test_probe_null_keys_return_null(spark):
     assert df.filter(F.col("hit").isNull()).count() == 2
 
 
-def test_minhash_mulmod_is_exact_universal_family():
-    """The (a·h+b) mod p permutation must be computed in 128-bit — an
-    int64 wrap before the reduction leaves the universal family."""
+def test_minhash_permutation_is_exact_universal_family():
+    """The (a·h+b) mod p permutation must never overflow before its
+    mod-p reduction: with p = 2^31-1 and a,h < p the product fits
+    uint64 exactly, and _fold31 must equal true mod for ANY uint64."""
     from cuckoofilter_spark.operators.dedup import (
-        _MERSENNE, _mod_p61, _mulmod_p61,
+        _MERSENNE, _fold31, _perm_params,
     )
 
+    assert _MERSENNE == (1 << 31) - 1
     rng = np.random.Generator(np.random.PCG64(3))
-    x = rng.integers(0, _MERSENNE, 5000, dtype=np.uint64)
-    y = rng.integers(0, _MERSENNE, 5000, dtype=np.uint64)
-    got = _mulmod_p61(x, y)
-    for i in range(0, 5000, 37):
-        assert int(got[i]) == (int(x[i]) * int(y[i])) % _MERSENNE
-    edge = np.array([0, 1, _MERSENNE - 1, 2**60], dtype=np.uint64)
-    for a in edge:
-        for b in edge:
-            g = _mulmod_p61(np.array([a]), np.array([b]))[0]
-            assert int(g) == (int(a) * int(b)) % _MERSENNE
     z = rng.integers(0, 2**64, 5000, dtype=np.uint64)
-    red = _mod_p61(z)
-    for i in range(0, 5000, 37):
+    red = _fold31(z)
+    for i in range(0, 5000, 23):
         assert int(red[i]) == int(z[i]) % _MERSENNE
+    edge = np.array(
+        [0, 1, _MERSENNE - 1, _MERSENNE, 2**31, 2**62, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    assert [int(v) for v in _fold31(edge)] == [
+        int(v) % _MERSENNE for v in edge
+    ]
+    a, b = _perm_params(128, 2014)
+    assert (1 <= a).all() and (a < _MERSENNE).all()
+    assert (0 <= b).all() and (b < _MERSENNE).all()
+    # full permutation vs big-int oracle
+    h = _fold31(rng.integers(0, 2**64, 200, dtype=np.uint64))
+    vals = _fold31(h[:, None].astype(np.uint64) * a.astype(np.uint64)[None, :]
+                   + b.astype(np.uint64)[None, :])
+    for i in range(0, 200, 17):
+        for j in range(0, 128, 31):
+            assert int(vals[i, j]) == (
+                int(a[j]) * int(h[i]) + int(b[j])
+            ) % _MERSENNE
 
 
 def test_string_key_build_and_probe(spark):
@@ -429,3 +440,74 @@ def test_string_key_build_and_probe(spark):
         probe = might_contain_udf(spark, blob)
         misses = docs.filter(~probe(string_key_expr("k"))).count()
         assert misses == 0, f"false negatives under {strategy}"
+
+
+def test_lsh_skew_guard_bounds_buckets_same_output(spark):
+    """A boilerplate family holding ~30% of the corpus lands in one
+    LSH bucket; the skew guard must tile it so no join task sees more
+    than ~2x the cap, while the candidate pair set stays IDENTICAL."""
+    import random
+
+    from cuckoofilter_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+    )
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    boiler = " ".join(rnd.choices(vocab, k=60))
+    rows = []
+    for i in range(300):  # 30% boilerplate: identical text -> one bucket
+        rows.append((i, boiler))
+    for i in range(300, 1000):
+        rows.append((i, " ".join(rnd.choices(vocab, k=60))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text").cache()
+
+    cap = 64
+    guarded = lsh_candidate_pairs(sigs, bucket_cap=cap)
+    unguarded = lsh_candidate_pairs(sigs, bucket_cap=None)
+    got = sorted((r["doc_a"], r["doc_b"]) for r in guarded.collect())
+    want = sorted((r["doc_a"], r["doc_b"]) for r in unguarded.collect())
+    assert got == want
+    assert len(got) >= 300 * 299 // 2  # the boilerplate clique survives
+
+    # bounded task input: rebuild the tiled layout and measure the
+    # largest (band, bh, tile) group the join would receive
+    from pyspark.sql import functions as F2
+
+    banded = sigs.select(
+        "doc",
+        F2.posexplode(
+            F2.transform(
+                F2.sequence(F2.lit(0), F2.lit(31)),
+                lambda i: F2.hash(
+                    F2.slice("sig", (i * 4 + 1).cast("int"), 4)
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+    hot = (
+        banded.groupBy("band", "bh").count().filter(F2.col("count") > cap)
+        .select("band", "bh",
+                F2.ceil(F2.col("count") / cap).cast("int").alias("g"))
+    )
+    tiled = (
+        banded.join(F2.broadcast(hot), ["band", "bh"], "left")
+        .withColumn("g", F2.coalesce("g", F2.lit(1)))
+        .withColumn("c", F2.pmod(F2.hash("doc"), F2.col("g")))
+        .withColumn(
+            "tile",
+            F2.explode(F2.transform(
+                F2.sequence(F2.lit(0), F2.col("g") - 1),
+                lambda i: F2.when(i <= F2.col("c"),
+                                  i * (1 << 20) + F2.col("c"))
+                .otherwise(F2.col("c") * (1 << 20) + i),
+            )),
+        )
+    )
+    max_group = (
+        tiled.groupBy("band", "bh", "tile").count()
+        .agg(F2.max("count")).collect()[0][0]
+    )
+    # two chunks of <= ~cap·(1+slack) rows meet per tile
+    assert max_group <= int(2.5 * cap), max_group
