@@ -355,6 +355,22 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting: the Spark vectorized UDF
+    and the DuckDB ``list_reduce`` fold compute the SAME polynomial
+    hash (Horner, base 31 mod 1e9+7), so n_distinct must match
+    bit-for-bit — a cross-engine exactness check, not a bound."""
+    from cuckoofilter_spark.operators.text import fingerprint_rolling
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(fingerprint_rolling("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
 def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over md5(normalized text) fingerprints."""
     from cuckoofilter_spark.operators.text import fingerprint_md5
@@ -681,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_by_source": q_text_stats_by_source,
         "lang_id_counts": q_lang_id_counts,
         "exact_dedup_stats": q_exact_dedup_stats,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
@@ -827,6 +844,20 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT pred_lang, count(*) AS n_docs
             FROM p GROUP BY pred_lang ORDER BY pred_lang
+        """,
+        "rolling_fingerprints": """
+            WITH f AS (
+              SELECT list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         [CAST(ascii(x) AS BIGINT)
+                          for x in string_split(text, '')]),
+                       (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+              FROM documents)
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT fp) AS n_distinct_fp,
+                   min(fp) AS min_fp,
+                   max(fp) AS max_fp
+            FROM f
         """,
         "exact_dedup_stats": r"""
             SELECT count(*) AS n_docs,

@@ -191,6 +191,33 @@ class SemiSortCuckooFilter(CuckooFilter):
         dtype = np.uint32 if self.f > 16 else np.uint16
         return tags.astype(dtype)
 
+    # ------------------------------------------------------------ debug
+    def print_bucket(self, i: int) -> str:
+        """Debug dump of bucket ``i`` — role of PrintBucket
+        (src/packedtable.h:76-90): the packed wire word (codeword +
+        dir-bit fields) plus the decoded tags."""
+        tags = [int(t) for t in self.table[i]]
+        lb = sorted(t & 0xF for t in tags)
+        cw = int(encode_lowbits(np.array([lb], dtype=np.uint16))[0])
+        return (
+            f"bucket[{i}]: codeword={cw:#05x} "
+            f"tags={self.print_tags(tags)}"
+        )
+
+    @staticmethod
+    def print_tags(tags) -> str:
+        """Role of PrintTags (src/packedtable.h:63-74): low nibble /
+        dir bits split per tag."""
+        parts = [f"{t >> 4:#x}|{t & 0xF:x}" for t in tags]
+        return "[" + ", ".join(parts) + "]"
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return (
+            f"SemiSortCuckooFilter(f={self.f}, buckets={self.num_buckets}, "
+            f"items={self.num_items}, load={self.load_factor:.3f}, "
+            f"family={self.hash_family!r})"
+        )
+
     def to_bytes(self, packed: bool = True) -> bytes:
         """kind byte: 1 = perm-packed, 3 = perm-packed + zlib(level=1);
         0 = raw uint16 table, 2 = raw + zlib — the *wire* format.

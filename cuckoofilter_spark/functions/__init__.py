@@ -13,6 +13,8 @@ from cuckoofilter_spark.operators.text import (  # noqa: F401
     LANG_STOPWORDS,
     PUNCT_RE,
     fingerprint_md5,
+    fingerprint_rolling,
+    fingerprint_rolling_sql,
     lang_id,
     lang_scores,
     normalize_text,
@@ -27,6 +29,7 @@ from cuckoofilter_spark.operators.text import (  # noqa: F401
 
 __all__ = [
     "BPE_ISH_RE", "LANG_STOPWORDS", "PUNCT_RE", "fingerprint_md5",
+    "fingerprint_rolling", "fingerprint_rolling_sql",
     "lang_id", "lang_scores", "normalize_text", "punct_count",
     "quality_score_milli", "shingles_col", "stopword_hits",
     "token_count_bpe_ish", "token_count_ws", "words_col",

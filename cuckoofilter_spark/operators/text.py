@@ -1,17 +1,23 @@
-"""Text-analysis operators for training-data pipelines — JVM-side only.
+"""Text-analysis operators for training-data pipelines.
 
 Every function here returns Column expressions built from
 ``pyspark.sql.functions`` (whole-stage codegen, no Python in the hot
 path): token counting, quality scoring, language-ID heuristic,
 document fingerprinting. These are the per-document scalar features a
 100 TB corpus pipeline computes in the same scan that feeds the
-sketch builds — one pass, no shuffle.
+sketch builds — one pass, no shuffle. The single exception is
+``fingerprint_rolling`` — an Arrow-batched pandas UDF, because a
+per-character Horner fold as a higher-order Column expression is
+CodegenFallback (interpreted) and measured slower.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 # Tiny per-language stopword families for the n-gram/stopword LID
 # heuristic. Deliberately small and ASCII so Spark and any SQL oracle
@@ -100,6 +106,58 @@ def normalize_text(text: str | Column) -> Column:
 def fingerprint_md5(text: str | Column) -> Column:
     """Exact-dedup fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(text))
+
+
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007  # < 2^30 so every Horner term fits int64
+
+
+def fingerprint_rolling(text: str | Column) -> Column:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp form):
+    ``h = fold(h*31 + codepoint) mod 1e9+7`` over the text.
+
+    Arrow-batched pandas UDF computing the Horner sum vectorized per
+    document (terms reduced mod p before summing — each term < 2^51,
+    per-term mod keeps the accumulator < 2^45). Bit-for-bit equal to
+    the ANSI-SQL ``list_reduce`` fold (the DuckDB oracle computes the
+    SAME fingerprint), unlike md5 this is incrementally updatable —
+    append a chunk by multiplying by 31^len(chunk).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    @F.pandas_udf(LongType())
+    def roll(s: pd.Series) -> pd.Series:
+        # powers of the base mod p, up to the longest doc in the batch
+        max_len = int(s.fillna("").str.len().max() or 0)
+        pows_list = [1]
+        for _ in range(max(0, max_len - 1)):
+            pows_list.append((pows_list[-1] * ROLL_BASE) % ROLL_MOD)
+        pows = np.array(pows_list, dtype=np.int64)
+        out = np.zeros(len(s), dtype=np.int64)
+        for i, txt in enumerate(s):
+            if not txt:
+                continue
+            codes = np.fromiter(
+                map(ord, txt), dtype=np.int64, count=len(txt)
+            )
+            terms = (codes * pows[len(txt) - 1::-1]) % ROLL_MOD
+            out[i] = int(terms.sum() % ROLL_MOD)
+        return pd.Series(out)
+
+    return roll(c)
+
+
+def fingerprint_rolling_sql(text: str | Column) -> Column:
+    """The same rolling fingerprint as a pure Column expression
+    (``aggregate`` higher-order fold) — CodegenFallback, so it is the
+    PARITY/reference form, not the hot path; tests assert it equals
+    the vectorized UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLL_BASE + F.ascii(ch)) % ROLL_MOD,
+    )
 
 
 def shingles_col(text: str | Column, k: int = 3) -> Column:

@@ -137,3 +137,14 @@ def test_wire_format_roundtrip_and_final_blob_packed():
     for ra, rb in zip(a.table.tolist(), b.table.tolist()):
         assert sorted(ra) == sorted(rb)
     assert a.contains_many(keys).all() and b.contains_many(keys).all()
+
+
+def test_print_bucket_debug_helpers():
+    """PrintBucket/PrintTags parity surface (src/packedtable.h:63-90)."""
+    sk = SemiSortCuckooFilter(1000, 13, seed=2)
+    sk.add_many(np.arange(50, dtype=np.uint64))
+    occupied = int(np.flatnonzero((sk.table != 0).any(axis=1))[0])
+    s = sk.print_bucket(occupied)
+    assert s.startswith(f"bucket[{occupied}]") and "codeword=" in s
+    assert "|" in sk.print_tags([0x1F3, 0x0A2])
+    assert "f=13" in repr(sk)

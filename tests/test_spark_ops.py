@@ -511,3 +511,26 @@ def test_lsh_skew_guard_bounds_buckets_same_output(spark):
     )
     # two chunks of <= ~cap·(1+slack) rows meet per tile
     assert max_group <= int(2.5 * cap), max_group
+
+
+def test_rolling_fingerprint_udf_matches_sql_fold(spark):
+    """The vectorized rolling-hash UDF and the pure-Column aggregate
+    fold must produce identical fingerprints (same Horner algebra)."""
+    from cuckoofilter_spark.operators.text import (
+        fingerprint_rolling, fingerprint_rolling_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    both = docs.select(
+        fingerprint_rolling("text").alias("fast"),
+        fingerprint_rolling_sql("text").alias("ref"),
+    )
+    assert both.filter(F.col("fast") != F.col("ref")).count() == 0
+    edge = spark.createDataFrame(
+        [("",), (None,), ("a",), ("ab cd",)], "text string"
+    ).select(
+        fingerprint_rolling("text").alias("fast"),
+        fingerprint_rolling_sql("text").alias("ref"),
+    ).collect()
+    for r in edge:
+        assert (r["fast"] or 0) == (r["ref"] or 0), r
