@@ -136,6 +136,89 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 64, seed: int = 2014,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: sample ``n_cells`` corpus
+    vectors by hash order (reproducible across runs/executors — same
+    principle as the filter's explicit hash seeds) and L2-normalize.
+    A k-means refinement would tighten cells but adds an iterative
+    job; hash-sampled centroids already give the recall/candidate
+    trade-off IVF exists for."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), _as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64("i", F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array([r["v"] for r in rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True) + _EPS
+    return C
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """pandas UDF: embedding -> array<long> of the nprobe nearest
+    centroid ids (one matmul per Arrow batch)."""
+    C = centroids.T  # (dim, cells)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = M / (np.linalg.norm(M, axis=1, keepdims=True) + _EPS)
+        sims = M @ C                      # (batch, cells)
+        if nprobe == 1:
+            cells = sims.argmax(axis=1)[:, None]
+        else:
+            cells = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+        return pd.Series(list(cells.astype(np.int64)))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 10, n_cells: int = 64,
+    nprobe: int = 8, seed: int = 2014, exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` inverted lists (each vector in its nearest cell), probe
+    the ``nprobe`` nearest cells per query, exact-rerank candidates.
+
+    Scale shape: corpus assignment is one matmul per Arrow batch and
+    adds NO copies (one cell per vector — vs L copies under
+    multi-table LSH); the candidate equi-join touches ~nprobe/n_cells
+    of the corpus per query. Recall rises with nprobe (= n_cells →
+    exact). Output schema matches ``cosine_topk`` for recall joins."""
+    C = ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+    )
+    corpus_cell = ivf_assign_udf(C, nprobe=1)
+    query_cells = ivf_assign_udf(C, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("nbr"), _as_double(vec_col).alias("cv"),
+        F.explode(corpus_cell(vec_col)).alias("cell"),
+    ).withColumn("cn", _norm("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
+        F.explode(query_cells(vec_col)).alias("cell"),
+    ).withColumn("qn", _norm("qv"))
+    cand = c.join(F.broadcast(q), "cell").drop("cell")
+    if exclude_self:
+        cand = cand.filter(F.col("nbr") != F.col("query_id"))
+    cand = cand.dropDuplicates(["query_id", "nbr"])
+    scored = cand.withColumn("sim", _cosine("qv", "cv", "qn", "cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "nbr",
+            F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.44,

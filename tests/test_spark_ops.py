@@ -534,3 +534,26 @@ def test_rolling_fingerprint_udf_matches_sql_fold(spark):
     ).collect()
     for r in edge:
         assert (r["fast"] or 0) == (r["ref"] or 0), r
+
+
+def test_ivf_topk_recall_and_plan(spark):
+    """IVF ANN: deterministic centroids, equi-join candidates, exact
+    re-rank — recall@10 >= 0.7 on the test corpus, no cartesian."""
+    from cuckoofilter_spark.operators.similarity import (
+        ann_recall, cosine_topk, ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    approx = ivf_topk(emb, q, k=10, n_cells=32, nprobe=16, seed=2014)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = cosine_topk(emb, q, k=10)
+    rec = ann_recall(exact, approx).agg(F.avg("recall_e4")).collect()[0][0]
+    assert rec >= 7000, rec
+    # determinism: same seed -> same result set
+    again = ivf_topk(emb, q, k=10, n_cells=32, nprobe=16, seed=2014)
+    a = sorted(tuple(r) for r in approx.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b
