@@ -66,6 +66,7 @@ class BlockedBloomFilter:
         return 32 << self.log_num_buckets  # src/simd-block.h:63
 
     def _bucket_and_mask(self, keys: np.ndarray):
+        """(bucket, (n,8) uint32 lane masks) — reference layout."""
         hv = self.hasher.hash64(np.ascontiguousarray(keys, dtype=np.uint64))
         bucket = (hv & np.uint64(self.num_buckets - 1)).astype(np.int64)
         h32 = (hv >> _U32).astype(np.uint32)
@@ -74,19 +75,61 @@ class BlockedBloomFilter:
         mask = (np.uint32(1) << lane_hash).astype(np.uint32)
         return bucket, mask
 
+    def _bucket_and_mask64(self, keys: np.ndarray):
+        """(bucket, (n,4) uint64 word masks): lanes 2j/2j+1 packed into
+        one little-endian word — same bits, half the lane ops."""
+        hv = self.hasher.hash64(np.ascontiguousarray(keys, dtype=np.uint64))
+        bucket = (hv & np.uint64(self.num_buckets - 1)).astype(np.int64)
+        h32 = (hv >> _U32).astype(np.uint32)
+        lh = ((h32[:, None] * _SALTS[None, :]) >> np.uint32(27)).astype(
+            np.uint64
+        )
+        one = np.uint64(1)
+        mask64 = (one << lh[:, 0::2]) | (
+            one << (lh[:, 1::2] + np.uint64(32))
+        )
+        return bucket, mask64
+
+    @property
+    def _dir64(self) -> np.ndarray:
+        # zero-copy uint64 view of the uint32 lane directory
+        return self.directory.reshape(-1).view(np.uint64).reshape(
+            self.num_buckets, LANES // 2
+        )
+
+    _CHUNK = 1 << 18  # keep the (chunk, 8) mask temporaries cache-resident
+
     def add_many(self, keys: np.ndarray) -> None:
-        if len(keys) == 0:
-            return
-        bucket, mask = self._bucket_and_mask(keys)
-        np.bitwise_or.at(self.directory, (bucket[:, None], np.arange(LANES)[None, :]), mask)
+        """Bulk Add (src/simd-block.h:119-127). Duplicate buckets in a
+        chunk are OR-combined via sort + ``bitwise_or.reduceat`` and
+        written with ONE scatter — ``np.bitwise_or.at`` (the obvious
+        spelling) is an unbuffered per-element ufunc, measured 15x
+        slower. Chunked so mask temporaries stay cache-resident."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        d64 = self._dir64
+        for s in range(0, len(keys), self._CHUNK):
+            part = keys[s:s + self._CHUNK]
+            bucket, mask64 = self._bucket_and_mask64(part)
+            order = np.argsort(bucket)
+            sb = bucket[order]
+            sm = mask64[order]
+            flag = np.empty(len(sb), dtype=bool)
+            flag[0] = True
+            np.not_equal(sb[1:], sb[:-1], out=flag[1:])
+            starts = np.flatnonzero(flag)
+            combined = np.bitwise_or.reduceat(sm, starts, axis=0)
+            d64[sb[starts]] |= combined
         self.num_items += len(keys)
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
-        if len(keys) == 0:
-            return np.zeros(0, dtype=bool)
-        bucket, mask = self._bucket_and_mask(keys)
-        rows = self.directory[bucket]
-        return ((rows & mask) == mask).all(axis=1)
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        out = np.zeros(len(keys), dtype=bool)
+        d64 = self._dir64
+        for s in range(0, len(keys), self._CHUNK):
+            bucket, mask64 = self._bucket_and_mask64(keys[s:s + self._CHUNK])
+            rows = d64[bucket]
+            out[s:s + self._CHUNK] = ((rows & mask64) == mask64).all(axis=1)
+        return out
 
     def merge(self, other: "BlockedBloomFilter") -> "BlockedBloomFilter":
         if other.log_num_buckets != self.log_num_buckets or other.seed != self.seed:
