@@ -144,6 +144,65 @@ def minhash_signatures(
 _TILE_K = 1 << 20  # tile id encoding base (chunk ids < 2^20 always)
 
 
+def tiled_band_self_join(
+    banded: DataFrame, doc_col: str = "doc", *,
+    band_cols: tuple = ("band", "bh"), bucket_cap: int | None = 8192,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing a band bucket, with the
+    hot-bucket skew guard: buckets larger than ``bucket_cap`` split
+    into g = ⌈m/cap⌉ deterministic chunks and replicate to the g tiles
+    each chunk pair owns (the blocked-GEMM tiling), so every join task
+    sees ≤ ~2·cap rows while the emitted pair set stays IDENTICAL
+    (each cross-chunk pair lives in exactly one tile; intra-chunk
+    duplicates collapse in the final distinct). The hot-bucket list is
+    tiny (aggregated then broadcast); ``bucket_cap=None`` disables the
+    guard. ``payload_cols`` ride through as ``{col}_a``/``{col}_b``
+    (must be functionally dependent on ``doc_col`` so the distinct
+    stays a pure pair-dedup). Shared by the MinHash and SimHash
+    candidate joins."""
+    bc = list(band_cols)
+    pc = list(payload_cols)
+    join_keys = bc
+    if bucket_cap:
+        hot = (
+            banded.groupBy(*bc).count()
+            .filter(F.col("count") > bucket_cap)
+            .select(
+                *bc,
+                F.ceil(F.col("count") / bucket_cap).cast("int").alias("g"),
+            )
+        )
+        tiles = F.transform(
+            F.sequence(F.lit(0), F.col("g") - 1),
+            lambda i: F.when(
+                i <= F.col("c"), i * _TILE_K + F.col("c")
+            ).otherwise(F.col("c") * _TILE_K + i),
+        )
+        banded = (
+            banded.join(F.broadcast(hot), bc, "left")
+            .withColumn("g", F.coalesce("g", F.lit(1)))
+            .withColumn("c", F.pmod(F.hash(doc_col), F.col("g")))
+            .select(doc_col, *pc, *bc, F.explode(tiles).alias("tile"))
+        )
+        join_keys = bc + ["tile"]
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cond = F.col(f"l.{doc_col}") < F.col(f"r.{doc_col}")
+    for k in join_keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{doc_col}").alias("doc_a"),
+            F.col(f"r.{doc_col}").alias("doc_b"),
+            *[F.col(f"l.{c}").alias(f"{c}_a") for c in pc],
+            *[F.col(f"r.{c}").alias(f"{c}_b") for c in pc],
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, *, bands: int = 32, rows_per_band: int = 4,
     bucket_cap: int | None = 8192,
@@ -154,17 +213,9 @@ def lsh_candidate_pairs(
     r=4 the 50% threshold sits at (1/32)^(1/4) ≈ 0.42 and recall at
     j≥0.8 exceeds 0.99999.
 
-    Skew guard (``bucket_cap``): one boilerplate family holding 30% of
-    a corpus lands its whole membership in a single (band, band_hash)
-    bucket — the equi-join then feeds one task m rows and it computes
-    m²/2 pairs alone. Buckets larger than ``bucket_cap`` are
-    chunk-tiled exactly like the blocked GEMM plan: members split into
-    g = ⌈m/cap⌉ deterministic chunks and replicate to the g tiles each
-    chunk pair owns, so every join task sees ≤ 2·cap rows while the
-    emitted pair set is IDENTICAL (each cross-chunk pair lives in
-    exactly one tile; intra-chunk duplicates collapse in the final
-    distinct). The hot-bucket list itself is tiny (aggregated then
-    broadcast). ``bucket_cap=None`` disables the guard.
+    Hot-bucket skew (one boilerplate family = 30% of the corpus in a
+    single (band, band_hash) bucket ⇒ one task computing m²/2 pairs
+    alone) is handled by ``tiled_band_self_join``'s chunk tiling.
 
     ``sigs`` is persisted here: the signature pandas-UDF feeds three
     consumers (hot-bucket agg, join left, join right) and must compute
@@ -182,38 +233,8 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bh"),
     )
-    join_keys = ["band", "bh"]
-    if bucket_cap:
-        hot = (
-            banded.groupBy("band", "bh").count()
-            .filter(F.col("count") > bucket_cap)
-            .select(
-                "band", "bh",
-                F.ceil(F.col("count") / bucket_cap).cast("int").alias("g"),
-            )
-        )
-        tiles = F.transform(
-            F.sequence(F.lit(0), F.col("g") - 1),
-            lambda i: F.when(
-                i <= F.col("c"), i * _TILE_K + F.col("c")
-            ).otherwise(F.col("c") * _TILE_K + i),
-        )
-        banded = (
-            banded.join(F.broadcast(hot), ["band", "bh"], "left")
-            .withColumn("g", F.coalesce("g", F.lit(1)))
-            .withColumn("c", F.pmod(F.hash("doc"), F.col("g")))
-            .select("doc", "band", "bh", F.explode(tiles).alias("tile"))
-        )
-        join_keys = ["band", "bh", "tile"]
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cond = F.col("l.doc") < F.col("r.doc")
-    for k in join_keys:
-        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
-    return (
-        left.join(right, cond)
-        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
-        .distinct()
+    return tiled_band_self_join(
+        banded, "doc", band_cols=("band", "bh"), bucket_cap=bucket_cap
     )
 
 
@@ -311,14 +332,17 @@ def simhash64(
 
 def near_dup_pairs_simhash(
     df: DataFrame, id_col: str, text: str, *, max_hamming: int = 3,
-    seed: int = 2014,
+    seed: int = 2014, bucket_cap: int | None = 8192,
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of their simhashes.
 
     Pigeonhole: ≤3 differing bits over 4 disjoint 16-bit bands ⇒ at
-    least one band identical — band-join generates candidates, JVM
-    ``bit_count(a XOR b)`` verifies exactly."""
-    sims = simhash64(df, id_col, text, seed=seed)
+    least one band identical — band-join generates candidates (with
+    the same ``tiled_band_self_join`` hot-bucket guard as MinHash:
+    near-identical boilerplate shares ALL four bands, m docs ⇒ one
+    m²/2 task without it), JVM ``bit_count(a XOR b)`` verifies
+    exactly."""
+    sims = simhash64(df, id_col, text, seed=seed).persist()
     banded = sims.select(
         "doc", "simhash",
         F.posexplode(
@@ -328,20 +352,13 @@ def near_dup_pairs_simhash(
             ])
         ).alias("band", "bkey"),
     )
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(
-            F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
+    pairs = tiled_band_self_join(
+        banded, "doc", band_cols=("band", "bkey"), bucket_cap=bucket_cap,
+        payload_cols=("simhash",),
+    ).withColumn(
+        "hamming",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs.filter(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )

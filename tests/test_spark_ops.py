@@ -513,6 +513,37 @@ def test_lsh_skew_guard_bounds_buckets_same_output(spark):
     assert max_group <= int(2.5 * cap), max_group
 
 
+def test_simhash_skew_guard_same_output(spark):
+    """Near-identical boilerplate shares ALL four simhash bands — the
+    worst skew case (every member of the family meets in 4 buckets).
+    The tiled band join must emit the identical verified pair set as
+    the unguarded join."""
+    import random
+
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_simhash
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    boiler = " ".join(rnd.choices(vocab, k=60))
+    rows = [(i, boiler) for i in range(200)]  # identical simhash clique
+    for i in range(200, 600):
+        rows.append((i, " ".join(rnd.choices(vocab, k=60))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = near_dup_pairs_simhash(
+        docs, "doc_id", "text", max_hamming=3, bucket_cap=64
+    )
+    unguarded = near_dup_pairs_simhash(
+        docs, "doc_id", "text", max_hamming=3, bucket_cap=None
+    )
+    got = sorted((r["doc_a"], r["doc_b"], r["hamming"])
+                 for r in guarded.collect())
+    want = sorted((r["doc_a"], r["doc_b"], r["hamming"])
+                  for r in unguarded.collect())
+    assert got == want
+    assert len(got) >= 200 * 199 // 2  # the boilerplate clique survives
+
+
 def test_rolling_fingerprint_udf_matches_sql_fold(spark):
     """The vectorized rolling-hash UDF and the pure-Column aggregate
     fold must produce identical fingerprints (same Horner algebra)."""
