@@ -192,6 +192,7 @@ def main() -> None:
     core = CuckooFilter(2_000_000, 12, seed=99)
     w = CuckooFilter(2_000_000, 12, seed=99)
     w.add_many(add_set)  # warm allocator/page-fault pass
+    w.contains_many(lookup_set[:100_000])  # warm the SWAR probe kernels too
     t1 = time.time()
     core.add_many(add_set)
     add_sec = time.time() - t1
