@@ -181,6 +181,24 @@ def main() -> None:
     ).count()
     queries["cosine_topk"] = time.time() - t0
 
+    # -- q7e: simhash near-dup pairs (banded, skew-tiled) -----------------
+    t0 = time.time()
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_simhash
+
+    extra["simhash_pairs"] = near_dup_pairs_simhash(
+        docs, "doc_id", "text", max_hamming=3
+    ).count()
+    queries["simhash_dedup"] = time.time() - t0
+
+    # -- q7f: IVF approximate top-k over embeddings ------------------------
+    t0 = time.time()
+    from cuckoofilter_spark.operators.similarity import ivf_topk
+
+    extra["ivf_rows"] = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=10, n_cells=64, nprobe=8
+    ).count()
+    queries["ivf_topk"] = time.time() - t0
+
     # -- q8: reference-shaped single-node microbench (conext-figure5 /
     # bulk-insert-and-query analog): core numpy kernels, no Spark —
     # directly comparable to BASELINE.md's single-machine numbers.
