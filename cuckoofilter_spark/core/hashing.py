@@ -176,6 +176,178 @@ class SimpleTabulation:
         return out
 
 
+def _rotl32(x: np.ndarray, k: int) -> np.ndarray:
+    return (x << np.uint32(k)) | (x >> np.uint32(32 - k))
+
+
+def _bob_final(a, b, c):
+    """lookup3 final() mix (reference src/hashutil.cc:16-27 — the
+    published Bob Jenkins constants), uint32 wrapping, vectorized."""
+    c ^= b; c -= _rotl32(b, 14)
+    a ^= c; a -= _rotl32(c, 11)
+    b ^= a; b -= _rotl32(a, 25)
+    c ^= b; c -= _rotl32(b, 16)
+    a ^= c; a -= _rotl32(c, 4)
+    b ^= a; b -= _rotl32(a, 14)
+    c ^= b; c -= _rotl32(b, 24)
+    return a, b, c
+
+
+def _key_words32(keys: np.ndarray):
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    return (keys & _MASK32).astype(np.uint32), (keys >> _U32).astype(np.uint32)
+
+
+def bob_hash_u64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """lookup3 ``hashlittle`` of the 8 little-endian key bytes
+    (reference 1-index ``HashUtil::BobHash``, src/hashutil.cc:56-317).
+    Parity with the compiled reference is asserted in
+    tests/test_hash_parity.py."""
+    k0, k1 = _key_words32(keys)
+    init = np.uint32((0xDEADBEEF + 8 + int(seed)) & 0xFFFFFFFF)
+    a = k0 + init
+    b = k1 + init
+    c = np.full(len(k0), init, dtype=np.uint32)
+    _, _, c = _bob_final(a, b, c)
+    return c
+
+
+def bob_hash2_u64(keys: np.ndarray, seed1: int, seed2: int):
+    """lookup3 ``hashlittle2`` — two hashes in one pass (reference
+    2-index ``HashUtil::BobHash``, src/hashutil.cc:319-593; "use idx1
+    before idx2", src/hashutil.h:23-26). Returns (c, b)."""
+    k0, k1 = _key_words32(keys)
+    init = np.uint32((0xDEADBEEF + 8 + int(seed1)) & 0xFFFFFFFF)
+    a = k0 + init
+    b = k1 + init
+    c = np.full(
+        len(k0),
+        np.uint32((int(init) + int(seed2)) & 0xFFFFFFFF),
+        dtype=np.uint32,
+    )
+    _, b, c = _bob_final(a, b, c)
+    return c, b
+
+
+def murmur2_u64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """MurmurHash2 (32-bit, m=0x5bd1e995) of the 8 key bytes
+    (reference src/hashutil.cc:595-643 — the same constant AltIndex
+    reuses)."""
+    m = _MURMUR_C
+    r = np.uint32(24)
+    k0, k1 = _key_words32(keys)
+    h = np.full(len(k0), np.uint32(seed) ^ np.uint32(8), dtype=np.uint32)
+    for k in (k0, k1):
+        k = k * m
+        k ^= k >> r
+        k = k * m
+        h = h * m
+        h ^= k
+    h ^= h >> np.uint32(13)
+    h = h * m
+    h ^= h >> np.uint32(15)
+    return h
+
+
+def superfast_hash_u64(keys: np.ndarray) -> np.ndarray:
+    """Hsieh SuperFastHash of the 8 key bytes (reference
+    src/hashutil.cc:646-693). Seedless by definition — the length
+    byte is the only initial state."""
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    M16 = np.uint64(0xFFFF)
+    w = [
+        ((keys >> np.uint64(16 * i)) & M16).astype(np.uint32)
+        for i in range(4)
+    ]
+    h = np.full(len(keys), np.uint32(8), dtype=np.uint32)
+    for lo, hi in ((w[0], w[1]), (w[2], w[3])):
+        h = h + lo
+        tmp = (hi << np.uint32(11)) ^ h
+        h = (h << np.uint32(16)) ^ tmp
+        h = h + (h >> np.uint32(11))
+    h ^= h << np.uint32(3)
+    h = h + (h >> np.uint32(5))
+    h ^= h << np.uint32(4)
+    h = h + (h >> np.uint32(17))
+    h ^= h << np.uint32(25)
+    h = h + (h >> np.uint32(6))
+    return h
+
+
+def null_hash_u64(keys: np.ndarray, shiftbytes: int = 4) -> np.ndarray:
+    """Byte-slice passthrough (reference src/hashutil.cc:699-710):
+    big-endian read of bytes [len-shift-4, len-shift) of the buffer —
+    including the reference's SIGNED-char arithmetic (each byte is
+    sign-extended before the shift-add, so e.g. 0xEF in the top
+    position contributes 0xEF000000 but 0xBE in the second position
+    contributes 0xFFBE0000)."""
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    if 8 - shiftbytes < 4:
+        return np.zeros(len(keys), dtype=np.uint32)
+    base = 8 - shiftbytes - 4
+    sb = [
+        ((keys >> np.uint64(8 * (base + j))) & np.uint64(0xFF))
+        .astype(np.uint8).astype(np.int8).astype(np.int64)
+        for j in range(4)
+    ]
+    val = (sb[0] << 24) + (sb[1] << 16) + (sb[2] << 8) + sb[3]
+    return (val & 0xFFFFFFFF).astype(np.uint32)
+
+
+class BobHash:
+    """lookup3 two-index family: ``hash64 = c << 32 | b`` from one
+    ``hashlittle2`` pass — the reference's own d-choice pairing
+    ("idx1 before idx2", src/hashutil.h:23-26) mapped onto our
+    index-from-high-32 / tag-from-low-bits split."""
+
+    __slots__ = ("s1", "s2", "seed")
+
+    def __init__(self, seed: int):
+        self.seed = int(seed)
+        rng = np.random.Generator(np.random.PCG64(seed ^ 0xB0BB0B))
+        s = rng.integers(0, 2**32, size=2, dtype=np.uint32)
+        self.s1, self.s2 = int(s[0]), int(s[1])
+
+    def hash64(self, keys: np.ndarray) -> np.ndarray:
+        c, b = bob_hash2_u64(keys, self.s1, self.s2)
+        return (c.astype(np.uint64) << _U32) | b.astype(np.uint64)
+
+
+class SuperFastHash:
+    """Hsieh kernel family. The reference kernel is seedless
+    (src/hashutil.cc:646); for a usable 64-bit seeded family we take
+    ``high32 = SFH(key)`` and ``low32 = SFH(key ^ seed_mix)`` —
+    documented composition, not a reference formula."""
+
+    __slots__ = ("mask", "seed")
+
+    def __init__(self, seed: int):
+        self.seed = int(seed)
+        rng = np.random.Generator(np.random.PCG64(seed ^ 0x5FA57))
+        self.mask = np.uint64(rng.integers(1, 2**64, dtype=np.uint64))
+
+    def hash64(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        hi = superfast_hash_u64(keys)
+        lo = superfast_hash_u64(keys ^ self.mask)
+        return (hi.astype(np.uint64) << _U32) | lo.astype(np.uint64)
+
+
+class NullHash:
+    """Identity over uint64 keys — the byte-slice passthrough role of
+    the reference NullHash (src/hashutil.cc:699-710), used to measure
+    hash cost / test with pre-hashed keys. NOT a real hash family:
+    structured key sets will cluster buckets."""
+
+    __slots__ = ("seed",)
+
+    def __init__(self, seed: int):
+        self.seed = int(seed)
+
+    def hash64(self, keys: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(keys, dtype=np.uint64)
+
+
 # Pluggable hash family — the role of the reference's ``HashFamily``
 # template parameter (src/cuckoofilter.h:32-35). The reference ships
 # tabulation hashing because multiply-shift has known pathological key
@@ -184,6 +356,12 @@ class SimpleTabulation:
 HASH_FAMILIES = {
     "multiply_shift": MultiplyShift,
     "tabulation": SimpleTabulation,
+    "bob": BobHash,
+    "superfast": SuperFastHash,
+    "null": NullHash,
 }
-FAMILY_IDS = {"multiply_shift": 0, "tabulation": 1}
+FAMILY_IDS = {
+    "multiply_shift": 0, "tabulation": 1, "bob": 2, "superfast": 3,
+    "null": 4,
+}
 FAMILY_NAMES = {v: k for k, v in FAMILY_IDS.items()}
