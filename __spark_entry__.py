@@ -530,6 +530,24 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video frame-extract shape): one blob → many
+    frame rows via mapInPandas; frame_bytes=256, stride=1 so the frame
+    count/bytes are exactly SQL-derivable from octet_length."""
+    from cuckoofilter_spark.operators.multimodal import (
+        attach_fake_media, sample_frames,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    frames = sample_frames(media, frame_bytes=256, stride=1)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+        F.count_distinct("media_id").alias("n_media"),
+    )
+
+
 def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (the
     batch expression of the Structured Streaming windowed agg)."""
@@ -732,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_bound": q_ivf_recall_bound,
         "embedding_near_dups": q_embedding_near_dups,
         "media_byte_stats": q_media_byte_stats,
+        "media_frame_stats": q_media_frame_stats,
         "events_hourly_window": q_events_hourly_window,
         "rollup_lineitem": q_rollup_lineitem,
         "cube_orders": q_cube_orders,
@@ -955,6 +974,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_media,
                    CAST(sum(octet_length(encode(text))) AS BIGINT)
                        AS total_bytes
+            FROM documents
+        """,
+        "media_frame_stats": """
+            SELECT CAST(sum(CAST(ceil(octet_length(encode(text)) / 256.0)
+                                 AS BIGINT)) AS BIGINT) AS n_frames,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT)
+                       AS total_frame_bytes,
+                   count(DISTINCT doc_id)
+                       FILTER (octet_length(encode(text)) > 0) AS n_media
             FROM documents
         """,
         "events_hourly_window": """

@@ -99,3 +99,104 @@ def extract_features(
             )
 
     return df.select("media_id", "media").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, media binary, "
+    "meta struct<kind:string, width:int, height:int, sample_rate:int>"
+)
+
+
+def resize_media(
+    df: DataFrame, *, width: int, height: int = 1, decoder: str = "fake",
+) -> DataFrame:
+    """Batched resize over media blobs (``mapInPandas``).
+
+    ``decoder='fake'`` treats the blob as a 1×N byte image and
+    resamples it to ``width*height`` bytes by nearest-neighbor index
+    sampling — deterministic, codec-free, but exercises the real
+    plumbing (Arrow batches of binary in AND out, metadata struct
+    rewrite). ``decoder='real'`` raises at the exact point
+    PIL.Image.resize would run."""
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+    out_n = int(width) * int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media codecs (PIL/ffmpeg) are not available in "
+                    "this environment; use decoder='fake'"
+                )
+            out = []
+            for b in pdf["media"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    out.append(b"\x00" * out_n)
+                    continue
+                idx = (
+                    np.arange(out_n, dtype=np.int64) * len(arr) // out_n
+                )
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "media": out,
+                    "meta": [
+                        {"kind": "image/fake-resized", "width": int(width),
+                         "height": int(height), "sample_rate": 0}
+                    ] * len(pdf),
+                }
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary, frame_bytes long"
+
+
+def sample_frames(
+    df: DataFrame, *, frame_bytes: int = 256, stride: int = 1,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Frame sampling: one input blob → many frame rows
+    (``mapInPandas`` yielding a fanned-out batch — the 1:N shape real
+    video frame extraction has).
+
+    ``decoder='fake'`` treats the blob as a concatenation of
+    ``frame_bytes``-sized frames (last partial frame kept) and emits
+    every ``stride``-th; ``decoder='real'`` raises where ffmpeg/
+    pyav frame iteration would run."""
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+    fb = int(frame_bytes)
+    st = max(1, int(stride))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media codecs (ffmpeg/pyav) are not available in "
+                    "this environment; use decoder='fake'"
+                )
+            ids, idxs, frames, sizes = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(b)
+                n_frames = (len(b) + fb - 1) // fb
+                for j in range(0, n_frames, st):
+                    chunk = b[j * fb:(j + 1) * fb]
+                    ids.append(mid)
+                    idxs.append(j)
+                    frames.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "frame": frames,
+                    "frame_bytes": np.asarray(sizes, dtype=np.int64),
+                }
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, FRAME_SCHEMA)

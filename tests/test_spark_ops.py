@@ -237,6 +237,50 @@ def test_multimodal_plumbing(spark):
         extract_features(media, decoder="real").collect()
 
 
+def test_multimodal_resize_and_frames(spark):
+    """Resize: output blob is exactly width*height bytes and equals the
+    nearest-neighbor resample of the input. Frame sampling: stride-2
+    emits exactly frames 0,2,4,... with the last partial frame kept."""
+    import numpy as np
+
+    from cuckoofilter_spark.operators.multimodal import (
+        attach_fake_media, resize_media, sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(25)
+    media = attach_fake_media(docs, "doc_id", "text")
+    texts = {r["doc_id"]: r["text"].encode()
+             for r in docs.select("doc_id", "text").collect()}
+
+    resized = resize_media(media, width=64, height=2).collect()
+    assert len(resized) == 25
+    for r in resized:
+        assert len(r["media"]) == 128
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 2
+        src = np.frombuffer(texts[r["media_id"]], dtype=np.uint8)
+        idx = np.arange(128, dtype=np.int64) * len(src) // 128
+        assert bytes(r["media"]) == src[idx].tobytes()
+
+    frames = sample_frames(media, frame_bytes=100, stride=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_doc.items():
+        b = texts[mid]
+        n_frames = (len(b) + 99) // 100
+        want_idx = list(range(0, n_frames, 2))
+        assert sorted(r["frame_idx"] for r in rows) == want_idx
+        for r in rows:
+            chunk = b[r["frame_idx"] * 100:(r["frame_idx"] + 1) * 100]
+            assert bytes(r["frame"]) == chunk
+            assert r["frame_bytes"] == len(chunk)
+
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        resize_media(media, width=8, decoder="real").collect()
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        sample_frames(media, decoder="real").collect()
+
+
 def test_text_stats_deterministic(spark):
     from cuckoofilter_spark.operators.text import with_text_stats
 
