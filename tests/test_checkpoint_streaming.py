@@ -242,3 +242,71 @@ def test_streaming_watermark_windowed_agg(spark, tmp_path):
         assert want.get(key) == cnt, f"finalized window {key} wrong"
     # the tail windows sit within the 1h watermark lag -> withheld
     assert len(got) < len(want), "append mode emitted unfinalized windows"
+
+
+def test_streaming_sliding_window_drops_late_data(spark, tmp_path):
+    """Sliding-window agg (2h window, 1h slide) with a 1h watermark:
+    an event arriving AFTER the watermark has passed its window must
+    be dropped, not aggregated. Two sequential availableNow runs on
+    one checkpoint make the watermark progression deterministic: run 1
+    ingests the on-time data (persisting watermark = max(ts) - 1h in
+    the checkpoint), run 2 ingests one too-late event plus one fresh
+    event — if the late row were accepted it would surface as an
+    emitted window far below the watermark."""
+    import datetime as dt
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "user_id long, ts timestamp"
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    out = str(tmp_path / "late_out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "2 hours", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        q = (
+            agg.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:
+            rows = []  # nothing emitted yet: watermark used by batch N
+            # is computed from batches < N, so a single-batch run emits 0
+        return {r["window"]["start"]: r["cnt"] for r in rows}
+
+    # run 1: on-time events 10:00..20:00 hourly -> watermark = 19:00
+    rows1 = [(i, t0 + dt.timedelta(hours=i)) for i in range(11)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    got1 = run_once()
+
+    # run 2: one event at 05:00 (14h late, watermark 19:00) + one at 21:00
+    rows2 = [(100, t0 - dt.timedelta(hours=5)),
+             (101, t0 + dt.timedelta(hours=11))]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    got2 = run_once()  # cumulative: parquet sink appends across runs
+
+    emitted = {**got1, **got2}
+    assert emitted, "nothing emitted"
+    # the late 05:00 event's windows (04:00, 05:00 starts) must not exist
+    for start in emitted:
+        assert start >= t0 - dt.timedelta(hours=1), (
+            f"late event was aggregated into window {start}"
+        )
+    # sanity: finalized sliding windows carry the exact on-time counts
+    # (each interior hour belongs to two 2h windows -> cnt 2)
+    interior = t0 + dt.timedelta(hours=3)
+    if interior in emitted:
+        assert emitted[interior] == 2
