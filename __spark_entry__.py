@@ -205,6 +205,34 @@ def q_cf_tabulation_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cf_hash_families_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining reference hash kernels as filter families: BobHash
+    (lookup3 hashlittle2, src/hashutil.cc:319-593) and SuperFastHash
+    (src/hashutil.cc:646-693) — bit-exact kernels (tests/
+    test_hash_parity.py) driving the same distributed build/merge/probe
+    pipeline with zero false negatives each."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    supplier = _read(spark, sf_dir, "supplier")
+    keys = supplier.select("s_suppkey").distinct()
+    n = keys.count()
+    agg_cols = [F.count(F.lit(1)).alias("n_probed")]
+    for family in ("bob", "superfast"):
+        shards = build_sketch_shards(
+            supplier, "s_suppkey", kind="cuckoo", lineage=False,
+            max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+            hash_family=family,
+        )
+        blob = merge_shards_to_blob(shards, dedup=True)
+        probe = might_contain_udf(spark, blob)
+        agg_cols.append(
+            F.sum(probe("s_suppkey").cast("long")).alias(f"hits_{family}")
+        )
+    return keys.agg(*agg_cols)
+
+
 def q_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL(p=14) estimate within 3σ (σ=1.04/√2^p ≈ 0.81%) of the exact
     distinct count."""
@@ -733,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_merge_associativity": q_cf_merge_associativity,
         "cf_string_keys": q_cf_string_keys,
         "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
+        "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
         "hll_distinct_bound": q_hll_distinct_bound,
         "cms_frequency_bound": q_cms_frequency_bound,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
@@ -804,6 +833,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT p_partkey) AS n_probed,
                    count(DISTINCT p_partkey) AS n_hits
             FROM part
+        """,
+        "cf_hash_families_zero_fn": """
+            SELECT count(DISTINCT s_suppkey) AS n_probed,
+                   count(DISTINCT s_suppkey) AS hits_bob,
+                   count(DISTINCT s_suppkey) AS hits_superfast
+            FROM supplier
         """,
         "hll_distinct_bound": """
             SELECT count(DISTINCT l_partkey) AS exact_distinct,
