@@ -423,6 +423,19 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def q_ngram_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard dedup via PPJoin prefix filtering — unlike
+    MinHash-LSH the candidate stage has a recall THEOREM, so the pair
+    set must equal the O(n^2) oracle exactly even at threshold 0.6
+    (below the LSH S-curve's reliable zone)."""
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_ngram
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_pairs_ngram(
+        docs, "doc_id", "text", threshold=0.6
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 3, checked two
     independent ways inside Spark: (a) the production 4×16-bit
@@ -773,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_stats": q_exact_dedup_stats,
         "rolling_fingerprints": q_rolling_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
+        "ngram_near_dups": q_ngram_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "ann_recall_bound": q_ann_recall_bound,
@@ -972,6 +986,32 @@ def oracle_sql() -> dict[str, str]:
                        AS j_e4
             FROM j
             WHERE n_int / greatest(n_union, 1) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_near_dups": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM documents)),
+            j AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s)) AS n_int,
+                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                         AS n_union
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(round(n_int * 10000 / greatest(n_union, 1)) AS BIGINT)
+                       AS j_e4
+            FROM j
+            WHERE n_int / greatest(n_union, 1) >= 0.6
             ORDER BY doc_a, doc_b
         """,
         "simhash_near_dups": """

@@ -299,6 +299,71 @@ def near_dup_pairs_minhash(
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, text: str, *, shingle_k: int = 3,
+    seed: int = 2014,
+) -> DataFrame:
+    """(doc, sh) posting rows: one row per distinct word-k-shingle hash
+    per document (same blake2b shingle hashes as MinHash — one batch
+    UDF emits the array, Spark explodes it)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            _shingle_hashes(t or "", shingle_k, seed).view(np.int64)
+            for t in texts
+        ])
+
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(sh_udf(F.col(text))).alias("sh"),
+    )
+
+
+def near_dup_pairs_ngram(
+    df: DataFrame, id_col: str, text: str, *, threshold: float = 0.6,
+    shingle_k: int = 3, seed: int = 2014, bucket_cap: int | None = 8192,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs by PPJoin-style prefix
+    filtering (Xiao et al., WWW'08; Bayardo et al., WWW'07 — published
+    algorithm, no LSH approximation).
+
+    Candidate generation with a RECALL GUARANTEE: order every doc's
+    shingles by global rarity (document frequency, ties by hash); if
+    J(A,B) >= t then the first ``|x| - ceil(t*|x|) + 1`` shingles of
+    each side must share an element (prefix-filtering principle), so
+    joining only the prefix postings finds every qualifying pair —
+    unlike MinHash-LSH there is no probabilistic miss. Exact-jaccard
+    verification then removes false candidates.
+
+    Scale shape: the df aggregation and the posting self-join move
+    (doc, sh) longs only — never text; prefixes shrink the postings by
+    ~t; hot shingles (boilerplate) are chunk-tiled by
+    ``tiled_band_self_join``; verification touches candidates only."""
+    sh = shingle_hash_rows(
+        df, id_col, text, shingle_k=shingle_k, seed=seed
+    ).persist()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_sh = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    )
+    w = Window.partitionBy("doc").orderBy("dfreq", "sh")
+    prefix = (
+        sh.join(dfreq, "sh")
+        .withColumn("rk", F.row_number().over(w))
+        .join(n_sh, "doc")
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc", "sh")
+    )
+    cands = tiled_band_self_join(
+        prefix, "doc", band_cols=("sh",), bucket_cap=bucket_cap
+    )
+    return verified_jaccard_pairs(
+        df, cands, id_col, text, shingle_k=shingle_k, threshold=threshold
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str, text: str, seed: int = 2014,
     shingle_k: int = 3,

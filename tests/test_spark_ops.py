@@ -557,6 +557,55 @@ def test_lsh_skew_guard_bounds_buckets_same_output(spark):
     assert max_group <= int(2.5 * cap), max_group
 
 
+def test_ngram_prefix_filter_completeness(spark):
+    """PPJoin prefix filtering must find EXACTLY the brute-force pair
+    set (recall theorem, not an S-curve) — checked on a corpus with
+    near-dups straddling the 0.6 threshold, including with an
+    aggressive bucket_cap so the skew tiling is also exercised."""
+    import random
+
+    from cuckoofilter_spark.operators.dedup import (
+        near_dup_pairs_ngram, verified_jaccard_pairs,
+    )
+
+    rnd = random.Random(23)
+    vocab = [f"w{i}" for i in range(300)]
+    base = rnd.choices(vocab, k=80)
+    rows = []
+    for i in range(120):
+        words = list(base)
+        for _ in range(rnd.randrange(0, 40)):  # 0-50% perturbation
+            words[rnd.randrange(len(words))] = rnd.choice(vocab)
+        rows.append((i, " ".join(words)))
+    for i in range(120, 220):
+        rows.append((i, " ".join(rnd.choices(vocab, k=80))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # brute force: verify EVERY pair (candidate set = all pairs)
+    all_pairs = (
+        docs.alias("a").select(F.col("doc_id").alias("doc_a"))
+        .join(
+            docs.alias("b").select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_a") < F.col("doc_b"),
+        )
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["j_e4"])
+        for r in verified_jaccard_pairs(
+            docs, all_pairs, "doc_id", "text", threshold=0.6
+        ).collect()
+    )
+    assert want, "fixture produced no qualifying pairs"
+    for cap in (8192, 32):
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["j_e4"])
+            for r in near_dup_pairs_ngram(
+                docs, "doc_id", "text", threshold=0.6, bucket_cap=cap
+            ).collect()
+        )
+        assert got == want, f"cap={cap}: prefix filter missed pairs"
+
+
 def test_simhash_skew_guard_same_output(spark):
     """Near-identical boilerplate shares ALL four simhash bands — the
     worst skew case (every member of the family meets in 4 buckets).
