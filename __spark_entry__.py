@@ -436,6 +436,26 @@ def q_ngram_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → keep-one: iterative min-label propagation
+    (connected components) over the exact n-gram-Jaccard pair set;
+    the DuckDB oracle recomputes the components with a recursive CTE."""
+    from cuckoofilter_spark.operators.dedup import (
+        dedup_near, duplicate_clusters, near_dup_pairs_ngram,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_ngram(docs, "doc_id", "text", threshold=0.6)
+    pairs = pairs.persist()
+    clusters = duplicate_clusters(pairs)
+    kept = dedup_near(docs, pairs, "doc_id")
+    stats = clusters.agg(
+        F.count(F.lit(1)).alias("n_paired_docs"),
+        F.countDistinct("rep").alias("n_clusters"),
+    )
+    return stats.crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 3, checked two
     independent ways inside Spark: (a) the production 4×16-bit
@@ -787,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": q_rolling_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_near_dups": q_ngram_near_dups,
+        "dup_cluster_stats": q_dup_cluster_stats,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "ann_recall_bound": q_ann_recall_bound,
@@ -1013,6 +1034,40 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE n_int / greatest(n_union, 1) >= 0.6
             ORDER BY doc_a, doc_b
+        """,
+        "dup_cluster_stats": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM documents)),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))
+                    / greatest(len(a.s) + len(b.s)
+                               - len(list_intersect(a.s, b.s)), 1) >= 0.6),
+            e AS (
+              SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM p),
+            reach(doc, r) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc),
+            labels AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc)
+            SELECT count(*) AS n_paired_docs,
+                   count(DISTINCT rep) AS n_clusters,
+                   (SELECT count(*) FROM documents) - count(*)
+                       + count(DISTINCT rep) AS n_kept
+            FROM labels
         """,
         "simhash_near_dups": """
             SELECT count(*) AS n_docs, true AS pairs_agree

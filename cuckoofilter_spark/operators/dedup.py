@@ -299,6 +299,73 @@ def near_dup_pairs_minhash(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, *, max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (doc, rep)
+    where ``rep`` is the minimum doc id of the connected component —
+    the canonical survivor a keep-one dedup retains.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(diameter) rounds (near-dup components are dense clique-ish blobs,
+    so diameter is tiny; the O(log n) large-star/small-star variant is
+    the upgrade path if ever needed). Each round is one shuffle join on
+    the edge list; ``localCheckpoint`` truncates the growing lineage so
+    round N's plan does not replay rounds 1..N-1. Only docs appearing
+    in ``pairs`` are returned (isolated docs are their own rep by
+    definition)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("rep", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.doc)
+            .select(F.col("dst").alias("doc"), "rep")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_near(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+) -> DataFrame:
+    """Keep-one near-dup dedup: drop every doc whose cluster rep is a
+    different (smaller) id; docs in no pair survive untouched."""
+    drop = (
+        duplicate_clusters(pairs)
+        .filter(F.col("doc") != F.col("rep"))
+        .select(F.col("doc").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def shingle_hash_rows(
     df: DataFrame, id_col: str, text: str, *, shingle_k: int = 3,
     seed: int = 2014,

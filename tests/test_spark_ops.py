@@ -557,6 +557,34 @@ def test_lsh_skew_guard_bounds_buckets_same_output(spark):
     assert max_group <= int(2.5 * cap), max_group
 
 
+def test_duplicate_clusters_and_keep_one(spark):
+    """Connected components over a known pair graph: a 4-chain (path,
+    diameter 3 — exercises multi-round propagation), a triangle, and a
+    2-pair. Reps must be the component minima; dedup_near keeps only
+    reps plus unpaired docs."""
+    from cuckoofilter_spark.operators.dedup import (
+        dedup_near, duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                        # pair
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc"]: r["rep"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"]
+                  for r in dedup_near(docs, pairs, "doc_id").collect())
+    assert kept == [1, 10, 20, 99]
+
+
 def test_ngram_prefix_filter_completeness(spark):
     """PPJoin prefix filtering must find EXACTLY the brute-force pair
     set (recall theorem, not an S-curve) — checked on a corpus with
