@@ -149,3 +149,29 @@ def test_lsh_near_dup_pairs_high_threshold(spark):
         for r in cosine_near_dup_pairs(emb, threshold=0.9).collect()
     )
     assert got == want and len(got) >= 20
+
+
+def test_text_candidate_joins_have_no_cartesian(spark):
+    """Every banded/prefix candidate self-join (minhash, simhash,
+    n-gram prefix) must compile to equi-joins — never CartesianProduct
+    or BroadcastNestedLoopJoin, whatever the skew-tiling decides."""
+    from cuckoofilter_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, near_dup_pairs_ngram,
+        near_dup_pairs_simhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    plans = {
+        "minhash": explain_str(
+            lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text"))
+        ),
+        "simhash": explain_str(
+            near_dup_pairs_simhash(docs, "doc_id", "text")
+        ),
+        "ngram": explain_str(
+            near_dup_pairs_ngram(docs, "doc_id", "text", threshold=0.6)
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
