@@ -247,6 +247,33 @@ def q_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_by_group_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mergeable sketch UDAF (partial mapInPandas combine →
+    blob-only shuffle → final merge): per-event_type HLL distinct
+    user_id within the published 3-sigma bound of the exact count."""
+    import math
+
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    events = _read(spark, sf_dir, "events")
+    est = grouped_sketch_agg(
+        events, "event_type", "user_id", kind="hll", p=14, seed=7
+    ).select("event_type", "estimate")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    rel = 3 * 1.04 / math.sqrt(1 << 14)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "n_exact",
+            (F.abs(F.col("estimate") - F.col("n_exact"))
+             <= rel * F.col("n_exact") + 3).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_cms_frequency_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min point queries: estimate ≥ truth, overshoot ≤ eps·N,
     checked on the 20 most frequent l_partkey values."""
@@ -797,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
         "hll_distinct_bound": q_hll_distinct_bound,
         "cms_frequency_bound": q_cms_frequency_bound,
+        "hll_by_group_bound": q_hll_by_group_bound,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "kll_quantile_bound": q_kll_quantile_bound,
         "pricing_summary": q_pricing_summary,
@@ -879,6 +907,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT l_partkey) AS exact_distinct,
                    true AS within_bound
             FROM lineitem
+        """,
+        "hll_by_group_bound": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_exact,
+                   true AS within_bound
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "cms_frequency_bound": """
             WITH top AS (

@@ -1,0 +1,110 @@
+"""Grouped mergeable sketch aggregation — the sketch-as-UDAF surface.
+
+``df.groupBy(g).agg(sketch(col))`` semantics with the partial+final
+contract a JVM UDAF would get, built from the two Spark primitives
+that preserve it in Python:
+
+- **partial** — ``mapInPandas`` over the raw input: each task folds
+  its Arrow batches into ONE sketch per group it sees (true map-side
+  combine: no shuffle of raw rows, zero per-row Python), emitting tiny
+  ``(group, blob)`` rows.
+- **final** — ``applyInPandas`` per group over the partial blobs:
+  deserialize, ``merge`` (the sketches' associative-commutative merge
+  — order across tasks is nondeterministic, which is exactly why the
+  UDAF contract demands it), emit the merged blob plus its scalar
+  readout.
+
+The shuffle therefore carries one blob per (task, group) — KB per
+group at any input scale — the same wire discipline as the global
+``build_sketch_shards``/``tree_merge`` pipeline (reference parity:
+the filter's own distributive build, SURVEY.md §2.9 aggregations).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.core.registry import make_sketch, sketch_from_bytes
+
+# per-kind scalar readout of a merged sketch: (column name, fn)
+_READOUTS = {
+    "hll": ("estimate", lambda sk: float(sk.estimate())),
+    "cuckoo": ("n_items", lambda sk: float(sk.size)),
+    "semisort": ("n_items", lambda sk: float(sk.size)),
+    "bloom": ("size_bytes", lambda sk: float(sk.size_in_bytes)),
+    "cms": ("size_bytes", lambda sk: float(len(sk.to_bytes()))),
+    "tdigest": ("p50", lambda sk: float(sk.quantile(0.5))),
+    "kll": ("p50", lambda sk: float(sk.quantile(0.5))),
+}
+_VALUE_KINDS = ("tdigest", "kll")
+
+
+def _keys_array(series: pd.Series, value_based: bool) -> np.ndarray:
+    vals = series.dropna()
+    if value_based:
+        return vals.to_numpy(dtype=np.float64)
+    return vals.to_numpy(dtype=np.int64).view(np.uint64)
+
+
+def grouped_sketch_agg(
+    df: DataFrame, group_col: str, column: str, *, kind: str = "hll",
+    **params,
+) -> DataFrame:
+    """One mergeable sketch per group: returns
+    ``(group_col, sketch binary, <readout> double)``.
+
+    ``column`` must be numeric (int keys for membership/distinct
+    kinds, any numeric for tdigest/kll); pre-hash strings JVM-side
+    with ``build.string_key_expr`` — the shuffle should never carry
+    raw strings."""
+    if kind not in _READOUTS:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+    readout_name, readout = _READOUTS[kind]
+    value_based = kind in _VALUE_KINDS
+    src = df.select(F.col(group_col).alias("g"), F.col(column).alias("v"))
+    partial_schema = "g string, blob binary"
+    out_schema = (
+        f"{group_col} string, sketch binary, {readout_name} double"
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict = {}
+        for pdf in batches:
+            for g, vals in pdf.groupby("g", sort=False)["v"]:
+                keys = _keys_array(vals, value_based)
+                if not len(keys):
+                    continue
+                sk = sketches.get(g)
+                if sk is None:
+                    sk = sketches[g] = make_sketch(kind, **params)
+                sk.add_many(keys)
+        if sketches:
+            yield pd.DataFrame(
+                {
+                    "g": [str(g) for g in sketches],
+                    "blob": [sk.to_bytes() for sk in sketches.values()],
+                }
+            )
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = None
+        for blob in pdf["blob"]:
+            sk = sketch_from_bytes(bytes(blob))
+            merged = sk if merged is None else merged.merge(sk)
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "sketch": [merged.to_bytes()],
+                readout_name: [readout(merged)],
+            }
+        )
+
+    partials = src.withColumn("g", F.col("g").cast("string")).mapInPandas(
+        partial, partial_schema
+    )
+    return partials.groupBy("g").applyInPandas(final, out_schema)

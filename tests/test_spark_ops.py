@@ -557,6 +557,63 @@ def test_lsh_skew_guard_bounds_buckets_same_output(spark):
     assert max_group <= int(2.5 * cap), max_group
 
 
+def test_grouped_sketch_agg_hll_and_tdigest(spark):
+    """Per-group mergeable sketch UDAF: HLL estimates within the
+    published 3sigma bound of exact per-group distincts; t-digest p50
+    within the per-group value range; blobs re-mergeable across two
+    half-builds (associativity at the group level)."""
+    import math
+
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r["event_type"]: (r["estimate"], bytes(r["sketch"]))
+        for r in grouped_sketch_agg(
+            events, "event_type", "user_id", kind="hll", p=14, seed=7
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(exact)
+    rel = 3 * 1.04 / math.sqrt(1 << 14)
+    for et, n in exact.items():
+        est, _ = got[et]
+        assert abs(est - n) <= rel * n + 3, (et, est, n)
+
+    # group-level merge associativity: two half-builds merge to the
+    # same estimate as the single-pass build
+    half1, half2 = events.randomSplit([0.5, 0.5], seed=4)
+    m1 = {r["event_type"]: bytes(r["sketch"]) for r in grouped_sketch_agg(
+        half1, "event_type", "user_id", kind="hll", p=14, seed=7).collect()}
+    m2 = {r["event_type"]: bytes(r["sketch"]) for r in grouped_sketch_agg(
+        half2, "event_type", "user_id", kind="hll", p=14, seed=7).collect()}
+    for et in got:
+        merged = sketch_from_bytes(m1[et]).merge(sketch_from_bytes(m2[et]))
+        assert abs(merged.estimate() - got[et][0]) < 1e-9
+
+    td = {
+        r["event_type"]: r["p50"]
+        for r in grouped_sketch_agg(
+            events, "event_type", "value", kind="tdigest", seed=7
+        ).collect()
+    }
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in events.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.4)").alias("lo"),
+            F.expr("percentile(value, 0.6)").alias("hi"),
+        ).collect()
+    }
+    for et, p50 in td.items():
+        lo, hi = bounds[et]
+        assert lo <= p50 <= hi, (et, p50, lo, hi)
+
+
 def test_duplicate_clusters_and_keep_one(spark):
     """Connected components over a known pair graph: a 4-chain (path,
     diameter 3 — exercises multi-round propagation), a triangle, and a
