@@ -175,3 +175,24 @@ def test_text_candidate_joins_have_no_cartesian(spark):
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_grouped_sketch_agg_shuffles_blobs_not_rows(spark):
+    """The grouped sketch UDAF must have the partial/final shape: the
+    map-side combine (MapInPandas) runs BEFORE the exchange, so the
+    shuffle carries (group, blob) rows, never raw input rows."""
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = explain_str(
+        grouped_sketch_agg(events, "event_type", "user_id", kind="hll", p=12)
+    )
+    map_in = plan.find("MapInPandas")
+    assert map_in != -1
+    # the only exchange sits after (deeper in the printed tree = above
+    # in execution) the MapInPandas partial; nothing shuffles below it
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    assert first_exchange < map_in, (
+        "raw-row exchange below the partial combine"
+    )
