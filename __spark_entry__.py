@@ -205,6 +205,40 @@ def q_cf_tabulation_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokens_array_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule input shape: a filter built over an ARRAY column
+    (documents tokenized to array<string>, hashed JVM-side inside the
+    build's explode→distinct shuffle) — every distinct token must
+    probe true. Collision-proof accounting: counts are of distinct
+    WORDS (same split semantics as the DuckDB oracle), and a hash
+    collision can only merge filter keys, never create a false
+    negative."""
+    from cuckoofilter_spark.operators.build import (
+        build_sketch_shards, string_key_expr,
+    )
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    words_arr = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit("")
+    )
+    toks = docs.select(words_arr.alias("tokens"))
+    vocab = toks.select(F.explode("tokens").alias("w")).distinct()
+    n = vocab.count()
+    shards = build_sketch_shards(
+        toks, "tokens", kind="cuckoo", lineage=False,
+        max_num_keys=int(n * 1.3) + 64, bits_per_item=16, seed=2014,
+        strategy="shuffle_distinct", shuffle_partitions=8,
+    )
+    blob = merge_shards_to_blob(shards, dedup=False)
+    probe = might_contain_udf(spark, blob)
+    return vocab.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(probe(string_key_expr("w")).cast("long")).alias("n_hits"),
+    )
+
+
 def q_cf_hash_families_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining reference hash kernels as filter families: BobHash
     (lookup3 hashlittle2, src/hashutil.cc:319-593) and SuperFastHash
@@ -822,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_string_keys": q_cf_string_keys,
         "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
         "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
+        "tokens_array_zero_fn": q_tokens_array_zero_fn,
         "hll_distinct_bound": q_hll_distinct_bound,
         "cms_frequency_bound": q_cms_frequency_bound,
         "hll_by_group_bound": q_hll_by_group_bound,
@@ -902,6 +937,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT s_suppkey) AS hits_bob,
                    count(DISTINCT s_suppkey) AS hits_superfast
             FROM supplier
+        """,
+        "tokens_array_zero_fn": r"""
+            WITH w AS (
+              SELECT DISTINCT unnest(list_filter(
+                regexp_split_to_array(trim(text), '\s+'),
+                x -> x != '')) AS word
+              FROM documents)
+            SELECT count(*) AS n_vocab, count(*) AS n_hits FROM w
         """,
         "hll_distinct_bound": """
             SELECT count(DISTINCT l_partkey) AS exact_distinct,
