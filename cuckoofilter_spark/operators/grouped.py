@@ -73,12 +73,15 @@ def grouped_sketch_agg(
     )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # dropna=False: SQL GROUP BY keeps the NULL group — pandas
+        # silently drops it by default, which would lose rows
         sketches: dict = {}
         for pdf in batches:
-            for g, vals in pdf.groupby("g", sort=False)["v"]:
+            for g, vals in pdf.groupby("g", sort=False, dropna=False)["v"]:
                 keys = _keys_array(vals, value_based)
                 if not len(keys):
                     continue
+                g = None if pd.isna(g) else g
                 sk = sketches.get(g)
                 if sk is None:
                     sk = sketches[g] = make_sketch(kind, **params)
@@ -86,12 +89,12 @@ def grouped_sketch_agg(
         if sketches:
             yield pd.DataFrame(
                 {
-                    "g": [str(g) for g in sketches],
+                    "g": list(sketches.keys()),
                     "blob": [sk.to_bytes() for sk in sketches.values()],
                 }
             )
 
-    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def final(key, pdf):
         merged = None
         for blob in pdf["blob"]:
             sk = sketch_from_bytes(bytes(blob))

@@ -613,6 +613,20 @@ def test_grouped_sketch_agg_hll_and_tdigest(spark):
         lo, hi = bounds[et]
         assert lo <= p50 <= hi, (et, p50, lo, hi)
 
+    # SQL GROUP BY semantics: NULL group kept, NULL values skipped
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), (None, 3), ("b", None), ("b", 7)],
+        "g string, v long",
+    )
+    small = {
+        r["g"]: r["estimate"]
+        for r in grouped_sketch_agg(df, "g", "v", kind="hll", p=12,
+                                    seed=1).collect()
+    }
+    assert abs(small["a"] - 2) < 0.5
+    assert abs(small[None] - 1) < 0.5
+    assert abs(small["b"] - 1) < 0.5
+
 
 def test_duplicate_clusters_and_keep_one(spark):
     """Connected components over a known pair graph: a 4-chain (path,
