@@ -199,6 +199,17 @@ def main() -> None:
     ).count()
     queries["ivf_topk"] = time.time() - t0
 
+    # -- q7g: per-group mergeable HLL UDAF over events ---------------------
+    t0 = time.time()
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    grows = grouped_sketch_agg(
+        events, "event_type", "user_id", kind="hll", p=14, seed=7
+    ).collect()
+    extra["hll_groups"] = len(grows)
+    queries["hll_by_group"] = time.time() - t0
+
     # -- q8: reference-shaped single-node microbench (conext-figure5 /
     # bulk-insert-and-query analog): core numpy kernels, no Spark —
     # directly comparable to BASELINE.md's single-machine numbers.
