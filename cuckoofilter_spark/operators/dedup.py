@@ -328,6 +328,7 @@ def duplicate_clusters(
         .withColumn("rep", F.col("doc"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.doc)
@@ -348,8 +349,16 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a silently-unconverged label table would split components
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter — raise max_iter or "
+            f"switch to large-star/small-star)"
+        )
     return labels
 
 

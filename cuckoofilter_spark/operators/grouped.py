@@ -61,7 +61,13 @@ def grouped_sketch_agg(
     ``column`` must be numeric (int keys for membership/distinct
     kinds, any numeric for tdigest/kll); pre-hash strings JVM-side
     with ``build.string_key_expr`` — the shuffle should never carry
-    raw strings."""
+    raw strings.
+
+    Memory shape: each task holds one live sketch per group IT SEES
+    (KBs each), so this targets moderate group cardinality (up to
+    ~10^4 groups per task, like any in-memory partial agg). For
+    higher-cardinality groups pre-repartition by the group column so
+    each task sees few groups."""
     if kind not in _READOUTS:
         raise ValueError(f"unknown sketch kind {kind!r}")
     readout_name, readout = _READOUTS[kind]
