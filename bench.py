@@ -229,11 +229,12 @@ def main() -> None:
     finds = {}
     for rate in (0.0, 0.25, 0.5, 0.75, 1.0):
         q = mix_in(add_set, lookup_set, rate, seed=7)
-        t1 = time.time()
-        hits = core.contains_many(q)
-        finds[f"{int(rate * 100)}%"] = round(
-            len(q) / (time.time() - t1) / 1e6, 2
-        )
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the shared VM's CPU noise >2x
+            t1 = time.time()
+            hits = core.contains_many(q)
+            best = min(best, time.time() - t1)
+        finds[f"{int(rate * 100)}%"] = round(len(q) / best / 1e6, 2)
         if rate == 0.0:
             extra["core_fpr_pct"] = round(float(hits.mean()) * 100, 4)
         if rate == 1.0:
