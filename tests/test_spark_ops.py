@@ -780,3 +780,17 @@ def test_ivf_topk_recall_and_plan(spark):
     a = sorted(tuple(r) for r in approx.collect())
     b = sorted(tuple(r) for r in again.collect())
     assert a == b
+
+    # Lloyd refinement: recall at the SAME nprobe must not degrade
+    # (tighter, balanced cells), and refined runs stay deterministic
+    refined = ivf_topk(
+        emb, q, k=10, n_cells=32, nprobe=16, seed=2014, refine_iters=2
+    )
+    rec_r = ann_recall(exact, refined).agg(F.avg("recall_e4")).collect()[0][0]
+    assert rec_r >= rec - 500, (rec_r, rec)  # no material regression
+    refined2 = ivf_topk(
+        emb, q, k=10, n_cells=32, nprobe=16, seed=2014, refine_iters=2
+    )
+    assert sorted(tuple(r) for r in refined.collect()) == sorted(
+        tuple(r) for r in refined2.collect()
+    )
