@@ -237,6 +237,17 @@ def test_multimodal_plumbing(spark):
         extract_features(media, decoder="real").collect()
 
 
+def test_read_tokens_parquet_fallback(spark):
+    """No Iceberg runtime jar in this sandbox: read_tokens must fall
+    through to the Parquet reader transparently."""
+    from cuckoofilter_spark.sources.ingest import read_table, read_tokens
+
+    df = read_tokens(spark, f"{SF_DIR}/documents.parquet")
+    assert df.count() > 0 and "doc_id" in df.columns
+    with pytest.raises(KeyError):
+        read_table(spark, SF_DIR, "nope")
+
+
 def test_multimodal_resize_and_frames(spark):
     """Resize: output blob is exactly width*height bytes and equals the
     nearest-neighbor resample of the input. Frame sampling: stride-2
