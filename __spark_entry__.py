@@ -502,19 +502,23 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (connected components) over the exact n-gram-Jaccard pair set;
     the DuckDB oracle recomputes the components with a recursive CTE."""
     from cuckoofilter_spark.operators.dedup import (
-        dedup_near, duplicate_clusters, near_dup_pairs_ngram,
+        duplicate_clusters, near_dup_pairs_ngram,
     )
 
     docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
     pairs = near_dup_pairs_ngram(docs, "doc_id", "text", threshold=0.6)
-    pairs = pairs.persist()
     clusters = duplicate_clusters(pairs)
-    kept = dedup_near(docs, pairs, "doc_id")
-    stats = clusters.agg(
+    # keep-one arithmetic (dedup_near itself is pytest-covered): every
+    # paired doc except its cluster rep is dropped
+    return clusters.agg(
         F.count(F.lit(1)).alias("n_paired_docs"),
         F.countDistinct("rep").alias("n_clusters"),
+    ).select(
+        "n_paired_docs", "n_clusters",
+        (F.lit(n_docs) - F.col("n_paired_docs") + F.col("n_clusters"))
+        .alias("n_kept"),
     )
-    return stats.crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
