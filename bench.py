@@ -106,24 +106,30 @@ def main() -> None:
     extra["probe_hits"] = int(n_hits)
 
     # -- q2b: semi-sorted (f=13, 12 bits/tag) build — ss-CF baseline row
-    t0 = time.time()
-    ss_shards = build_sketch_shards(
-        tokens, "tokens", kind="semisort", lineage=False,
-        max_num_keys=1 << 21, bits_per_item=13, seed=7,
-        strategy="shuffle_distinct",
-    )
-    ss_blob = merge_shards_to_blob(ss_shards, dedup=True, fanout=16)
-    queries["build_semisort"] = time.time() - t0
+    times = []
+    for _ in range(2):  # min-of-2 vs VM noise, like q1
+        t0 = time.time()
+        ss_shards = build_sketch_shards(
+            tokens, "tokens", kind="semisort", lineage=False,
+            max_num_keys=1 << 21, bits_per_item=13, seed=7,
+            strategy="shuffle_distinct",
+        )
+        ss_blob = merge_shards_to_blob(ss_shards, dedup=True, fanout=16)
+        times.append(time.time() - t0)
+    queries["build_semisort"] = min(times)
     extra["semisort_blob_bytes"] = len(ss_blob)
 
     # -- q3: bloom build over the same stream ---------------------------
-    t0 = time.time()
-    bshards = build_sketch_shards(
-        tokens, "tokens", kind="bloom", lineage=False,
-        log_num_buckets=16, seed=7,
-    )
-    merge_shards_to_blob(bshards, dedup=False, fanout=16)
-    queries["build_bloom"] = time.time() - t0
+    times = []
+    for _ in range(2):  # min-of-2 vs VM noise, like q1
+        t0 = time.time()
+        bshards = build_sketch_shards(
+            tokens, "tokens", kind="bloom", lineage=False,
+            log_num_buckets=16, seed=7,
+        )
+        merge_shards_to_blob(bshards, dedup=False, fanout=16)
+        times.append(time.time() - t0)
+    queries["build_bloom"] = min(times)
 
     # -- q4: HLL distinct tokens ----------------------------------------
     t0 = time.time()
