@@ -301,6 +301,7 @@ def near_dup_pairs_minhash(
 
 def duplicate_clusters(
     pairs: DataFrame, *, max_iter: int = 25,
+    pair_cols: tuple = ("doc_a", "doc_b"),
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: (doc, rep)
     where ``rep`` is the minimum doc id of the connected component —
@@ -315,10 +316,10 @@ def duplicate_clusters(
     round N's plan does not replay rounds 1..N-1. Only docs appearing
     in ``pairs`` are returned (isolated docs are their own rep by
     definition)."""
+    ca, cb = pair_cols
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(
-            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
+        .union(pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst")))
         .distinct()
         .persist()
     )
@@ -364,11 +365,14 @@ def duplicate_clusters(
 
 def dedup_near(
     df: DataFrame, pairs: DataFrame, id_col: str,
+    pair_cols: tuple = ("doc_a", "doc_b"),
 ) -> DataFrame:
     """Keep-one near-dup dedup: drop every doc whose cluster rep is a
-    different (smaller) id; docs in no pair survive untouched."""
+    different (smaller) id; docs in no pair survive untouched. Works
+    over any pair source (minhash/simhash/ngram text pairs, or
+    embedding pairs via ``pair_cols=("id_a", "id_b")``)."""
     drop = (
-        duplicate_clusters(pairs)
+        duplicate_clusters(pairs, pair_cols=pair_cols)
         .filter(F.col("doc") != F.col("rep"))
         .select(F.col("doc").alias(id_col))
     )

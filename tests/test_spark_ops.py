@@ -666,6 +666,19 @@ def test_duplicate_clusters_and_keep_one(spark):
                   for r in dedup_near(docs, pairs, "doc_id").collect())
     assert kept == [1, 10, 20, 99]
 
+    # composes with embedding near-dup pairs (id_a/id_b columns)
+    from cuckoofilter_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    epairs = cosine_near_dup_pairs_blocked(emb, threshold=0.44, n_blocks=4)
+    reps = duplicate_clusters(epairs, pair_cols=("id_a", "id_b")).collect()
+    assert len(reps) > 0
+    by_doc = {r["doc"]: r["rep"] for r in reps}
+    for doc, rep in by_doc.items():
+        assert rep <= doc and by_doc[rep] == rep  # rep is component min
+
 
 def test_ngram_prefix_filter_completeness(spark):
     """PPJoin prefix filtering must find EXACTLY the brute-force pair
