@@ -344,6 +344,19 @@ def _rank_of(df: DataFrame, column: str, values) -> np.ndarray:
     return np.array([row[f"r{i}"] / n for i in range(len(values))])
 
 
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-pruned EXACT heavy hitters: count-min's one-sided error
+    means the broadcast-estimate filter can never drop a true hitter,
+    so the candidate-only groupBy returns exactly the DuckDB HAVING
+    answer — sketch-accelerated plan, exact result."""
+    from cuckoofilter_spark.operators.approx import heavy_hitters
+
+    events = _read(spark, sf_dir, "events")
+    return heavy_hitters(
+        events, "user_id", threshold=75, eps=1e-4, delta=0.01, seed=7
+    ).orderBy("user_id")
+
+
 def q_tdigest_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(δ=200) quantiles of o_totalprice: rank error ≤ 0.02."""
     from cuckoofilter_spark.operators.approx import approx_quantiles
@@ -864,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_bound": q_hll_distinct_bound,
         "cms_frequency_bound": q_cms_frequency_bound,
         "hll_by_group_bound": q_hll_by_group_bound,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "kll_quantile_bound": q_kll_quantile_bound,
         "pricing_summary": q_pricing_summary,
@@ -962,6 +976,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "heavy_hitters_exact": """
+            SELECT user_id, count(*) AS n
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) >= 75
+            ORDER BY user_id
         """,
         "cms_frequency_bound": """
             WITH top AS (

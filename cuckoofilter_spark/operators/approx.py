@@ -15,6 +15,7 @@ oracles in tests — NOT the implementation (BASELINE.json north_rule).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from cuckoofilter_spark.operators.build import build_sketch_shards
@@ -75,3 +76,59 @@ def approx_quantiles(df: DataFrame, column: str, qs, kind: str = "tdigest",
         df, column, **params
     )
     return np.asarray(sk.quantiles(list(qs)), dtype=np.float64)
+
+
+def cms_estimate_udf(spark, blob: bytes):
+    """Column-function ``f(int col) -> long``: broadcast count-min
+    point estimate (one-sided: never below the true frequency). Null
+    keys estimate null."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from cuckoofilter_spark.operators.probe import _get_filter
+
+    bc = spark.sparkContext.broadcast(bytes(blob))
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf(LongType())
+    def est(s: pd.Series) -> pd.Series:
+        sk = _get_filter(bc, cache_key)
+        keys = s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        counts = sk.query_many(keys).astype(np.int64)
+        na = s.isna().to_numpy()
+        if na.any():
+            out = pd.array(counts, dtype="Int64")
+            out[na] = None
+            return pd.Series(out, dtype="Int64")
+        return pd.Series(counts)
+
+    return est
+
+
+def heavy_hitters(df: DataFrame, column: str, threshold: int, *,
+                  eps: float = 1e-4, delta: float = 0.01,
+                  seed: int = 2014) -> DataFrame:
+    """Exact heavy hitters with a CMS-pruned plan: keys occurring
+    ``>= threshold`` times, as (key, n) — EXACT results, approximate
+    only in how little work the plan does.
+
+    Two passes: (1) a merged count-min over the column; (2) rows whose
+    CMS estimate clears the threshold survive a broadcast-probe filter
+    and only they enter the exact groupBy. Because count-min is
+    one-sided (estimate >= true count, Cormode-Muthukrishnan), NO true
+    hitter is pruned — the final exact count filter removes the
+    overestimated stragglers. At heavy-hitter selectivity the shuffle
+    shrinks from all-keys to candidates-only, the same
+    filter-before-join discipline as ``cf_semijoin``."""
+    from pyspark.sql import functions as F
+
+    sk = cms_sketch(df, column, eps=eps, delta=delta, seed=seed)
+    est = cms_estimate_udf(df.sparkSession, sk.to_bytes())
+    cand = df.filter(est(F.col(column)) >= int(threshold))
+    return (
+        cand.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(threshold))
+    )

@@ -568,6 +568,35 @@ def test_lsh_skew_guard_bounds_buckets_same_output(spark):
     assert max_group <= int(2.5 * cap), max_group
 
 
+def test_heavy_hitters_exact_and_pruning(spark):
+    """CMS-pruned heavy hitters must equal the exact groupBy/HAVING
+    answer (one-sided CMS error => zero false negatives), and the
+    candidate filter must actually prune on a skewed corpus."""
+    from cuckoofilter_spark.operators.approx import (
+        cms_estimate_udf, cms_sketch, heavy_hitters,
+    )
+
+    # skewed synthetic: key k appears ~2^(10-k) times
+    rows = [(k,) for k in range(11) for _ in range(1 << (10 - k))]
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    got = sorted((r["k"], r["n"]) for r in
+                 heavy_hitters(df, "k", threshold=128, eps=1e-3,
+                               seed=3).collect())
+    want = sorted(
+        (r["k"], r["n"]) for r in
+        df.groupBy("k").count().withColumnRenamed("count", "n")
+        .filter(F.col("n") >= 128).collect()
+    )
+    assert got == want and len(got) == 4  # k=0..3 (1024,512,256,128)
+
+    # pruning: the estimate filter keeps only candidate ROWS
+    sk = cms_sketch(df, "k", eps=1e-3, seed=3)
+    est = cms_estimate_udf(spark, sk.to_bytes())
+    n_cand = df.filter(est(F.col("k")) >= 128).count()
+    assert n_cand < df.count()  # tail keys' rows were pruned
+    assert n_cand >= 1024 + 512 + 256 + 128  # no hitter row lost
+
+
 def test_grouped_sketch_agg_hll_and_tdigest(spark):
     """Per-group mergeable sketch UDAF: HLL estimates within the
     published 3sigma bound of exact per-group distincts; t-digest p50
