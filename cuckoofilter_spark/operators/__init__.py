@@ -17,6 +17,11 @@ from cuckoofilter_spark.operators.dedup import (  # noqa: F401
     near_dup_pairs_simhash,
 )
 from cuckoofilter_spark.operators.delete import delete_from_shards  # noqa: F401
+from cuckoofilter_spark.operators.approx import (  # noqa: F401
+    approx_distinct,
+    approx_quantiles,
+    heavy_hitters,
+)
 from cuckoofilter_spark.operators.grouped import grouped_sketch_agg  # noqa: F401
 from cuckoofilter_spark.operators.merge import (  # noqa: F401
     merge_shards_to_blob,
