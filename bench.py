@@ -249,6 +249,16 @@ def main() -> None:
             assert bool(hits.all()), "false negative in core sweep"
     extra["core_find_mkeys_per_sec"] = finds
     extra["core_bits_per_item"] = round(core.bits_per_item, 2)
+    # Statistics-printer parity (benchmarks/bulk-insert-and-query.cc:69-120):
+    # optimal bits = log2(1/eps); wasted space = bits/item over optimal
+    if extra["core_fpr_pct"] > 0:
+        import math
+
+        opt = math.log2(100.0 / extra["core_fpr_pct"])
+        extra["core_optimal_bits_per_item"] = round(opt, 2)
+        extra["core_wasted_space_pct"] = round(
+            (core.bits_per_item / opt - 1) * 100, 1
+        )
     queries["core_microbench"] = time.time() - t0
 
     # conext-table3 analog (capability metric, NOT part of the timed
