@@ -67,15 +67,21 @@ def grouped_sketch_agg(
     (KBs each), so this targets moderate group cardinality (up to
     ~10^4 groups per task, like any in-memory partial agg). For
     higher-cardinality groups pre-repartition by the group column so
-    each task sees few groups."""
+    each task sees few groups.
+
+    The group column keeps its input type. Caveat (Arrow→pandas): an
+    integer group column that contains NULLs arrives in the partial as
+    float64, so int group ids above 2^53 mixed with NULL groups would
+    lose precision — cast such ids to string upstream."""
     if kind not in _READOUTS:
         raise ValueError(f"unknown sketch kind {kind!r}")
     readout_name, readout = _READOUTS[kind]
     value_based = kind in _VALUE_KINDS
     src = df.select(F.col(group_col).alias("g"), F.col(column).alias("v"))
-    partial_schema = "g string, blob binary"
+    g_type = df.schema[group_col].dataType.simpleString()  # type-preserving
+    partial_schema = f"g {g_type}, blob binary"
     out_schema = (
-        f"{group_col} string, sketch binary, {readout_name} double"
+        f"{group_col} {g_type}, sketch binary, {readout_name} double"
     )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,7 +119,5 @@ def grouped_sketch_agg(
             }
         )
 
-    partials = src.withColumn("g", F.col("g").cast("string")).mapInPandas(
-        partial, partial_schema
-    )
+    partials = src.mapInPandas(partial, partial_schema)
     return partials.groupBy("g").applyInPandas(final, out_schema)

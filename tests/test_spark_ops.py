@@ -667,6 +667,15 @@ def test_grouped_sketch_agg_hll_and_tdigest(spark):
     assert abs(small[None] - 1) < 0.5
     assert abs(small["b"] - 1) < 0.5
 
+    # group column type is preserved (long stays long, incl. null group)
+    dfi = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (None, 13)], "g long, v long"
+    )
+    out = grouped_sketch_agg(dfi, "g", "v", kind="hll", p=12, seed=1)
+    assert out.schema["g"].dataType.simpleString() == "bigint"
+    ints = {r["g"]: round(r["estimate"]) for r in out.collect()}
+    assert ints == {1: 2, 2: 1, None: 1}
+
 
 def test_duplicate_clusters_and_keep_one(spark):
     """Connected components over a known pair graph: a 4-chain (path,
