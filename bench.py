@@ -274,6 +274,9 @@ def main() -> None:
         if (st_codes != 0).any():
             break
     extra["core_fill_load_at_failure"] = round(fill.load_factor, 4)
+    # table3 parity row: bits/item AT the achieved fill load
+    # (reference: 12.60 bits/item at 0.95 load, f=12)
+    extra["core_fill_bits_per_item"] = round(fill.bits_per_item, 2)
 
     # previous-round side-by-side: latest BENCH_r*.json committed by
     # the driver, so every round's numbers carry their predecessor
