@@ -1,4 +1,6 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, exact
+n-gram-Jaccard (PPJoin prefix filtering), and cluster resolution
+(connected components + keep-one).
 
 Designed for the 100 TB shape of the problem:
 
