@@ -258,6 +258,9 @@ class SemiSortCuckooFilter(CuckooFilter):
          family) = struct.unpack("<4sBBBxQQQQIBB2x", blob[:hdr])
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad semisort blob")
+        if not 5 <= f <= 32:
+            # corrupted f would drive >=64-bit shifts in the decoder
+            raise ValueError(f"bad semisort blob: f={f} out of range")
         obj = cls.__new__(cls)
         # direct geometry — do NOT run the sizing heuristic against
         # nb*ASSOC (its 0.96 guard would double num_buckets and
@@ -272,6 +275,12 @@ class SemiSortCuckooFilter(CuckooFilter):
             body = zlib.decompress(body)
         if kind in (1, 3):
             obj.table = obj._unpack_buckets(body)
+            if obj.table.shape[0] != nb:
+                # header/body disagreement = corruption, not a table
+                raise ValueError(
+                    f"bad semisort blob: header num_buckets={nb} but "
+                    f"body decodes {obj.table.shape[0]} buckets"
+                )
         else:
             dtype = np.uint32 if f > 16 else np.uint16
             obj.table = (
