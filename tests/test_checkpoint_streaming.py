@@ -199,6 +199,26 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
     stats = json.loads(r2.stdout.strip().splitlines()[-1])
     assert stats["hits"] == stats["rows"], "false negatives via job path"
 
+    # dedup job: same --py-files path, documents corpus, minhash method
+    out_docs = str(tmp_path / "docs_dedup")
+    r3 = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.host=127.0.0.1",
+            "--py-files", zip_path,
+            os.path.join(repo, "jobs", "dedup_corpus.py"),
+            "--input", f"{SF_DIR_SMALL}/documents.parquet",
+            "--method", "minhash", "--threshold", "0.8",
+            "--output", out_docs,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    dstats = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert 0 < dstats["rows_out"] <= dstats["rows_in"]
+    assert dstats["near_dup_pairs"] >= 0
+
 
 def test_streaming_watermark_windowed_agg(spark, tmp_path):
     """Watermarked tumbling-window aggregation in APPEND mode — the
