@@ -747,6 +747,39 @@ def q_streaming_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over micro-batches: the union of per-batch
+    survivors must keep exactly one row per distinct normalized text —
+    cross-batch duplicates die against the persisted filter state.
+    f=32 makes the sketch false-drop probability ~1e-6 per round —
+    negligible against the oracle's exact distinct count."""
+    import os
+    import tempfile
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_dedup,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cfdedup_")
+    src = os.path.join(tmp, "src")
+    docs.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = os.path.join(tmp, "out")
+    run_streaming_dedup(
+        stream, "doc_id", "text", out_dir=out,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        capacity=200_000, bits_per_item=32, seed=5,
+    )
+    kept = spark.read.parquet(os.path.join(out, "data", "batch=*"))
+    return docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def q_checkpoint_resume_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed build + tree merge with manifest/lineage; the
     second call resumes from the shard stage instead of rebuilding."""
@@ -902,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_parts_per_brand": q_top3_parts_per_brand,
         "events_sessionization": q_events_sessionization,
         "streaming_filter_build": q_streaming_filter_build,
+        "streaming_dedup": q_streaming_dedup,
         "checkpoint_resume_build": q_checkpoint_resume_build,
     }
 
@@ -1231,6 +1265,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT l_orderkey) AS n_probed,
                    count(DISTINCT l_orderkey) AS n_hits
             FROM lineitem
+        """,
+        "streaming_dedup": r"""
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                     '\s+', ' ', 'g')))
+                       AS n_kept
+            FROM documents
         """,
         "checkpoint_resume_build": """
             SELECT count(DISTINCT c_custkey) AS n_probed,

@@ -114,3 +114,88 @@ def streaming_distinct_by_key(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_streaming_dedup(
+    stream_df: DataFrame, id_col: str, text_col: str, *, out_dir: str,
+    checkpoint_dir: str, capacity: int, bits_per_item: int = 16,
+    seed: int = 2014, trigger_available_now: bool = True,
+) -> None:
+    """Streaming exact dedup: drop rows whose normalized-text
+    fingerprint appeared in ANY earlier batch (cross-batch memory = a
+    cuckoo filter of fingerprint hashes), keeping the min-id row for
+    duplicates within a batch.
+
+    Layout under ``out_dir``: surviving rows in ``data/batch=<id>/``,
+    the filter state AFTER batch k in ``_filter/batch=<k>.bin``.
+
+    Replay safety: batch N probes the state of the largest batch id
+    STRICTLY below N — a redelivered batch re-reads its original
+    pre-state, reproduces the same survivors, and overwrites its own
+    outputs (idempotent), instead of probing a state that already
+    absorbed its fingerprints (which would drop the whole batch).
+
+    False-drop caveat (inherent to sketch-backed dedup): a filter
+    false positive wrongly drops a novel document at the filter's FPR
+    (≈2·4/2^f; ~1e-4 at f=16). Size ``capacity`` for the total corpus
+    — an overfull filter refuses inserts loudly rather than degrade.
+    """
+    from cuckoofilter_spark.core.cuckoo import CuckooFilter
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.build import (
+        build_sketch_shards, string_key_expr,
+    )
+    from cuckoofilter_spark.operators.dedup import dedup_exact
+    from cuckoofilter_spark.operators.merge import collect_merged
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+    from cuckoofilter_spark.operators.text import normalize_text
+
+    state_dir = os.path.join(out_dir, "_filter")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _load_state(before_batch: int):
+        best = -1
+        for name in os.listdir(state_dir):
+            if name.startswith("batch=") and name.endswith(".bin"):
+                k = int(name[len("batch="):-len(".bin")])
+                if k < before_batch:
+                    best = max(best, k)
+        if best < 0:
+            return CuckooFilter(capacity, bits_per_item, seed=seed)
+        with open(os.path.join(state_dir, f"batch={best}.bin"), "rb") as fh:
+            return sketch_from_bytes(fh.read())
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _load_state(batch_id)
+        batch_df = dedup_exact(batch_df, id_col, text_col)
+        fp = string_key_expr(normalize_text(text_col))
+        probe = might_contain_udf(spark, state.to_bytes())
+        kept = batch_df.filter(~probe(fp))
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "data", f"batch={batch_id}")
+        )
+        kept_back = spark.read.parquet(
+            os.path.join(out_dir, "data", f"batch={batch_id}")
+        )
+        shards = build_sketch_shards(
+            kept_back.select(fp.alias("__fp")), "__fp", kind="cuckoo",
+            lineage=False, max_num_keys=capacity,
+            bits_per_item=bits_per_item, seed=seed,
+        )
+        batch_filter = collect_merged(shards, dedup=True)
+        new_state = state.merge(batch_filter, dedup=True)
+        tmp = os.path.join(state_dir, f".batch={batch_id}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(new_state.to_bytes())
+        os.replace(tmp, os.path.join(state_dir, f"batch={batch_id}.bin"))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        q = writer.trigger(availableNow=True).start()
+    else:
+        q = writer.trigger(processingTime="10 seconds").start()
+    q.awaitTermination()

@@ -264,6 +264,57 @@ def test_streaming_watermark_windowed_agg(spark, tmp_path):
     assert len(got) < len(want), "append mode emitted unfinalized windows"
 
 
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """Streaming exact dedup: duplicates WITHIN a batch keep the
+    min-id row; duplicates ACROSS batches (same normalized text seen
+    in an earlier batch) are dropped via the persisted filter state."""
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_dedup,
+    )
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_streaming_dedup(
+            stream, "doc_id", "text", out_dir=out, checkpoint_dir=ckpt,
+            capacity=10_000, seed=11,
+        )
+
+    # batch 0: one intra-batch dup (doc 2 repeats doc 1's text)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta")],
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    kept0 = {r["doc_id"] for r in
+             spark.read.parquet(f"{out}/data/batch=0").collect()}
+    assert kept0 == {1, 3}
+
+    # batch 1: doc 10 duplicates batch-0 text -> dropped; doc 11 new
+    spark.createDataFrame(
+        [(10, "delta epsilon zeta"), (11, "eta theta iota")],
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    kept1 = {r["doc_id"] for r in
+             spark.read.parquet(f"{out}/data/batch=1").collect()}
+    assert kept1 == {11}
+
+    # replay safety: batch 1's pre-state file is batch=0.bin, so a
+    # redelivery of batch 1 would reproduce {11}; both states exist
+    import os as _os
+
+    assert sorted(_os.listdir(f"{out}/_filter")) == [
+        "batch=0.bin", "batch=1.bin",
+    ]
+
+
 def test_streaming_sliding_window_drops_late_data(spark, tmp_path):
     """Sliding-window agg (2h window, 1h slide) with a 1h watermark:
     an event arriving AFTER the watermark has passed its window must
