@@ -121,7 +121,11 @@ def heavy_hitters(df: DataFrame, column: str, threshold: int, *,
     hitter is pruned — the final exact count filter removes the
     overestimated stragglers. At heavy-hitter selectivity the shuffle
     shrinks from all-keys to candidates-only, the same
-    filter-before-join discipline as ``cf_semijoin``."""
+    filter-before-join discipline as ``cf_semijoin``.
+
+    NULL keys are excluded (a null estimates null and fails the
+    filter) — unlike SQL ``GROUP BY``, which would count a NULL group;
+    filter nulls explicitly upstream if they matter."""
     from pyspark.sql import functions as F
 
     sk = cms_sketch(df, column, eps=eps, delta=delta, seed=seed)
