@@ -344,6 +344,31 @@ def _rank_of(df: DataFrame, column: str, values) -> np.ndarray:
     return np.array([row[f"r{i}"] / n for i in range(len(values))])
 
 
+def q_tdigest_by_group_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mergeable t-digest UDAF (value-sketch flavor of
+    hll_by_group_bound): per-event_type p50 estimate must land inside
+    the exact per-group [p40, p60] value band."""
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    events = _read(spark, sf_dir, "events")
+    est = grouped_sketch_agg(
+        events, "event_type", "value", kind="tdigest", seed=7
+    ).select("event_type", "p50")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.4)").alias("lo"),
+        F.expr("percentile(value, 0.6)").alias("hi"),
+    )
+    return (
+        bounds.join(est, "event_type")
+        .select(
+            "event_type",
+            ((F.col("p50") >= F.col("lo")) & (F.col("p50") <= F.col("hi")))
+            .alias("within_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS-pruned EXACT heavy hitters: count-min's one-sided error
     means the broadcast-estimate filter can never drop a true hitter,
@@ -911,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequency_bound": q_cms_frequency_bound,
         "hll_by_group_bound": q_hll_by_group_bound,
         "heavy_hitters_exact": q_heavy_hitters_exact,
+        "tdigest_by_group_bound": q_tdigest_by_group_bound,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
         "kll_quantile_bound": q_kll_quantile_bound,
         "pricing_summary": q_pricing_summary,
@@ -1017,6 +1043,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING count(*) >= 75
             ORDER BY user_id
+        """,
+        "tdigest_by_group_bound": """
+            SELECT event_type, true AS within_band
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "cms_frequency_bound": """
             WITH top AS (
