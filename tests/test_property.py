@@ -143,3 +143,41 @@ def test_simple_tabulation_family():
     # byte-level avalanche sanity: flipping one input byte changes hash
     flipped = keys ^ np.uint64(0xFF00)
     assert (h1.hash64(flipped) != a).mean() > 0.99
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["add", "delete", "contain"]),
+            st.integers(min_value=0, max_value=400),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    family=st.sampled_from(["tabulation", "bob", "superfast"]),
+)
+def test_interleavings_all_hash_families(ops, seed, family):
+    """The interleaving no-false-negative property must hold under
+    EVERY pluggable hash family, not just the default multiply-shift
+    (same oracle discipline as test_interleavings_vs_set_oracle)."""
+    from collections import Counter
+
+    sk = CuckooFilter(2048, 12, seed=seed, hash_family=family)
+    oracle: Counter = Counter()
+    for op, key in ops:
+        k = np.array([key], dtype=np.uint64)
+        if op == "add":
+            if sk.add_many(k)[0] == int(Status.Ok):
+                oracle[key] += 1
+        elif op == "delete":
+            if oracle[key] > 0:
+                assert sk.delete_many(k)[0] == int(Status.Ok)
+                oracle[key] -= 1
+        else:
+            if oracle[key] > 0:
+                assert bool(sk.contains_many(k)[0]), (family, key)
+    live = [k for k, c in oracle.items() if c > 0]
+    if live:
+        assert sk.contains_many(np.array(live, dtype=np.uint64)).all()
