@@ -71,6 +71,28 @@ METRICS_FIELDS = pa.struct(
 )
 
 
+def check_add_statuses(statuses, where: str) -> None:
+    """Fail loudly when a membership filter refused inserts.
+
+    ``CuckooFilter.add_many`` returns a per-key Status array; a
+    NotEnoughSpace there means the key was DROPPED — the merged filter
+    would silently answer false negatives for it, the one thing the
+    contract forbids (reference guarantee: src/cuckoofilter.h:126-135
+    surfaces the status to the caller; discarding it here would erase
+    that contract). Non-membership sketches return None — no-op."""
+    if statuses is None:
+        return
+    import numpy as _np
+
+    n_bad = int(_np.count_nonzero(statuses))
+    if n_bad:
+        raise ValueError(
+            f"{where}: {n_bad} key(s) refused with NotEnoughSpace — "
+            f"filter capacity exceeded; raise max_num_keys (a dropped "
+            f"key would become a silent false negative)"
+        )
+
+
 def metrics_dict(sk, blob: bytes, *, n_deleted: int = 0,
                  n_not_found: int = 0) -> dict:
     """Uniform metrics struct for a shard row (build/merge/delete)."""
@@ -288,7 +310,9 @@ def build_sketch_shards(
             else:
                 if distinct:
                     keys = np.unique(keys)
-                sk.add_many(keys)
+                check_add_statuses(
+                    sk.add_many(keys), f"build_sketch_shards[{kind}]"
+                )
         tc = TaskContext.get()
         shard_id = tc.partitionId() if tc is not None else 0
         blob = wire_bytes(sk)  # transport format; final blob packs

@@ -175,11 +175,17 @@ def tiled_band_self_join(
                 F.ceil(F.col("count") / bucket_cap).cast("int").alias("g"),
             )
         )
+        # tile ids in LONG arithmetic: i * 2^20 + c overflows int32 once
+        # a bucket exceeds ~16.8M rows (g > 2048) — wrapped ids stay
+        # pairwise-consistent (correct pairs) but collide ACROSS chunk
+        # pairs, silently re-merging the work the guard exists to split
+        tile_base = F.lit(_TILE_K).cast("long")
         tiles = F.transform(
             F.sequence(F.lit(0), F.col("g") - 1),
             lambda i: F.when(
-                i <= F.col("c"), i * _TILE_K + F.col("c")
-            ).otherwise(F.col("c") * _TILE_K + i),
+                i <= F.col("c"),
+                i.cast("long") * tile_base + F.col("c"),
+            ).otherwise(F.col("c").cast("long") * tile_base + i),
         )
         banded = (
             banded.join(F.broadcast(hot), bc, "left")

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cuckoofilter_spark.core.registry import make_sketch, sketch_from_bytes
+from cuckoofilter_spark.operators.build import check_add_statuses
 
 # per-kind scalar readout of a merged sketch: (column name, fn)
 _READOUTS = {
@@ -44,15 +45,32 @@ _READOUTS = {
 _VALUE_KINDS = ("tdigest", "kll")
 
 
+_F64_EXACT_MAX = float(1 << 53)  # largest contiguous exact int in float64
+
+
 def _keys_array(series: pd.Series, value_based: bool) -> np.ndarray:
     vals = series.dropna()
     if value_based:
         return vals.to_numpy(dtype=np.float64)
+    if pd.api.types.is_float_dtype(vals.dtype):
+        # Arrow→pandas hazard: an int64 VALUE column containing NULLs
+        # arrives here as float64; ints above 2^53 would round to a
+        # different key and be sketched silently wrong — refuse.
+        arr = vals.to_numpy(dtype=np.float64)
+        if np.any(np.abs(arr) >= _F64_EXACT_MAX):
+            raise ValueError(
+                "membership-key column arrived as float64 (int column "
+                "with NULLs?) and holds values >= 2^53 — exact int keys "
+                "are unrepresentable; drop NULLs or pre-hash upstream "
+                "(build.string_key_expr) so the column stays int64"
+            )
+        return arr.astype(np.int64).view(np.uint64)
     return vals.to_numpy(dtype=np.int64).view(np.uint64)
 
 
 def grouped_sketch_agg(
     df: DataFrame, group_col: str, column: str, *, kind: str = "hll",
+    repartition_by_group: bool = False, num_partitions: int | None = None,
     **params,
 ) -> DataFrame:
     """One mergeable sketch per group: returns
@@ -66,13 +84,26 @@ def grouped_sketch_agg(
     Memory shape: each task holds one live sketch per group IT SEES
     (KBs each), so this targets moderate group cardinality (up to
     ~10^4 groups per task, like any in-memory partial agg). For
-    higher-cardinality groups pre-repartition by the group column so
-    each task sees few groups.
+    higher-cardinality groups pass ``repartition_by_group=True``:
+    one extra shuffle clusters rows so each task sees
+    ~cardinality/num_partitions groups, bounding task memory at any
+    group count (the partial then feeds the final a single blob per
+    group — no merge fan-in either).
+
+    Membership kinds (cuckoo/semisort) REFUSE overflow loudly: if any
+    insert returns NotEnoughSpace (group exceeds the filter capacity)
+    the task raises instead of silently producing a filter with false
+    negatives — size ``max_num_keys`` for the largest group.
 
     The group column keeps its input type. Caveat (Arrow→pandas): an
     integer group column that contains NULLs arrives in the partial as
     float64, so int group ids above 2^53 mixed with NULL groups would
-    lose precision — cast such ids to string upstream."""
+    lose precision — cast such ids to string upstream. The same hazard
+    applies to the VALUE column for membership kinds: a nullable int64
+    key column arrives as float64, and key values >= 2^53 would round
+    to a different key — ``_keys_array`` detects that case and raises
+    instead of sketching wrong keys (values < 2^53 convert exactly and
+    pass through)."""
     if kind not in _READOUTS:
         raise ValueError(f"unknown sketch kind {kind!r}")
     readout_name, readout = _READOUTS[kind]
@@ -97,7 +128,10 @@ def grouped_sketch_agg(
                 sk = sketches.get(g)
                 if sk is None:
                     sk = sketches[g] = make_sketch(kind, **params)
-                sk.add_many(keys)
+                check_add_statuses(
+                    sk.add_many(keys),
+                    f"grouped_sketch_agg[{kind}] group={g!r}",
+                )
         if sketches:
             yield pd.DataFrame(
                 {
@@ -119,5 +153,9 @@ def grouped_sketch_agg(
             }
         )
 
+    if repartition_by_group:
+        n_parts = num_partitions or df.sparkSession.sparkContext \
+            .defaultParallelism
+        src = src.repartition(n_parts, "g")
     partials = src.mapInPandas(partial, partial_schema)
     return partials.groupBy("g").applyInPandas(final, out_schema)

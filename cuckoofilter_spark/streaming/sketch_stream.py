@@ -116,79 +116,198 @@ def streaming_distinct_by_key(
     )
 
 
+STATE_SHARD_SCHEMA = (
+    "shard_id int, state_batch long, num_shards int, "
+    "sketch binary, n_keys long"
+)
+
+
+def _latest_state_shards(
+    spark, shards_dir: str, before_batch: int, num_shards: int,
+) -> DataFrame | None:
+    """Per-shard newest filter blob among state batches STRICTLY below
+    ``before_batch`` — (shard_id, sketch) — or None if no state yet.
+
+    Listing goes through the Hadoop FileSystem API (plans/fsutil), so
+    the state directory works on any URI the data directory works on
+    (s3a/hdfs/file), never a driver-local literal path."""
+    from cuckoofilter_spark.plans.fsutil import list_dir_names
+
+    paths = []
+    for name in list_dir_names(spark, shards_dir):
+        if not name.startswith("batch="):
+            continue
+        k = int(name[len("batch="):])
+        if k < before_batch:
+            paths.append(os.path.join(shards_dir, name))
+    if not paths:
+        return None
+    raw = spark.read.schema(STATE_SHARD_SCHEMA).parquet(*paths)
+    bad = raw.filter(F.col("num_shards") != num_shards).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"streaming-dedup state at {shards_dir} was written with "
+            f"num_shards={bad[0]['num_shards']}, this run uses "
+            f"{num_shards} — shard routing would miss existing keys"
+        )
+    return (
+        raw.groupBy("shard_id")
+        .agg(F.max_by("sketch", "state_batch").alias("sketch"))
+    )
+
+
 def run_streaming_dedup(
     stream_df: DataFrame, id_col: str, text_col: str, *, out_dir: str,
     checkpoint_dir: str, capacity: int, bits_per_item: int = 16,
-    seed: int = 2014, trigger_available_now: bool = True,
+    seed: int = 2014, num_shards: int = 32,
+    trigger_available_now: bool = True,
 ) -> None:
     """Streaming exact dedup: drop rows whose normalized-text
     fingerprint appeared in ANY earlier batch (cross-batch memory = a
-    cuckoo filter of fingerprint hashes), keeping the min-id row for
+    hash-sharded cuckoo-filter table), keeping the min-id row for
     duplicates within a batch.
 
     Layout under ``out_dir``: surviving rows in ``data/batch=<id>/``,
-    the filter state AFTER batch k in ``_filter/batch=<k>.bin``.
+    filter state in ``_filter/shards/batch=<k>/`` — parquet rows
+    ``(shard_id, state_batch, num_shards, sketch, n_keys)``, one per
+    shard the batch TOUCHED. The live state of shard s is its row with
+    the largest ``state_batch``; untouched shards are never rewritten.
 
-    Replay safety: batch N probes the state of the largest batch id
+    Scale shape (the reason for the shard table): the filter for a
+    10^11-fingerprint corpus is tens of GB — a single blob would be
+    driver-merged and fully rewritten every micro-batch. Here the
+    driver never holds ANY filter bytes: probing is a shard-id cogroup
+    (each task deserializes only its own shard), inserts rewrite only
+    the shards that gained keys, and all state I/O is executor-side
+    parquet on the same filesystem as the data. Per-batch cost is
+    O(batch keys + touched shards), independent of corpus size.
+
+    Replay safety: batch N reads per-shard state with ``state_batch``
     STRICTLY below N — a redelivered batch re-reads its original
     pre-state, reproduces the same survivors, and overwrites its own
-    outputs (idempotent), instead of probing a state that already
-    absorbed its fingerprints (which would drop the whole batch).
+    ``data/batch=N`` + ``_filter/shards/batch=N`` outputs
+    (idempotent), instead of probing a state that already absorbed its
+    fingerprints (which would drop the whole batch).
 
     False-drop caveat (inherent to sketch-backed dedup): a filter
     false positive wrongly drops a novel document at the filter's FPR
     (≈2·4/2^f; ~1e-4 at f=16). Size ``capacity`` for the total corpus
-    — an overfull filter refuses inserts loudly rather than degrade.
+    — an overfull shard refuses inserts loudly (add statuses checked)
+    rather than degrade into false negatives.
     """
+    import numpy as _np
+
     from cuckoofilter_spark.core.cuckoo import CuckooFilter
     from cuckoofilter_spark.core.registry import sketch_from_bytes
     from cuckoofilter_spark.operators.build import (
-        build_sketch_shards, string_key_expr,
+        check_add_statuses, shard_id_expr, string_key_expr,
     )
     from cuckoofilter_spark.operators.dedup import dedup_exact
-    from cuckoofilter_spark.operators.merge import collect_merged
-    from cuckoofilter_spark.operators.probe import might_contain_udf
     from cuckoofilter_spark.operators.text import normalize_text
 
-    state_dir = os.path.join(out_dir, "_filter")
-    os.makedirs(state_dir, exist_ok=True)
-
-    def _load_state(before_batch: int):
-        best = -1
-        for name in os.listdir(state_dir):
-            if name.startswith("batch=") and name.endswith(".bin"):
-                k = int(name[len("batch="):-len(".bin")])
-                if k < before_batch:
-                    best = max(best, k)
-        if best < 0:
-            return CuckooFilter(capacity, bits_per_item, seed=seed)
-        with open(os.path.join(state_dir, f"batch={best}.bin"), "rb") as fh:
-            return sketch_from_bytes(fh.read())
+    shards_dir = os.path.join(out_dir, "_filter", "shards")
+    # per-shard capacity: keys hash-split uniformly over num_shards;
+    # 1.3x headroom absorbs binomial imbalance at small shard counts
+    per_shard_cap = max(4096, -(-capacity * 13 // (10 * num_shards)))
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        state = _load_state(batch_id)
+        state = _latest_state_shards(
+            spark, shards_dir, batch_id, num_shards
+        )
+        if state is not None:
+            state = state.persist()
         batch_df = dedup_exact(batch_df, id_col, text_col)
         fp = string_key_expr(normalize_text(text_col))
-        probe = might_contain_udf(spark, state.to_bytes())
-        kept = batch_df.filter(~probe(fp))
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        keys = batch_df.select(
+            F.col(id_col).alias("__id"), fp.alias("__fp"),
+            shard_id_expr(fp, num_shards).alias("shard_id"),
+        )
+
+        if state is None:
+            kept = batch_df
+        else:
+            def probe_group(key_pdf: pd.DataFrame,
+                            state_pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(key_pdf) == 0:
+                    return key_pdf[["__id"]]
+                if len(state_pdf) == 0:  # shard never touched: all new
+                    return key_pdf[["__id"]]
+                sk = sketch_from_bytes(bytes(state_pdf["sketch"].iloc[0]))
+                ks = key_pdf["__fp"].to_numpy(
+                    dtype=np.int64).view(np.uint64)
+                return key_pdf.loc[~sk.contains_many(ks), ["__id"]]
+
+            kept_ids = (
+                keys.groupBy("shard_id")
+                .cogroup(state.groupBy("shard_id"))
+                .applyInPandas(probe_group, f"__id {id_type}")
+            )
+            kept = batch_df.join(
+                kept_ids.withColumnRenamed("__id", id_col), id_col,
+                "left_semi",
+            )
         kept.write.mode("overwrite").parquet(
             os.path.join(out_dir, "data", f"batch={batch_id}")
         )
         kept_back = spark.read.parquet(
             os.path.join(out_dir, "data", f"batch={batch_id}")
         )
-        shards = build_sketch_shards(
-            kept_back.select(fp.alias("__fp")), "__fp", kind="cuckoo",
-            lineage=False, max_num_keys=capacity,
-            bits_per_item=bits_per_item, seed=seed,
+        new_fps = kept_back.select(fp.alias("__fp")).distinct().select(
+            "__fp", shard_id_expr("__fp", num_shards).alias("shard_id")
         )
-        batch_filter = collect_merged(shards, dedup=True)
-        new_state = state.merge(batch_filter, dedup=True)
-        tmp = os.path.join(state_dir, f".batch={batch_id}.tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(new_state.to_bytes())
-        os.replace(tmp, os.path.join(state_dir, f"batch={batch_id}.bin"))
+
+        def update_group(fp_pdf: pd.DataFrame,
+                         state_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(fp_pdf) == 0:  # untouched shard: no rewrite
+                return pd.DataFrame(
+                    {
+                        "shard_id": pd.Series(dtype="int32"),
+                        "state_batch": pd.Series(dtype="int64"),
+                        "num_shards": pd.Series(dtype="int32"),
+                        "sketch": pd.Series(dtype=object),
+                        "n_keys": pd.Series(dtype="int64"),
+                    }
+                )
+            if len(state_pdf):
+                sk = sketch_from_bytes(bytes(state_pdf["sketch"].iloc[0]))
+            else:
+                sk = CuckooFilter(
+                    per_shard_cap, bits_per_item, seed=seed
+                )
+            ks = _np.unique(
+                fp_pdf["__fp"].to_numpy(dtype=np.int64).view(np.uint64)
+            )
+            shard = int(fp_pdf["shard_id"].iloc[0])
+            check_add_statuses(
+                sk.add_many(ks),
+                f"run_streaming_dedup shard={shard} batch={batch_id}",
+            )
+            return pd.DataFrame(
+                {
+                    "shard_id": [shard],
+                    "state_batch": [int(batch_id)],
+                    "num_shards": [int(num_shards)],
+                    "sketch": [sk.to_bytes()],
+                    "n_keys": [int(sk.size)],
+                }
+            )
+
+        empty_state = spark.createDataFrame(
+            [], "shard_id int, sketch binary"
+        )
+        updated = (
+            new_fps.groupBy("shard_id")
+            .cogroup((state if state is not None else empty_state)
+                     .groupBy("shard_id"))
+            .applyInPandas(update_group, STATE_SHARD_SCHEMA)
+        )
+        updated.write.mode("overwrite").parquet(
+            os.path.join(shards_dir, f"batch={batch_id}")
+        )
+        if state is not None:
+            state.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(per_batch)

@@ -306,13 +306,83 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
              spark.read.parquet(f"{out}/data/batch=1").collect()}
     assert kept1 == {11}
 
-    # replay safety: batch 1's pre-state file is batch=0.bin, so a
-    # redelivery of batch 1 would reproduce {11}; both states exist
-    import os as _os
+    # state is a hash-disjoint SHARD TABLE (never a driver blob): each
+    # batch dir holds one row per shard it touched, with the full
+    # updated shard filter; untouched shards are not rewritten
+    s0 = spark.read.parquet(f"{out}/_filter/shards/batch=0").collect()
+    s1 = spark.read.parquet(f"{out}/_filter/shards/batch=1").collect()
+    assert all(r["num_shards"] == 32 for r in s0 + s1)
+    assert 1 <= len(s0) <= 2  # 2 distinct fingerprints -> <=2 shards
+    assert len(s1) == 1  # 1 new fingerprint -> exactly 1 shard touched
+    assert sum(r["n_keys"] for r in s1) >= 1
 
-    assert sorted(_os.listdir(f"{out}/_filter")) == [
-        "batch=0.bin", "batch=1.bin",
-    ]
+
+def test_streaming_dedup_sharded_state_replay_and_no_driver_merge(
+    spark, tmp_path, monkeypatch,
+):
+    """(a) The per-batch path never merges filter state on the driver —
+    collect_merged/merge_shards_to_blob are poisoned for the whole run.
+    (b) Replay idempotence: wiping the STREAM checkpoint (not the
+    state) re-delivers every batch; each re-read of its strictly-
+    before pre-state reproduces the same survivors and overwrites its
+    own outputs."""
+    import cuckoofilter_spark.operators.merge as merge_mod
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_dedup,
+    )
+
+    def _poisoned(*a, **k):
+        raise AssertionError(
+            "driver-side filter merge called from streaming dedup"
+        )
+
+    monkeypatch.setattr(merge_mod, "collect_merged", _poisoned)
+    monkeypatch.setattr(merge_mod, "merge_shards_to_blob", _poisoned)
+
+    src = tmp_path / "rp_src"
+    src.mkdir()
+    out = str(tmp_path / "rp_out")
+    ckpt = str(tmp_path / "rp_ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        # maxFilesPerTrigger=1: the post-wipe replay re-delivers each
+        # file as its own batch (same ids as the original runs), so
+        # batch 1 must probe batch 0's state, NOT its own stale state
+        # (<= instead of strictly-< would drop doc 11 on replay)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+        run_streaming_dedup(
+            stream, "doc_id", "text", out_dir=out, checkpoint_dir=ckpt,
+            capacity=10_000, seed=11, num_shards=8,
+        )
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (3, "delta epsilon zeta")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    spark.createDataFrame(
+        [(10, "delta epsilon zeta"), (11, "eta theta iota")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+
+    def survivors():
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/data/batch=*").collect()
+        }
+
+    assert survivors() == {1, 3, 11}
+
+    # redeliver EVERY batch: drop the stream checkpoint so the file
+    # source replays both files as batches 0..1 against existing state
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert survivors() == {1, 3, 11}, "replay was not idempotent"
 
 
 def test_streaming_sliding_window_drops_late_data(spark, tmp_path):
