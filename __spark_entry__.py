@@ -121,34 +121,45 @@ def q_cf_delete_then_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cf_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-order invariance: shards merged ascending vs descending
-    answer membership identically on every key (north_rule)."""
-    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    """Merge-order invariance: shards folded ascending vs descending
+    answer membership identically on every key (north_rule).
+
+    Fully distributed: the two folds are two ``tree_merge`` runs over
+    the same shard table — the second with shard ids REVERSED, so
+    every group's fold order (and the tree's pairing) differs — and
+    the comparison is two broadcast probes under one distributed
+    ``bool_and`` aggregate. The driver never holds a key set, only the
+    two final merged blobs (which a broadcast probe needs anyway)."""
     from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import tree_merge
+    from cuckoofilter_spark.operators.probe import might_contain_udf
 
     orders = _read(spark, sf_dir, "orders").select("o_orderkey")
     n = orders.distinct().count()
     shards_df = build_sketch_shards(
         orders, "o_orderkey", kind="cuckoo", lineage=False,
         max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+    ).persist()
+    n_shards = shards_df.count()
+    reversed_df = shards_df.withColumn(
+        "shard_id", F.lit(int(n_shards) - 1) - F.col("shard_id")
     )
-    rows = sorted(shards_df.collect(), key=lambda r: r["shard_id"])
-    blobs = [bytes(r["sketch"]) for r in rows]
-
-    def fold(order):
-        acc = sketch_from_bytes(blobs[order[0]])
-        for i in order[1:]:
-            acc.merge(sketch_from_bytes(blobs[i]), dedup=True)
-        return acc
-
-    fwd = fold(list(range(len(blobs))))
-    rev = fold(list(range(len(blobs) - 1, -1, -1)))
-    keys = np.array([r[0] for r in orders.distinct().collect()], dtype=np.int64)
-    a = fwd.contains_many(keys.view(np.uint64))
-    b = rev.contains_many(keys.view(np.uint64))
-    agree = bool((a == b).all() and a.all() and b.all())
-    return spark.createDataFrame(
-        [(int(len(keys)), agree)], "n_keys long, orders_agree boolean"
+    blob_fwd = bytes(
+        tree_merge(shards_df, fanout=4, dedup=True,
+                   num_shards=int(n_shards)).collect()[0]["sketch"]
+    )
+    blob_rev = bytes(
+        tree_merge(reversed_df, fanout=4, dedup=True,
+                   num_shards=int(n_shards)).collect()[0]["sketch"]
+    )
+    probe_f = might_contain_udf(spark, blob_fwd)
+    probe_r = might_contain_udf(spark, blob_rev)
+    keys = orders.distinct()
+    return keys.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.bool_and(
+            probe_f("o_orderkey") & probe_r("o_orderkey")
+        ).alias("orders_agree"),
     )
 
 
@@ -561,33 +572,39 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 3, checked two
-    independent ways inside Spark: (a) the production 4×16-bit
-    pigeonhole band join, (b) exact all-pairs ``bit_count(xor)`` on the
-    signature table. The pigeonhole bound guarantees set equality, so
-    the returned agreement boolean is deterministically true and the
+    independent SCALE-SHAPED ways inside Spark: (a) the production
+    4×16-bit pigeonhole band join with per-candidate ``bit_count``
+    Hamming verification, (b) the same pipeline under a second,
+    independent band partition (signatures rotated 8 bits — rotation
+    is a Hamming isometry, so each arm's verified pair set equals the
+    exact Hamming-≤3 set by the pigeonhole bound). Both arms are
+    banded equi-joins — no all-pairs theta-join / CartesianProduct
+    anywhere (tests/test_plans.py asserts the plan) — and set equality
+    is checked pair-by-pair (counts + inner-join count), so the
+    returned agreement boolean is deterministically true and the
     DuckDB oracle can assert it (signature algebra itself — keyed
     blake2b shingle hashes — is not SQL-expressible; pair-level detail
-    is covered by pytest against minhash)."""
+    is covered by pytest against an exact oracle on small corpora)."""
     from cuckoofilter_spark.operators.dedup import (
         near_dup_pairs_simhash, simhash64,
     )
 
     docs = _read(spark, sf_dir, "documents")
-    banded = near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
-    sims = simhash64(docs, "doc_id", "text")
-    a = sims.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"))
-    b = sims.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"))
-    exact = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
-        .select("doc_a", "doc_b")
+    sims = simhash64(docs, "doc_id", "text").persist()
+    banded = near_dup_pairs_simhash(
+        docs, "doc_id", "text", max_hamming=3, sims=sims
     )
-    n_banded = banded.count()
-    n_exact = exact.count()
+    banded2 = near_dup_pairs_simhash(
+        docs, "doc_id", "text", max_hamming=3, sims=sims, rotate=8
+    )
+    n_a = banded.count()
+    n_b = banded2.count()
     n_inter = (
-        banded.select("doc_a", "doc_b").join(exact, ["doc_a", "doc_b"]).count()
+        banded.select("doc_a", "doc_b")
+        .join(banded2.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+        .count()
     )
-    agree = n_banded == n_exact == n_inter
+    agree = n_a == n_b == n_inter
     return spark.createDataFrame(
         [(int(docs.count()), bool(agree))], "n_docs long, pairs_agree boolean"
     )

@@ -485,7 +485,8 @@ def simhash64(
 
 def near_dup_pairs_simhash(
     df: DataFrame, id_col: str, text: str, *, max_hamming: int = 3,
-    seed: int = 2014, bucket_cap: int | None = 8192,
+    seed: int = 2014, bucket_cap: int | None = 8192, rotate: int = 0,
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of their simhashes.
 
@@ -494,23 +495,40 @@ def near_dup_pairs_simhash(
     the same ``tiled_band_self_join`` hot-bucket guard as MinHash:
     near-identical boilerplate shares ALL four bands, m docs ⇒ one
     m²/2 task without it), JVM ``bit_count(a XOR b)`` verifies
-    exactly."""
-    sims = simhash64(df, id_col, text, seed=seed).persist()
+    exactly.
+
+    ``rotate`` (bits) rotates every signature before banding; rotation
+    is a Hamming isometry, so ANY rotation's banded+verified pair set
+    equals the exact Hamming-≤k set — two different rotations give two
+    INDEPENDENT band partitions whose results must agree, which is the
+    scale-shaped self-check the contract query runs (no O(n²) arm).
+    ``sims`` lets callers pass a precomputed (doc, simhash) table so
+    the signature UDF runs once across several bandings."""
+    if sims is None:
+        sims = simhash64(df, id_col, text, seed=seed).persist()
+    r = int(rotate) % 64
+    if r:
+        sig = F.shiftrightunsigned(F.col("simhash"), r).bitwiseOR(
+            F.shiftleft(F.col("simhash"), 64 - r)
+        )
+    else:
+        sig = F.col("simhash")
     banded = sims.select(
-        "doc", "simhash",
+        "doc", sig.alias("rsim"),
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                F.shiftrightunsigned(sig, 16 * i)
                 .bitwiseAND(F.lit(0xFFFF)) for i in range(4)
             ])
         ).alias("band", "bkey"),
     )
     pairs = tiled_band_self_join(
         banded, "doc", band_cols=("band", "bkey"), bucket_cap=bucket_cap,
-        payload_cols=("simhash",),
+        payload_cols=("rsim",),
     ).withColumn(
+        # Hamming on the rotated signatures == Hamming on the originals
         "hamming",
-        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        F.bit_count(F.col("rsim_a").bitwiseXOR(F.col("rsim_b"))),
     )
     return pairs.filter(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"

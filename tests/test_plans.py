@@ -177,6 +177,52 @@ def test_text_candidate_joins_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_simhash_contract_query_shape_and_dual_banding(spark):
+    """The FULL simhash contract query (both verification arms) must be
+    scale-shaped: the production banding, the rotated second banding,
+    and the pair-set intersection are all equi-joins — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere. And on a
+    corpus with planted near-dups, both band partitions must return
+    exactly the brute-force Hamming-≤3 pair set (rotation is a Hamming
+    isometry, so each arm is exact by the pigeonhole bound)."""
+    from cuckoofilter_spark.operators.dedup import (
+        near_dup_pairs_simhash, simhash64,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(300)
+    sims = simhash64(docs, "doc_id", "text").persist()
+    arm_a = near_dup_pairs_simhash(
+        docs, "doc_id", "text", max_hamming=3, sims=sims
+    )
+    arm_b = near_dup_pairs_simhash(
+        docs, "doc_id", "text", max_hamming=3, sims=sims, rotate=8
+    )
+    inter = arm_a.select("doc_a", "doc_b").join(
+        arm_b.select("doc_a", "doc_b"), ["doc_a", "doc_b"]
+    )
+    for name, df in (("arm_a", arm_a), ("arm_b", arm_b), ("inter", inter)):
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # correctness of BOTH arms vs the exact all-pairs oracle (test-only
+    # O(n²) arm — the contract query itself never runs one)
+    rows = sims.collect()
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            h = bin((rows[i]["simhash"] ^ rows[j]["simhash"])
+                    & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                a, b = sorted((rows[i]["doc"], rows[j]["doc"]))
+                want.add((a, b))
+    got_a = {(r["doc_a"], r["doc_b"]) for r in arm_a.collect()}
+    got_b = {(r["doc_a"], r["doc_b"]) for r in arm_b.collect()}
+    assert got_a == want
+    assert got_b == want
+    sims.unpersist()
+
+
 def test_grouped_sketch_agg_shuffles_blobs_not_rows(spark):
     """The grouped sketch UDAF must have the partial/final shape: the
     map-side combine (MapInPandas) runs BEFORE the exchange, so the
