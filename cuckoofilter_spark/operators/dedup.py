@@ -307,6 +307,95 @@ def near_dup_pairs_minhash(
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node connects its LARGER
+    neighbors to the minimum of its neighborhood (incl. itself)."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u").agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: each node connects its SMALLER (or equal)
+    neighbors — and itself — to the minimum among them."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def star_contraction_components(
+    edges: DataFrame, *, max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — O(log n) rounds regardless of component DIAMETER
+    (min-label propagation needs O(diameter) rounds; a 10^6-doc chain
+    of pairwise near-dups would need 10^6 of them).
+
+    ``edges``: (src, dst) pairs. Returns (doc, rep) for every node in
+    the edge set, rep = component minimum. Each round localCheckpoints
+    to truncate lineage; convergence = edge set unchanged, checked by
+    count + anti-join (cheap: the edge table shrinks toward one star
+    edge per non-root node)."""
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("doc"))
+        .unionByName(e.select(F.col("v").alias("doc")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        same = (
+            nxt.count() == e.count()
+            and nxt.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        e = nxt
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    # converged edge set is a star forest: (node, component-min root)
+    labels = e.select(F.col("u").alias("doc"), F.col("v").alias("rep"))
+    roots = (
+        labels.select(F.col("rep").alias("doc")).distinct()
+        .withColumn("rep", F.col("doc"))
+    )
+    out = labels.unionByName(roots)
+    # safety: exactly one label per original node — a star forest that
+    # dropped or duplicated a node would silently split components
+    n_nodes = nodes.count()
+    if out.count() != n_nodes or out.select("doc").distinct().count() != n_nodes:
+        raise RuntimeError("star contraction produced a non-star forest")
+    return out
+
+
 def duplicate_clusters(
     pairs: DataFrame, *, max_iter: int = 25,
     pair_cols: tuple = ("doc_a", "doc_b"),
@@ -317,13 +406,15 @@ def duplicate_clusters(
 
     Iterative min-label propagation: each round every node adopts the
     minimum label among itself and its neighbors; converges in
-    O(diameter) rounds (near-dup components are dense clique-ish blobs,
-    so diameter is tiny; the O(log n) large-star/small-star variant is
-    the upgrade path if ever needed). Each round is one shuffle join on
-    the edge list; ``localCheckpoint`` truncates the growing lineage so
-    round N's plan does not replay rounds 1..N-1. Only docs appearing
-    in ``pairs`` are returned (isolated docs are their own rep by
-    definition)."""
+    O(diameter) rounds — near-dup components are dense clique-ish
+    blobs, so diameter is tiny and this is the cheapest path. If a
+    pathological long-chain component exceeds ``max_iter`` rounds, the
+    resolver FALLS BACK to O(log n) large-star/small-star contraction
+    (``star_contraction_components``) instead of failing. Each round
+    is one shuffle join on the edge list; ``localCheckpoint`` truncates
+    the growing lineage so round N's plan does not replay rounds
+    1..N-1. Only docs appearing in ``pairs`` are returned (isolated
+    docs are their own rep by definition)."""
     ca, cb = pair_cols
     edges = (
         pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
@@ -360,14 +451,14 @@ def duplicate_clusters(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
-        # a silently-unconverged label table would split components
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iter} rounds "
-            f"(component diameter exceeds max_iter — raise max_iter or "
-            f"switch to large-star/small-star)"
-        )
+        # component diameter exceeds max_iter: a silently-unconverged
+        # label table would split components — switch to the
+        # diameter-independent O(log n) algorithm
+        out = star_contraction_components(edges)
+        edges.unpersist()
+        return out
+    edges.unpersist()
     return labels
 
 

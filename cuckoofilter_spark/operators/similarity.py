@@ -106,11 +106,23 @@ def lsh_ann_topk(
     corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int, k: int = 10, n_bits: int = 6,
     n_tables: int = 16, seed: int = 2014, exclude_self: bool = True,
+    target_recall: float | None = None, recall_at_sim: float = 0.8,
+    max_tables: int = 256,
 ) -> DataFrame:
     """Approximate top-k: LSH-bucket candidate join + exact re-rank.
 
     Output schema matches ``cosine_topk`` so recall can be computed by
-    a plain join of the two results."""
+    a plain join of the two results.
+
+    ``target_recall=`` sizes (n_bits, n_tables) automatically via
+    ``lsh_params_for_recall`` at ``recall_at_sim`` — the cosine level
+    at which neighbors must be found with that probability (true
+    neighbors ABOVE it are found with higher probability; the solver's
+    S-curve is monotone in s)."""
+    if target_recall is not None:
+        n_bits, n_tables = lsh_params_for_recall(
+            recall_at_sim, target_recall, max_tables=max_tables
+        )
     bucketize = lsh_bucket_udf(dim, n_bits, n_tables, seed)
     c = corpus.select(
         F.col(id_col).alias("nbr"), _as_double(vec_col).alias("cv"),
@@ -377,22 +389,75 @@ def cosine_near_dup_pairs_blocked(
     )
 
 
+def lsh_params_for_recall(
+    threshold: float, target_recall: float, *, max_tables: int = 256,
+    max_bits: int = 24,
+) -> tuple[int, int]:
+    """Solve (n_bits, n_tables) so a pair at cosine ``threshold`` is
+    found with probability ≥ ``target_recall``.
+
+    Hyperplane LSH: per-bit collision p = 1 - acos(s)/π (published
+    SimHash/random-projection analysis, Charikar STOC'02); a pair is
+    MISSED with probability (1 - p^n_bits)^n_tables. The solver picks
+    the LARGEST n_bits whose required table count
+    ``ceil(log(1-R) / log(1-p^n_bits))`` fits ``max_tables`` — more
+    bits = sparser buckets = fewer candidates, tables are the
+    replication cost, so this maximizes selectivity within a fixed
+    replication budget. Raises when the threshold sits below the
+    achievable S-curve zone (even 1 bit per table cannot reach the
+    target within ``max_tables``) — the blocked-GEMM exact path is the
+    right operator there, not a silently-lossy LSH."""
+    import math
+
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1)")
+    if not (-1.0 < threshold < 1.0):
+        raise ValueError("cosine threshold must be in (-1, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    if p <= 0.0:
+        raise ValueError("threshold <= -1 has zero collision probability")
+    log_miss = math.log(1.0 - target_recall)
+    for n_bits in range(max_bits, 0, -1):
+        q = p ** n_bits
+        if q >= 1.0:  # threshold ~ 1.0: one table of max_bits suffices
+            return n_bits, 1
+        n_tables = math.ceil(log_miss / math.log(1.0 - q))
+        if n_tables <= max_tables:
+            return n_bits, n_tables
+    raise ValueError(
+        f"no (n_bits<=**{max_bits}**, n_tables<={max_tables}) reaches "
+        f"recall {target_recall} at cosine {threshold} (per-bit "
+        f"collision p={p:.3f}) — the threshold sits below the LSH "
+        f"S-curve zone; raise max_tables or use the exact blocked path "
+        f"(cosine_near_dup_pairs_blocked)"
+    )
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9, dim: int, n_bits: int = 16, n_tables: int = 32,
-    seed: int = 2014,
+    seed: int = 2014, target_recall: float | None = None,
+    max_tables: int = 256,
 ) -> DataFrame:
     """SUBQUADRATIC near-dup pairs for HIGH thresholds: hyperplane-LSH
     bucket equi-join for candidates, exact cosine verification.
 
     Recall for a pair at cosine s: per-bit collision p = 1 - acos(s)/π;
-    miss probability (1-p^n_bits)^n_tables. Defaults (16 bits, 32
-    tables) at s=0.9 → p=0.856, miss ≈ 7%·…: callers MUST size
-    (n_bits, n_tables) for their threshold — at s=0.95 the defaults
-    give miss ≈ (1-0.181)^32 ≈ 1.7e-3. Precision is exact (candidates
-    verify with the true cosine). Candidates stay near-linear when
-    2^n_bits ≫ corpus/bucket-occupancy; for thresholds near the bulk
-    of the distribution use ``cosine_near_dup_pairs_blocked``."""
+    miss probability (1-p^n_bits)^n_tables. Pass ``target_recall=`` to
+    SOLVE (n_bits, n_tables) from the threshold instead of sizing by
+    hand (``lsh_params_for_recall``; raises when the threshold sits
+    below the achievable S-curve zone instead of silently missing
+    pairs). With explicit (n_bits, n_tables): at s=0.95 the defaults
+    give miss ≈ (1-0.181)^32 ≈ 1.7e-3, but at lower thresholds they
+    degrade fast — prefer ``target_recall``. Precision is exact
+    (candidates verify with the true cosine). Candidates stay
+    near-linear when 2^n_bits ≫ corpus/bucket-occupancy; for
+    thresholds near the bulk of the distribution use
+    ``cosine_near_dup_pairs_blocked``."""
+    if target_recall is not None:
+        n_bits, n_tables = lsh_params_for_recall(
+            threshold, target_recall, max_tables=max_tables
+        )
     bucketize = lsh_bucket_udf(dim, n_bits, n_tables, seed)
     tagged = corpus.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"),

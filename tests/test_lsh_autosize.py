@@ -1,0 +1,87 @@
+"""LSH parameter auto-sizing: the solver must honor its own recall
+guarantee, and the wired operators must hit the target on planted
+corpora across the threshold sweep 0.85–0.99."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from cuckoofilter_spark.operators.similarity import (
+    cosine_near_dup_pairs_blocked, lsh_near_dup_pairs,
+    lsh_params_for_recall,
+)
+
+
+@pytest.mark.parametrize("threshold", [0.85, 0.9, 0.95, 0.99])
+@pytest.mark.parametrize("target", [0.8, 0.9, 0.99])
+def test_solver_satisfies_miss_bound(threshold, target):
+    n_bits, n_tables = lsh_params_for_recall(threshold, target)
+    p = 1.0 - math.acos(threshold) / math.pi
+    miss = (1.0 - p ** n_bits) ** n_tables
+    assert miss <= 1.0 - target + 1e-12
+    assert 1 <= n_bits <= 24 and 1 <= n_tables <= 256
+
+
+def test_solver_prefers_more_bits_at_higher_threshold():
+    b_lo, _ = lsh_params_for_recall(0.85, 0.9)
+    b_hi, _ = lsh_params_for_recall(0.99, 0.9)
+    assert b_hi >= b_lo  # higher similarity -> more selective buckets
+
+
+def test_solver_raises_below_s_curve_zone():
+    # cosine 0.3 with a tiny table budget: unreachable — must refuse
+    # loudly instead of returning silently-lossy parameters
+    with pytest.raises(ValueError, match="S-curve"):
+        lsh_params_for_recall(0.3, 0.99, max_tables=4)
+
+
+def _planted_corpus(threshold: float, n_base: int, n_pairs: int,
+                    dim: int, seed: int):
+    """Corpus where pair (i, n_base+i) has cosine ~ threshold+0.01
+    (just above the cut so the solver's at-threshold guarantee applies
+    with margin) and everything else is near-orthogonal noise."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    s = min(threshold + 0.01, 0.9995)
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    for i in range(n_pairs):
+        w = rng.standard_normal(dim)
+        w -= (w @ base[i]) * base[i]
+        w /= np.linalg.norm(w)
+        v = s * base[i] + math.sqrt(1 - s * s) * w
+        rows.append((n_base + i, v.tolist()))
+    return rows
+
+
+@pytest.mark.parametrize("threshold", [0.85, 0.9, 0.95, 0.99])
+def test_auto_sized_near_dup_recall_meets_target(spark, threshold):
+    target = 0.9
+    dim = 32
+    rows = _planted_corpus(threshold, n_base=80, n_pairs=50, dim=dim,
+                           seed=int(threshold * 1000))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            emb, threshold=threshold, dim=dim, seed=7,
+            target_recall=target,
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs_blocked(
+            emb, threshold=threshold, n_blocks=4
+        ).collect()
+    }
+    assert len(exact) >= 50  # the planted pairs sit above the cut
+    recall = len(approx & exact) / len(exact)
+    assert recall >= target, (
+        f"threshold={threshold}: measured recall {recall:.3f} < "
+        f"target {target}"
+    )
+    # precision is exact by construction (candidates verify cosine)
+    assert approx <= exact

@@ -718,6 +718,58 @@ def test_duplicate_clusters_and_keep_one(spark):
         assert rep <= doc and by_doc[rep] == rep  # rep is component min
 
 
+def test_grouped_sketch_agg_high_cardinality(spark):
+    """10^5 groups: repartition_by_group=True clusters rows so each
+    task holds ~cardinality/partitions live sketches (bounded memory at
+    any group count) and the result stays exact per group."""
+    from pyspark.sql import functions as F2
+
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    n = 100_000
+    df = spark.range(n).select(
+        F2.col("id").alias("g"), (F2.col("id") * 7 + 1).alias("v")
+    )
+    out = grouped_sketch_agg(
+        df, "g", "v", kind="hll", p=4, repartition_by_group=True,
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    # singleton groups: every HLL must estimate ~1
+    ests = [r["estimate"] for r in rows[:1000]]
+    assert all(0.5 <= e <= 2.0 for e in ests)
+
+
+def test_duplicate_clusters_long_chain_star_fallback(spark):
+    """A 61-node path (diameter 60 > max_iter) must CONVERGE via the
+    large-star/small-star fallback instead of raising — and produce
+    the same component minima min-label propagation would. The star
+    path is also checked directly on a mixed graph."""
+    from cuckoofilter_spark.operators.dedup import (
+        duplicate_clusters, star_contraction_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    got = {r["doc"]: r["rep"]
+           for r in duplicate_clusters(chain, max_iter=5).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+    # direct star contraction on chain + triangle + pair (+ shuffled
+    # ids so the min is not always the first-listed endpoint)
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 7),            # chain with min 3
+         (100, 90), (90, 95), (95, 100),    # triangle, min 90
+         (51, 50)],
+        "src long, dst long",
+    )
+    comp = {r["doc"]: r["rep"]
+            for r in star_contraction_components(edges).collect()}
+    assert comp == {3: 3, 4: 3, 5: 3, 7: 3,
+                    90: 90, 95: 90, 100: 90, 50: 50, 51: 50}
+
+
 def test_ngram_prefix_filter_completeness(spark):
     """PPJoin prefix filtering must find EXACTLY the brute-force pair
     set (recall theorem, not an S-curve) — checked on a corpus with
