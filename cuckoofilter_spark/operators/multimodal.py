@@ -4,14 +4,18 @@ Images/audio/video ride through the pipeline as ``binary`` columns
 with a metadata struct; decode/feature-extraction runs as Arrow-
 batched ``mapInPandas`` so each Python worker sees whole byte batches
 (the pattern that scales — per-row Python UDFs on multi-MB blobs do
-not). The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decode step is stubbed: ``decoder='fake'`` is a
-deterministic byte-statistics decoder used by tests; ``decoder='real'``
-raises ``NotImplementedError`` at the exact point a codec would be
-called. Schema, batching, partitioning, and UDF signatures are real.
+not). Decoders are pluggable: ``decoder='fake'`` is a deterministic
+byte-statistics decoder used by tests (codec-free, always available);
+``decoder='real'`` is LIVE code gated on the optional codec library
+(PIL for images, PyAV for frames) — on a codec-equipped host it
+decodes for real, in this container it raises ``NotImplementedError``
+at the exact call point, naming the missing package. Schema,
+batching, partitioning, and UDF signatures are identical either way.
 """
 
 from __future__ import annotations
+
+import importlib.util
 
 from typing import Iterator
 
@@ -19,6 +23,23 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _require_codec(module: str, purpose: str):
+    """Executor-side optional-dependency gate: returns the imported
+    module (dotted names allowed), or raises NotImplementedError naming
+    the missing codec (the check runs where the UDF runs — workers,
+    not the driver)."""
+    top = module.split(".", 1)[0]
+    if importlib.util.find_spec(top) is None:
+        raise NotImplementedError(
+            f"decoder='real' needs the optional '{top}' package for "
+            f"{purpose}; it is not installed in this environment — "
+            f"install it or use decoder='fake'"
+        )
+    import importlib as _il
+
+    return _il.import_module(module)
 
 MEDIA_SCHEMA = (
     "media_id long, media binary, "
@@ -61,20 +82,28 @@ def extract_features(
     """Batched decode/feature-extract over media blobs.
 
     Feature columns are computed from raw bytes (crc/mean) plus the
-    decoder output vector. ``decoder='real'`` marks where PIL/ffmpeg
-    would plug in."""
+    decoder output vector. ``decoder='real'`` decodes with PIL
+    (grayscale, resized to n_feat pixels, normalized to [0,1]) when
+    PIL is installed; raises NotImplementedError naming it when not."""
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
+
+    def _real_decode(blob: bytes, pil_image) -> np.ndarray:
+        import io
+
+        img = pil_image.open(io.BytesIO(blob)).convert("L")
+        img = img.resize((n_feat, 1))
+        px = np.asarray(img, dtype=np.float32).reshape(-1)[:n_feat]
+        return px / np.float32(255.0)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
+        pil_image = None
+        if decoder == "real":
+            pil_image = _require_codec("PIL.Image", "image decode")
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media codecs (PIL/ffmpeg) are not available in "
-                    "this environment; use decoder='fake'"
-                )
             blobs = pdf["media"]
             n = len(pdf)
             n_bytes = np.empty(n, dtype=np.int64)
@@ -87,7 +116,10 @@ def extract_features(
                 crc[i] = zlib.crc32(b[:64])
                 arr = np.frombuffer(b, dtype=np.uint8)
                 mean_m[i] = int(round(float(arr.mean()) * 1000)) if len(arr) else 0
-                feats.append(_fake_decode(b, n_feat))
+                if decoder == "real":
+                    feats.append(_real_decode(b, pil_image))
+                else:
+                    feats.append(_fake_decode(b, n_feat))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -116,37 +148,54 @@ def resize_media(
     resamples it to ``width*height`` bytes by nearest-neighbor index
     sampling — deterministic, codec-free, but exercises the real
     plumbing (Arrow batches of binary in AND out, metadata struct
-    rewrite). ``decoder='real'`` raises at the exact point
-    PIL.Image.resize would run."""
+    rewrite). ``decoder='real'`` runs PIL.Image.resize and re-encodes
+    as PNG when PIL is installed; raises NotImplementedError naming it
+    when not."""
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
     out_n = int(width) * int(height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil_image = None
+        if decoder == "real":
+            pil_image = _require_codec("PIL.Image", "image resize")
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media codecs (PIL/ffmpeg) are not available in "
-                    "this environment; use decoder='fake'"
-                )
             out = []
+            metas = []
             for b in pdf["media"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                b = bytes(b)
+                if decoder == "real":
+                    import io
+
+                    img = pil_image.open(io.BytesIO(b)).resize(
+                        (int(width), int(height))
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                    metas.append(
+                        {"kind": "image/png", "width": int(width),
+                         "height": int(height), "sample_rate": 0}
+                    )
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
                 if len(arr) == 0:
                     out.append(b"\x00" * out_n)
-                    continue
-                idx = (
-                    np.arange(out_n, dtype=np.int64) * len(arr) // out_n
+                else:
+                    idx = (
+                        np.arange(out_n, dtype=np.int64) * len(arr) // out_n
+                    )
+                    out.append(arr[idx].tobytes())
+                metas.append(
+                    {"kind": "image/fake-resized", "width": int(width),
+                     "height": int(height), "sample_rate": 0}
                 )
-                out.append(arr[idx].tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "media": out,
-                    "meta": [
-                        {"kind": "image/fake-resized", "width": int(width),
-                         "height": int(height), "sample_rate": 0}
-                    ] * len(pdf),
+                    "meta": metas,
                 }
             )
 
@@ -166,23 +215,41 @@ def sample_frames(
 
     ``decoder='fake'`` treats the blob as a concatenation of
     ``frame_bytes``-sized frames (last partial frame kept) and emits
-    every ``stride``-th; ``decoder='real'`` raises where ffmpeg/
-    pyav frame iteration would run."""
+    every ``stride``-th; ``decoder='real'`` iterates container frames
+    with PyAV (every ``stride``-th frame re-encoded to raw RGB bytes)
+    when the ``av`` package is installed; raises NotImplementedError
+    naming it when not."""
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
     fb = int(frame_bytes)
     st = max(1, int(stride))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av_mod = None
+        if decoder == "real":
+            av_mod = _require_codec("av", "video frame iteration")
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media codecs (ffmpeg/pyav) are not available in "
-                    "this environment; use decoder='fake'"
-                )
             ids, idxs, frames, sizes = [], [], [], []
             for mid, b in zip(pdf["media_id"], pdf["media"]):
                 b = bytes(b)
+                if decoder == "real":
+                    import io
+
+                    with av_mod.open(io.BytesIO(b)) as container:
+                        for j, frame in enumerate(
+                            container.decode(video=0)
+                        ):
+                            if j % st:
+                                continue
+                            raw = frame.to_ndarray(
+                                format="rgb24"
+                            ).tobytes()
+                            ids.append(mid)
+                            idxs.append(j)
+                            frames.append(raw)
+                            sizes.append(len(raw))
+                    continue
                 n_frames = (len(b) + fb - 1) // fb
                 for j in range(0, n_frames, st):
                     chunk = b[j * fb:(j + 1) * fb]

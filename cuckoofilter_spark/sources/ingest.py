@@ -22,7 +22,20 @@ TPCH_TABLES = (
 
 
 def read_tokens(spark: SparkSession, location: str) -> DataFrame:
-    """Load the tokens table: Iceberg table name/path, else Parquet dir."""
+    """Load the tokens table: Iceberg table name/path, else Parquet dir.
+
+    Iceberg runtime requirement (pinned; no jar ships in this sandbox,
+    so only the Parquet fallback is exercised here): Spark 4.x needs
+    ``org.apache.iceberg:iceberg-spark-runtime-4.0_2.13`` (>= 1.10.0,
+    the first line with Spark 4 support; use the 3.5_2.12 artifact for
+    Spark 3.5) on the driver/executor classpath — e.g.
+    ``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0``
+    plus a catalog config such as
+    ``spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog``.
+    With the jar present ``format("iceberg")`` resolves and this
+    function returns the Iceberg scan (snapshot isolation + partition
+    pruning); without it the DataSource lookup throws and the Parquet
+    branch serves the identical schema."""
     try:
         return spark.read.format("iceberg").load(location)
     except Exception:

@@ -233,8 +233,16 @@ def test_multimodal_plumbing(spark):
     for r in rows:
         assert r["n_bytes"] == byte_truth[r["media_id"]]
         assert len(r["feature"]) == 16
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
-        extract_features(media, decoder="real").collect()
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        # codec-free host: the real path must refuse loudly, naming
+        # the missing package (it is live code on codec-equipped hosts
+        # — tests/test_multimodal_real.py)
+        with pytest.raises(
+            Exception, match="NotImplementedError|not installed"
+        ):
+            extract_features(media, decoder="real").collect()
 
 
 def test_read_tokens_parquet_fallback(spark):
@@ -286,10 +294,18 @@ def test_multimodal_resize_and_frames(spark):
             assert bytes(r["frame"]) == chunk
             assert r["frame_bytes"] == len(chunk)
 
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
-        resize_media(media, width=8, decoder="real").collect()
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
-        sample_frames(media, decoder="real").collect()
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(
+            Exception, match="NotImplementedError|not installed"
+        ):
+            resize_media(media, width=8, decoder="real").collect()
+    if importlib.util.find_spec("av") is None:
+        with pytest.raises(
+            Exception, match="NotImplementedError|not installed"
+        ):
+            sample_frames(media, decoder="real").collect()
 
 
 def test_text_stats_deterministic(spark):
