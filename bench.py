@@ -114,6 +114,20 @@ def main() -> None:
     extra["probe_lookups_per_sec"] = (2 << 20) / queries["probe_2m"]
     extra["probe_hits"] = int(n_hits)
 
+    # -- q2a: probe 32M keys — the 2M row is fixed-overhead-bound
+    # (scheduling + broadcast dominate), so it understates sustained
+    # probe throughput by ~10x; this row shows both regimes in the
+    # headline table (BENCH/scaling.json measures 25.5 M/s at 128M).
+    queries["probe_32m"], n_hits32 = timed2(lambda: (
+        spark.range(0, 32 << 20)
+        .select(F.col("id").alias("tok"))
+        .select(probe("tok").alias("hit"))
+        .agg(F.sum(F.col("hit").cast("long")))
+        .collect()[0][0]
+    ))
+    extra["probe32_lookups_per_sec"] = (32 << 20) / queries["probe_32m"]
+    extra["probe32_hits"] = int(n_hits32)
+
     # -- q2b: semi-sorted (f=13, 12 bits/tag) build — ss-CF baseline row
     times = []
     for _ in range(2):  # min-of-2 vs VM noise, like q1

@@ -33,3 +33,12 @@ def list_dir_names(spark: SparkSession, path: str) -> list[str]:
 def path_exists(spark: SparkSession, path: str) -> bool:
     fs, jpath = _fs_and_path(spark, path)
     return bool(fs.exists(jpath))
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` on its own filesystem (False if it
+    did not exist)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, True))

@@ -130,16 +130,23 @@ def _latest_state_shards(
 
     Listing goes through the Hadoop FileSystem API (plans/fsutil), so
     the state directory works on any URI the data directory works on
-    (s3a/hdfs/file), never a driver-local literal path."""
+    (s3a/hdfs/file), never a driver-local literal path. Reads both
+    per-batch dirs (``batch=<k>``) and compaction snapshots
+    (``snapshot=<k>``, see ``compact_dedup_state``); snapshot rows
+    keep their original ``state_batch`` stamps, so the per-shard
+    max_by is identical whether or not the subsumed batch dirs still
+    exist — compaction and crash-mid-compaction are both invisible
+    here."""
     from cuckoofilter_spark.plans.fsutil import list_dir_names
 
     paths = []
     for name in list_dir_names(spark, shards_dir):
-        if not name.startswith("batch="):
-            continue
-        k = int(name[len("batch="):])
-        if k < before_batch:
-            paths.append(os.path.join(shards_dir, name))
+        for prefix in ("batch=", "snapshot="):
+            if name.startswith(prefix):
+                k = int(name[len(prefix):])
+                if k < before_batch:
+                    paths.append(os.path.join(shards_dir, name))
+                break
     if not paths:
         return None
     raw = spark.read.schema(STATE_SHARD_SCHEMA).parquet(*paths)
@@ -154,6 +161,68 @@ def _latest_state_shards(
         raw.groupBy("shard_id")
         .agg(F.max_by("sketch", "state_batch").alias("sketch"))
     )
+
+
+def compact_dedup_state(
+    spark, out_dir: str, *, upto_batch: int,
+) -> int:
+    """Fold the streaming-dedup state dirs for batches ≤ ``upto_batch``
+    into one ``snapshot=<upto_batch>`` dir and remove them.
+
+    Why: state reads list every ``batch=<k>`` dir ever written; on a
+    long-running stream that listing (and the parquet-footer fan-in)
+    grows without bound even though only the newest row per shard is
+    live. A snapshot holds exactly one row per shard (its newest,
+    original ``state_batch`` stamp preserved) — after compaction the
+    state read is O(num_shards) regardless of stream age.
+
+    Crash safety, in order: (1) the snapshot is written FIRST — rows
+    in it duplicate rows still present in the batch dirs, and the
+    loader's per-shard max_by picks identical content either way, so a
+    crash mid-write or between write and cleanup never changes what a
+    reader sees; (2) batch dirs are deleted only after the snapshot's
+    ``_SUCCESS`` marker exists.
+
+    REPLAY CONTRACT: pass ``upto_batch`` ≤ the newest batch id the
+    STREAM CHECKPOINT has committed. Committed batches are never
+    re-delivered under the same checkpoint, which is what makes
+    folding their pre-states away safe; compacting an uncommitted
+    batch would feed its own fingerprints back to its replay and drop
+    the whole batch. Returns the number of dirs folded in."""
+    from cuckoofilter_spark.plans.fsutil import (
+        delete_path, list_dir_names, path_exists,
+    )
+
+    shards_dir = os.path.join(out_dir, "_filter", "shards")
+    old = []
+    for name in list_dir_names(spark, shards_dir):
+        for prefix in ("batch=", "snapshot="):
+            if name.startswith(prefix):
+                k = int(name[len(prefix):])
+                if k <= upto_batch:
+                    old.append(name)
+                break
+    if len(old) < 2:
+        return 0
+    paths = [os.path.join(shards_dir, n) for n in old]
+    raw = spark.read.schema(STATE_SHARD_SCHEMA).parquet(*paths)
+    compacted = (
+        raw.groupBy("shard_id")
+        .agg(F.max_by(
+            F.struct("state_batch", "num_shards", "sketch", "n_keys"),
+            "state_batch",
+        ).alias("s"))
+        .select("shard_id", "s.state_batch", "s.num_shards", "s.sketch",
+                "s.n_keys")
+    )
+    snap = os.path.join(shards_dir, f"snapshot={upto_batch}")
+    compacted.write.mode("overwrite").parquet(snap)
+    if not path_exists(spark, os.path.join(snap, "_SUCCESS")):
+        raise RuntimeError(f"snapshot write incomplete at {snap}")
+    for p in paths:
+        if p != snap:
+            delete_path(spark, p)
+    return len(old)
 
 
 def run_streaming_dedup(

@@ -385,6 +385,59 @@ def test_streaming_dedup_sharded_state_replay_and_no_driver_merge(
     assert survivors() == {1, 3, 11}, "replay was not idempotent"
 
 
+def test_streaming_dedup_state_compaction(spark, tmp_path):
+    """compact_dedup_state folds batch dirs into one snapshot: the
+    state read afterward is O(num_shards) files, and later batches
+    still dedup against everything the folded batches inserted."""
+    from cuckoofilter_spark.plans.fsutil import list_dir_names
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        compact_dedup_state, run_streaming_dedup,
+    )
+
+    src = tmp_path / "cp_src"
+    src.mkdir()
+    out = str(tmp_path / "cp_out")
+    ckpt = str(tmp_path / "cp_ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_streaming_dedup(
+            stream, "doc_id", "text", out_dir=out, checkpoint_dir=ckpt,
+            capacity=10_000, seed=11, num_shards=8,
+        )
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    spark.createDataFrame(
+        [(2, "delta epsilon zeta")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+
+    shards_dir = f"{out}/_filter/shards"
+    assert sorted(list_dir_names(spark, shards_dir)) == [
+        "batch=0", "batch=1",
+    ]
+    n_folded = compact_dedup_state(spark, out, upto_batch=1)
+    assert n_folded == 2
+    assert sorted(list_dir_names(spark, shards_dir)) == ["snapshot=1"]
+
+    # batch 2 dedups against the SNAPSHOT: doc 10 duplicates batch-0
+    # text (dropped), doc 11 is new (kept)
+    spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "eta theta iota")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(f"{out}/data/batch=2").collect()}
+    assert kept2 == {11}
+
+    # compacting a single live dir set is a no-op
+    assert compact_dedup_state(spark, out, upto_batch=1) == 0
+
+
 def test_streaming_sliding_window_drops_late_data(spark, tmp_path):
     """Sliding-window agg (2h window, 1h slide) with a 1h watermark:
     an event arriving AFTER the watermark has passed its window must
