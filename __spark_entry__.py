@@ -938,6 +938,127 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling + hash-disjoint holdout split
+    (operators/sampling.py): one pass flags a 25% holdout and keeps a
+    20% sample; the oracle replays the exact md5-threshold predicates.
+    Key property under test: the decision is a pure function of
+    (key, seed) — identical in both engines, stable under re-runs."""
+    from cuckoofilter_spark.operators.sampling import (
+        sample_hash, split_train_holdout,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    s = split_train_holdout(
+        sample_hash(docs, "doc_id", 0.2, seed=7),
+        "doc_id", 0.25, seed=9,
+    )
+    return (
+        s.groupBy("is_holdout")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("is_holdout")
+    )
+
+
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic rates — the training-mix operator:
+    each source thinned to its mixture weight in one broadcast-join +
+    filter pass (no shuffle of the fact side)."""
+    from cuckoofilter_spark.operators.sampling import sample_stratified
+
+    docs = _read(spark, sf_dir, "documents")
+    s = sample_stratified(
+        docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.1},
+        seed=5, key_col="doc_id",
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample via bottom-k md5 priorities —
+    reservoir-sampling semantics with a deterministic, fully parallel
+    plan (TakeOrderedAndProject: per-partition k-heaps, k-row reduce,
+    no global sort)."""
+    from cuckoofilter_spark.operators.sampling import sample_bottom_k
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        sample_bottom_k(docs, "doc_id", 25, seed=3)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): eval set =
+    every 97th document; report each corpus document sharing ≥1
+    word-3-gram with it. EXACT despite the sketch gate — the filter
+    (zero false negatives) only prunes the verification join's input,
+    so the result equals the oracle's full n-gram join."""
+    from cuckoofilter_spark.operators.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        decontaminate(corpus, ev, "doc_id", "text", n=3, min_overlap=1)
+        .orderBy("doc_id")
+    )
+
+
+def q_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality features
+    (operators/text.py with_repetition_stats), aggregated per source.
+    Sums of fixed-point e4 ints — no float identity in the contract
+    hash."""
+    from cuckoofilter_spark.operators.text import with_repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    rep = with_repetition_stats(docs)
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_word_frac_e4").alias("sum_dup_word_e4"),
+            F.sum("top_word_frac_e4").alias("sum_top_word_e4"),
+            F.sum("dup_bigram_frac_e4").alias("sum_dup_bigram_e4"),
+            F.max("top_word_frac_e4").alias("max_top_word_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_pack_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document packing (operators/packing.py): hash-route documents
+    into 8 independent streams, chunk each stream into 2048-token
+    bins via one partitioned window — per-stream doc/bin/token
+    totals. The oracle replays the identical deterministic order, so
+    bin counts must match exactly."""
+    from cuckoofilter_spark.operators.packing import (
+        pack_documents, packing_stats,
+    )
+    from cuckoofilter_spark.operators.text import token_count_ws
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count_ws("text")
+    )
+    packed = pack_documents(
+        docs, "doc_id", "n_tok", max_tokens=2048, n_streams=8, seed=4
+    )
+    return packing_stats(packed, "n_tok").orderBy("stream")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cf_semijoin_agg": q_cf_semijoin_agg,
@@ -980,6 +1101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_filter_build": q_streaming_filter_build,
         "streaming_dedup": q_streaming_dedup,
         "checkpoint_resume_build": q_checkpoint_resume_build,
+        "hash_sample_stats": q_hash_sample_stats,
+        "stratified_sample_counts": q_stratified_sample_counts,
+        "bottomk_sample": q_bottomk_sample,
+        "decontaminate_docs": q_decontaminate_docs,
+        "repetition_by_source": q_repetition_by_source,
+        "pack_documents_stats": q_pack_documents_stats,
     }
 
 
@@ -1381,5 +1508,131 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_events) AS BIGINT) AS n_events,
                    CAST(max(n_events) AS BIGINT) AS max_session_len
             FROM per_sess
+        """,
+        # Sampling keys are the first 15 hex chars of md5(value#seed)
+        # compared as strings (lowercase-hex order == numeric order);
+        # thresholds below are rate_threshold_hex(rate) literals from
+        # operators/sampling.py (0.2/0.25/0.5/0.1).
+        "hash_sample_stats": r"""
+            SELECT is_holdout, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM (
+              SELECT *,
+                     substring(md5(CAST(doc_id AS VARCHAR) || '#9'), 1, 15)
+                       < '400000000000000' AS is_holdout
+              FROM documents
+              WHERE substring(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15)
+                      < '333333333333340')
+            GROUP BY is_holdout ORDER BY is_holdout
+        """,
+        "stratified_sample_counts": r"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE substring(md5(source || '|' || CAST(doc_id AS VARCHAR)
+                                || '#5'), 1, 15) <
+                  CASE source
+                    WHEN 'src0' THEN '800000000000000'
+                    WHEN 'src1' THEN '400000000000000'
+                    WHEN 'src2' THEN '1999999999999a0'
+                    ELSE '000000000000000' END
+            GROUP BY source ORDER BY source
+        """,
+        "bottomk_sample": r"""
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars FROM documents
+              ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '#3'),
+                                 1, 15), doc_id
+              LIMIT 25)
+            ORDER BY doc_id
+        """,
+        "decontaminate_docs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w != '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct([w[i] || ' ' || w[i+1] || ' '
+                                      || w[i+2]
+                                      for i in range(1, len(w) - 1)])
+                     ELSE [] END AS s
+              FROM words),
+            ev AS (SELECT DISTINCT unnest(s) AS ngram FROM sh
+                   WHERE doc_id % 97 = 0),
+            cand AS (SELECT doc_id, unnest(s) AS ngram FROM sh
+                     WHERE doc_id % 97 <> 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM cand JOIN ev USING (ngram)
+            GROUP BY doc_id HAVING count(*) >= 1
+            ORDER BY doc_id
+        """,
+        "repetition_by_source": r"""
+            WITH words AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w != '') AS w
+              FROM documents),
+            bi AS (
+              SELECT doc_id, source, w,
+                     CASE WHEN len(w) >= 2 THEN
+                       [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                     ELSE [] END AS b
+              FROM words),
+            top AS (
+              SELECT doc_id, max(cnt) AS topc FROM (
+                SELECT doc_id, word, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(w) AS word FROM words)
+                GROUP BY doc_id, word)
+              GROUP BY doc_id),
+            per AS (
+              SELECT bi.source,
+                     CAST(round((len(w) - len(list_distinct(w))) * 10000
+                                / greatest(len(w), 1)) AS BIGINT)
+                       AS dup_w,
+                     CAST(round(coalesce(topc, 0) * 10000
+                                / greatest(len(w), 1)) AS BIGINT)
+                       AS top_w,
+                     CAST(round((len(b) - len(list_distinct(b))) * 10000
+                                / greatest(len(b), 1)) AS BIGINT)
+                       AS dup_bi
+              FROM bi LEFT JOIN top USING (doc_id))
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(dup_w) AS BIGINT) AS sum_dup_word_e4,
+                   CAST(sum(top_w) AS BIGINT) AS sum_top_word_e4,
+                   CAST(sum(dup_bi) AS BIGINT) AS sum_dup_bigram_e4,
+                   CAST(max(top_w) AS BIGINT) AS max_top_word_e4
+            FROM per GROUP BY source ORDER BY source
+        """,
+        "pack_documents_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text),
+                                                           '\s+'),
+                                     w -> w != '')) AS n_tok,
+                     substring(md5(CAST(doc_id AS VARCHAR) || '#4'),
+                               1, 15) AS hex
+              FROM documents),
+            s AS (
+              SELECT *,
+                     CAST(CAST(concat('0x', hex) AS BIGINT) % 8 AS INT)
+                       AS stream
+              FROM t),
+            c AS (
+              SELECT stream, n_tok,
+                     SUM(n_tok) OVER (PARTITION BY stream
+                                      ORDER BY hex, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS tok_before
+              FROM s),
+            b AS (SELECT stream, n_tok, tok_before // 2048 AS bin_id
+                  FROM c)
+            SELECT stream, count(*) AS n_docs,
+                   CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens
+            FROM b GROUP BY stream ORDER BY stream
         """,
     }

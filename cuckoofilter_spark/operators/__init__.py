@@ -2,8 +2,10 @@
 
 Sketch lifecycle (build → merge → probe → delete), dedup (exact /
 MinHash-LSH / SimHash / exact n-gram prefix-filter / cluster
-resolution), similarity search (brute, LSH, IVF), text analysis, and
-multimodal plumbing.
+resolution), similarity search (brute, LSH, IVF), text analysis,
+multimodal plumbing, and the corpus-shaping stage: deterministic
+sampling / train-holdout splits, benchmark decontamination,
+repetition quality stats, and token-bin packing.
 """
 
 from cuckoofilter_spark.operators.build import build_sketch_shards  # noqa: F401
@@ -32,7 +34,24 @@ from cuckoofilter_spark.operators.multimodal import (  # noqa: F401
     resize_media,
     sample_frames,
 )
-from cuckoofilter_spark.operators.probe import might_contain_udf  # noqa: F401
+from cuckoofilter_spark.operators.decontam import (  # noqa: F401
+    decontaminate,
+    eval_ngram_filter,
+)
+from cuckoofilter_spark.operators.packing import (  # noqa: F401
+    pack_documents,
+    packing_stats,
+)
+from cuckoofilter_spark.operators.probe import (  # noqa: F401
+    count_hits_udf,
+    might_contain_udf,
+)
+from cuckoofilter_spark.operators.sampling import (  # noqa: F401
+    sample_bottom_k,
+    sample_hash,
+    sample_stratified,
+    split_train_holdout,
+)
 from cuckoofilter_spark.operators.semijoin import filter_semi_join  # noqa: F401
 from cuckoofilter_spark.operators.similarity import (  # noqa: F401
     cosine_near_dup_pairs_blocked,

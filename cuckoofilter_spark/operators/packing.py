@@ -1,0 +1,86 @@
+"""Document packing — turn a deduplicated corpus into fixed-token
+training bins.
+
+Sequence packing ("concat-then-chunk") is the last step of a training
+-data pipeline: documents are concatenated in a deterministic order
+and cut into ``max_tokens`` bins. A literal global concatenation is a
+total order — one sorted stream, zero parallelism — so this operator
+packs into ``n_streams`` INDEPENDENT streams instead: each document
+is hash-routed to a stream, streams pack internally by a
+deterministic order, and every stream is a separate window partition.
+At 100 TB you set ``n_streams`` to ~the cluster's task parallelism
+and the single wide op is one hash-partitioned window — no global
+sort, no driver state, and re-running the job reproduces the exact
+same bins (the order key is the md5 sampling key, not arrival order).
+
+Bin semantics are the standard GPT-style chunking: within a stream,
+``bin_id = tokens_before_this_doc div max_tokens`` — a document
+straddling a boundary belongs to the bin where it starts, so every
+bin except a stream's last holds ≥ ``max_tokens`` contiguous tokens.
+No reference counterpart (pipeline op beyond the sketch library).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cuckoofilter_spark.operators.sampling import HEX_DIGITS, sample_hex_key
+
+
+def stream_id(col: str | Column, n_streams: int, seed: int = 0) -> Column:
+    """Deterministic stream route: the 60-bit md5 sampling key mod
+    ``n_streams`` (same key family as operators/sampling, so packing
+    is stable under re-runs and portable to the SQL oracle)."""
+    hex_key = sample_hex_key(col, seed)
+    return (F.conv(hex_key, 16, 10).cast("long") % n_streams).cast("int")
+
+
+def pack_documents(
+    df: DataFrame, id_col: str, tokens_col: str, *, max_tokens: int,
+    n_streams: int = 32, seed: int = 0,
+) -> DataFrame:
+    """Assign ``(stream, bin_id)`` to every document.
+
+    Plan: one projection (stream route + order key) and ONE window
+    aggregation hash-partitioned by stream — the only wide operation.
+    Within a stream the order is (hex order key, id); the cumulative
+    token sum before each document, integer-divided by ``max_tokens``,
+    is its bin. Adds columns ``stream``, ``bin_id``, ``bin_tok_start``
+    (the document's token offset inside its bin)."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    key = sample_hex_key(id_col, seed)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("_pack_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    before = (cum - F.col(tokens_col)).cast("long")
+    return (
+        df.withColumn("stream", stream_id(id_col, n_streams, seed))
+        .withColumn("_pack_key", key)
+        .withColumn("_tok_before", before)
+        # integer division, exact at any magnitude (no double round-trip)
+        .withColumn("bin_id", F.expr(f"_tok_before div {int(max_tokens)}"))
+        .withColumn(
+            "bin_tok_start", (F.col("_tok_before") % max_tokens).cast("long")
+        )
+        .drop("_pack_key", "_tok_before")
+    )
+
+
+def packing_stats(packed: DataFrame, tokens_col: str) -> DataFrame:
+    """Per-stream packing summary: documents, bins, tokens — the
+    numbers a capacity planner reads (bins × max_tokens vs tokens =
+    padding waste)."""
+    return (
+        packed.groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+            F.sum(F.col(tokens_col)).cast("long").alias("total_tokens"),
+        )
+    )

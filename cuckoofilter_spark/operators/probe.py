@@ -66,3 +66,46 @@ def might_contain_udf(spark: SparkSession, blob: bytes):
         return probe(F.col(col) if isinstance(col, str) else col)
 
     return apply
+
+
+def count_hits_udf(spark: SparkSession, blob: bytes):
+    """Column-function: ``f(array<long> col) -> int`` — how many of the
+    row's keys the broadcast filter contains.
+
+    The per-document membership counter (decontamination, coverage
+    scoring): one narrow pass, no explode/groupBy shuffle — the whole
+    Arrow batch is flattened once, probed with one vectorized
+    ``contains_many``, and segment-summed back per row
+    (``np.add``-free: prefix-sum difference over row offsets). NULL
+    array -> 0, matching "no keys, no hits"."""
+    import uuid
+
+    from pyspark.sql.types import IntegerType
+
+    bc = spark.sparkContext.broadcast(bytes(blob))
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf(IntegerType())
+    def hits(s: pd.Series) -> pd.Series:
+        sk = _get_filter(bc, cache_key)
+        arrs = [
+            np.asarray(a, dtype=np.int64) if a is not None
+            else np.empty(0, dtype=np.int64)
+            for a in s
+        ]
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        if len(arrs) == 0 or int(lens.sum()) == 0:
+            return pd.Series(np.zeros(len(arrs), dtype=np.int32))
+        flat = np.concatenate(arrs).view(np.uint64)
+        h = sk.contains_many(flat).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(h)))
+        ends = np.cumsum(lens)
+        out = csum[ends] - csum[ends - lens]
+        return pd.Series(out.astype(np.int32))
+
+    def apply(col: str | Column) -> Column:
+        return hits(F.col(col) if isinstance(col, str) else col)
+
+    return apply

@@ -1,0 +1,141 @@
+"""Deterministic sampling — the selection half of a training-data
+pipeline.
+
+No reference counterpart (the reference is a membership-sketch
+library; its harness only *generates* keys, ``benchmarks/random.h``)
+— these are the pipeline operators a 100 TB corpus job needs around
+the sketches: carve out a train/eval split, thin a source to a target
+rate, draw a fixed-size uniform audit sample.
+
+Design rules, all three load-bearing at scale:
+
+1. **Hash-deterministic, never ``rand()``.** Every decision is a pure
+   function of ``(key, seed)``: re-running the job, retrying a task,
+   or adding executors yields the SAME sample (Spark may recompute
+   any partition at any time — nondeterministic sampling silently
+   breaks exactly-once semantics downstream). It also makes the ops
+   oracle-checkable in any engine with ``md5``.
+2. **Narrow plans.** Bernoulli/stratified sampling is a pure filter —
+   no shuffle, predicate evaluated at the scan. ``sample_bottom_k``
+   is the one exception and deliberately compiles to
+   TakeOrderedAndProject (per-partition top-k, then a k-row reduce —
+   never a global sort).
+3. **Portable hash.** The sampling key is the first 15 hex chars of
+   ``md5(value || '#' || seed)`` compared AS A STRING against a
+   threshold: lowercase-hex string order == numeric order, so the
+   exact same predicate runs in Spark and in the DuckDB oracle with
+   no integer conversions. 15 hex chars = 60 bits ⇒ rate granularity
+   2^-60.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 15  # 60 bits: fits in a signed 64-bit int with headroom
+_SPACE = 16**HEX_DIGITS
+
+
+def sample_hex_key(col: str | Column, seed: int = 0) -> Column:
+    """The 60-bit sampling key as a 15-char lowercase-hex string."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.md5(F.concat(c.cast("string"), F.lit(f"#{seed}"))), 1, HEX_DIGITS
+    )
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Hex threshold t such that P[key < t] == round(rate * 2^60)/2^60.
+
+    rate == 1.0 returns ``"g"`` (ASCII-after every hex char) so the
+    ``key < t`` predicate keeps ALL rows, including the 2^-60 corner
+    key ``fff…f``."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    n = int(round(rate * _SPACE))
+    if n >= _SPACE:
+        return "g"
+    return format(n, f"0{HEX_DIGITS}x")
+
+
+def sample_hash(
+    df: DataFrame, key_col: str, rate: float, *, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``.
+
+    A pure filter (no shuffle); the same key always lands on the same
+    side for a given seed, so per-key idempotence survives retries and
+    incremental re-runs. NULL keys are dropped (a NULL has no stable
+    identity to sample on)."""
+    return df.filter(sample_hex_key(key_col, seed) < rate_threshold_hex(rate))
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_frac: float, *, seed: int = 0,
+    flag_col: str = "is_holdout",
+) -> DataFrame:
+    """Label a hash-disjoint holdout split: ``flag_col`` is true for
+    ~``holdout_frac`` of keys. The guarantee that matters is
+    DISJOINTNESS under growth: a key's side depends only on
+    (key, seed), so no example ever migrates between train and
+    holdout as the corpus is extended — the leakage-safety property a
+    random split cannot give."""
+    return df.withColumn(
+        flag_col,
+        sample_hex_key(key_col, seed) < rate_threshold_hex(holdout_frac),
+    )
+
+
+def sample_stratified(
+    df: DataFrame, strata_col: str, rates: dict[str, float], *,
+    seed: int = 0, default_rate: float = 0.0, key_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic rates — the "source mixture" op: thin
+    each corpus source to its training-mix weight in one pass.
+
+    ``rates`` maps stratum value -> keep rate; strata not listed get
+    ``default_rate``. The rates table is a broadcast dim (strata
+    counts are small by definition); the decision key defaults to the
+    stratum-qualified row key so two strata sampling the same key are
+    independent."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, rate_threshold_hex(v)) for k, v in sorted(rates.items())],
+        f"{strata_col} string, _thresh string",
+    )
+    kc = key_col if key_col is not None else strata_col
+    key = F.concat(
+        F.col(strata_col).cast("string"), F.lit("|"),
+        F.col(kc).cast("string"),
+    )
+    out = (
+        df.join(F.broadcast(dim), strata_col, "left")
+        .withColumn(
+            "_thresh",
+            F.coalesce(F.col("_thresh"), F.lit(rate_threshold_hex(default_rate))),
+        )
+        .filter(sample_hex_key(key, seed) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+    return out
+
+
+def sample_bottom_k(
+    df: DataFrame, key_col: str, k: int, *, seed: int = 0
+) -> DataFrame:
+    """Fixed-size uniform sample without replacement: the k smallest
+    md5 keys. Distribution-identical to reservoir sampling (any
+    injective uniform priority order gives a uniform k-subset) but
+    deterministic and embarrassingly parallel: Spark compiles the
+    sort+limit to TakeOrderedAndProject — each task keeps a local
+    k-heap and only k rows per partition reach the driver-side
+    reduce; there is NO global sort and NO full shuffle. Ties (60-bit
+    collisions) break on the key itself for cross-engine determinism."""
+    pri = sample_hex_key(key_col, seed)
+    return (
+        df.withColumn("_pri", pri)
+        .orderBy(F.col("_pri"), F.col(key_col))
+        .limit(k)
+        .drop("_pri")
+    )

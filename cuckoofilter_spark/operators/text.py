@@ -189,3 +189,79 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
             "fingerprint": fingerprint_md5(text),
         }
     )
+
+
+# ------------------------------------------------ repetition (Gopher-style)
+# Quality-filter signals from the published Gopher/MassiveText rules
+# (Rae et al. 2021, §A1.1): excessive word repetition marks boilerplate
+# and spam. Fractions are fixed-point *10^4 ints so downstream
+# comparisons (and the DuckDB oracle hash) never touch float identity.
+
+
+def bigrams_col(text: str | Column) -> Column:
+    """Word bigrams as array<string>, duplicates KEPT (repetition is
+    the signal being measured)."""
+    w = words_col(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.get(w, i.cast("int")), F.get(w, (i + 1).cast("int"))
+        ),
+    )
+    return F.when(n >= 2, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_word_count_udf():
+    """Count of the most frequent word — the one repetition stat with
+    no shuffle-free Column form (a per-element mode). The higher-order
+    Column encoding is O(distinct · n) CodegenFallback per doc; this
+    per-doc Counter is O(n) and stays a narrow pass (same measured
+    justification as the MinHash UDF, operators/dedup.py)."""
+    import pandas as pd
+    from collections import Counter
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def top_count(s: pd.Series) -> pd.Series:
+        return pd.Series([
+            (Counter(a).most_common(1)[0][1] if a is not None and len(a)
+             else 0)
+            for a in s
+        ], dtype="int64")
+
+    return top_count
+
+
+def _frac_e4(num: Column, den: Column) -> Column:
+    return F.round(num * 10000 / F.greatest(den, F.lit(1))).cast("long")
+
+
+def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach Gopher-style repetition features, one narrow projection:
+
+    - ``dup_word_frac_e4``  — fraction of word occurrences that repeat
+      an earlier occurrence (1 - distinct/total);
+    - ``top_word_frac_e4``  — most-frequent-word share of all words;
+    - ``dup_bigram_frac_e4`` — repeated-bigram occurrence fraction.
+
+    All inputs computed JVM-side except the per-doc mode count (see
+    ``top_word_count_udf``). Empty documents score 0 everywhere."""
+    w = words_col(text)
+    bi = bigrams_col(text)
+    top = top_word_count_udf()
+    return df.withColumns(
+        {
+            "n_words": F.size(w),
+            "dup_word_frac_e4": _frac_e4(
+                F.size(w) - F.size(F.array_distinct(w)), F.size(w)
+            ),
+            "top_word_frac_e4": _frac_e4(top(w), F.size(w)),
+            "dup_bigram_frac_e4": _frac_e4(
+                F.size(bi) - F.size(F.array_distinct(bi)), F.size(bi)
+            ),
+        }
+    )
