@@ -198,6 +198,37 @@ def main() -> None:
         lambda: with_text_stats(docs).agg(F.sum("quality_milli")).collect()
     )
 
+    # -- q7b2: corpus-shaping stage (round 3) ----------------------------
+    # decontamination is the flagship pipeline use of the filter:
+    # eval n-grams -> broadcast CF -> narrow corpus probe -> exact
+    # verify join on candidates only
+    from cuckoofilter_spark.operators.decontam import decontaminate
+
+    queries["decontam"], extra["decontam_docs"] = timed2(
+        lambda: decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            "doc_id", "text", n=3, min_overlap=1,
+        ).count()
+    )
+
+    from cuckoofilter_spark.operators.packing import (
+        pack_documents, packing_stats,
+    )
+    from cuckoofilter_spark.operators.text import token_count_ws
+
+    queries["pack_docs"], extra["pack_bins"] = timed2(
+        lambda: int(
+            packing_stats(
+                pack_documents(
+                    docs.withColumn("n_tok", token_count_ws("text")),
+                    "doc_id", "n_tok", max_tokens=2048, n_streams=32,
+                ),
+                "n_tok",
+            ).agg(F.sum("n_bins")).collect()[0][0]
+        )
+    )
+
     from cuckoofilter_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))

@@ -160,21 +160,31 @@ def fingerprint_rolling_sql(text: str | Column) -> Column:
     )
 
 
+def _sliding_join(w: Column, k: int) -> Column:
+    """All word k-grams (duplicates kept) via ``zip_with`` over shifted
+    slices. Each slice/zip argument is evaluated ONCE PER ROW; the
+    lambdas touch only their own lambda variables. The obvious
+    ``transform(sequence(...), i -> get(w, i+j))`` form instead
+    re-evaluates the full tokenization expression per ELEMENT access
+    inside the interpreted higher-order lambda — O(words²) per
+    document (measured 25× slower on the sf0.1 corpus)."""
+    n = F.size(w)
+    cur = w
+    for j in range(1, k):
+        # zip_with pads the shorter side with null; concat(x, null) is
+        # null, so the k-1 tail slots drop in the final filter
+        cur = F.zip_with(
+            cur, F.slice(w, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.filter(cur, lambda s: s.isNotNull())
+
+
 def shingles_col(text: str | Column, k: int = 3) -> Column:
     """Distinct word k-shingles as an array<string> (JVM-side)."""
     w = words_col(text)
-    n = F.size(w)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    # F.get is 0-based and null-safe (no ANSI out-of-bounds error)
-    joined = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.get(w, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(joined)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(F.size(w) >= k, F.array_distinct(_sliding_join(w, k))) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
@@ -200,17 +210,11 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
 
 def bigrams_col(text: str | Column) -> Column:
     """Word bigrams as array<string>, duplicates KEPT (repetition is
-    the signal being measured)."""
+    the signal being measured). Same once-per-row slice/zip shape as
+    ``_sliding_join`` — see its docstring for why not
+    transform+get."""
     w = words_col(text)
-    n = F.size(w)
-    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
-    joined = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.get(w, i.cast("int")), F.get(w, (i + 1).cast("int"))
-        ),
-    )
-    return F.when(n >= 2, joined).otherwise(
+    return F.when(F.size(w) >= 2, _sliding_join(w, 2)).otherwise(
         F.array().cast("array<string>")
     )
 
