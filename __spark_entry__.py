@@ -1039,6 +1039,26 @@ def q_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus thinning: keep probability =
+    quality_milli/1000 per document (clamped), decided by the same
+    deterministic md5 key — a narrow filter, zero shuffle. The oracle
+    recomputes the quality formula (already hash-verified by
+    text_stats_by_source) and replays the floor(w·2^60) comparison."""
+    from cuckoofilter_spark.operators.sampling import sample_weighted
+    from cuckoofilter_spark.operators.text import quality_score_milli
+
+    docs = _read(spark, sf_dir, "documents")
+    s = sample_weighted(
+        docs, "doc_id", quality_score_milli("text") / 1000.0, seed=11
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_pack_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document packing (operators/packing.py): hash-route documents
     into 8 independent streams, chunk each stream into 2048-token
@@ -1105,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_counts": q_stratified_sample_counts,
         "bottomk_sample": q_bottomk_sample,
         "decontaminate_docs": q_decontaminate_docs,
+        "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_documents_stats": q_pack_documents_stats,
     }
@@ -1546,6 +1567,34 @@ def oracle_sql() -> dict[str, str]:
                                  1, 15), doc_id
               LIMIT 25)
             ORDER BY doc_id
+        """,
+        "weighted_sample_stats": r"""
+            WITH t AS (
+              SELECT doc_id, n_chars, text,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w != '') AS words,
+                     len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct
+              FROM documents),
+            q AS (
+              SELECT doc_id, n_chars,
+                     least(400, len(words) * 4)
+                     + least(300, CAST(round(
+                         len(list_filter(words, w -> list_contains(
+                             ['the','a','of','and','is','to'], w)))
+                         / greatest(len(words), 1) * 3000) AS INTEGER))
+                     - least(300, CAST(round(
+                         punct / greatest(length(text), 1) * 3000) AS INTEGER))
+                     + 300 AS quality
+              FROM t)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM q
+            WHERE CAST(concat('0x',
+                    substring(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15))
+                  AS BIGINT)
+                  < CAST(floor(least(greatest(quality / 1000.0, 0.0), 1.0)
+                               * 1152921504606846976.0) AS BIGINT)
         """,
         "decontaminate_docs": r"""
             WITH words AS (

@@ -50,6 +50,7 @@ from cuckoofilter_spark.operators.sampling import (  # noqa: F401
     sample_bottom_k,
     sample_hash,
     sample_stratified,
+    sample_weighted,
     split_train_holdout,
 )
 from cuckoofilter_spark.operators.semijoin import filter_semi_join  # noqa: F401

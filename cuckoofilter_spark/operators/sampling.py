@@ -139,3 +139,25 @@ def sample_bottom_k(
         .limit(k)
         .drop("_pri")
     )
+
+
+def sample_weighted(
+    df: DataFrame, key_col: str, weight_col: str | Column, *,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability ``weight`` (clamped to
+    [0,1]) — quality-weighted corpus thinning: keep probability
+    proportional to a quality/importance score, still deterministic
+    per (key, seed) and still a pure narrow filter.
+
+    Exactness note for the cross-engine oracle: the 60-bit integer
+    key is compared against ``floor(weight * 2^60)`` — ``floor`` is
+    written out explicitly because double→int casts TRUNCATE in Spark
+    but ROUND in DuckDB; floor is identical in both."""
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key_num = F.conv(sample_hex_key(key_col, seed), 16, 10).cast("long")
+    thresh = F.floor(
+        F.least(F.greatest(wc.cast("double"), F.lit(0.0)), F.lit(1.0))
+        * F.lit(float(_SPACE))
+    ).cast("long")
+    return df.filter(key_num < thresh)

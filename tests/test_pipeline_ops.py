@@ -269,3 +269,21 @@ def test_pack_documents_single_wide_op(spark, docs):
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_sample_weighted_bounds_and_monotone(spark, docs):
+    from cuckoofilter_spark.operators.sampling import sample_weighted
+
+    n = docs.count()
+    assert sample_weighted(docs, "doc_id", F.lit(0.0), seed=1).count() == 0
+    assert sample_weighted(docs, "doc_id", F.lit(1.0), seed=1).count() == n
+    assert sample_weighted(docs, "doc_id", F.lit(5.0), seed=1).count() == n
+    # a row kept at weight w is kept at any w' > w (same key, same seed)
+    lo = {r.doc_id for r in
+          sample_weighted(docs, "doc_id", F.lit(0.3), seed=2).collect()}
+    hi = {r.doc_id for r in
+          sample_weighted(docs, "doc_id", F.lit(0.6), seed=2).collect()}
+    assert lo <= hi and len(lo) < len(hi)
+    plan = sample_weighted(docs, "doc_id", F.lit(0.5), seed=1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
