@@ -12,11 +12,11 @@ sketch removes it:
    filter blob (eval sets are millions of n-grams — megabytes at
    16 bits/item) and broadcast;
 2. the CORPUS side is a narrow scan: per document, count how many of
-   its n-grams the filter contains (one vectorized probe per Arrow
-   batch, ``operators/probe.py count_hits_udf`` — no explode, no
-   shuffle). Zero false negatives (reference guarantee,
-   ``src/cuckoofilter.h:166-185``) ⇒ every truly contaminated
-   document survives this gate;
+   its n-grams the filter contains (``contamination_count_udf``:
+   tokenize → shingle → hash → one batched probe, all inside one
+   Arrow UDF — no explode, no shuffle). Zero false negatives
+   (reference guarantee, ``src/cuckoofilter.h:166-185``) ⇒ every
+   truly contaminated document survives this gate;
 3. only the surviving candidates — the contaminated sliver plus an
    FPR-controlled trickle (bits_per_item=16 ⇒ ~0.01% per n-gram) —
    pay the exact verification join, so the result is EXACT while the
@@ -28,13 +28,85 @@ This is the same probe-then-verify shape as the semi-join operator
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cuckoofilter_spark.operators.build import build_sketch_shards
 from cuckoofilter_spark.operators.merge import merge_shards_to_blob
-from cuckoofilter_spark.operators.probe import count_hits_udf
 from cuckoofilter_spark.operators.text import shingles_col
+
+
+def _ngram_hash_udf(seed: int):
+    """string n-gram -> uint64 blake2b hash (as long). Must equal
+    ``dedup._shingle_hashes``'s per-shingle hash so the build and
+    probe sides agree."""
+    import hashlib
+
+    from pyspark.sql.types import LongType
+
+    salt = seed.to_bytes(8, "little", signed=False)
+
+    @F.pandas_udf(LongType())
+    def h(s: pd.Series) -> pd.Series:
+        out = np.empty(len(s), dtype=np.uint64)
+        for j, g in enumerate(s):
+            out[j] = int.from_bytes(
+                hashlib.blake2b(g.encode(), digest_size=8,
+                                key=salt).digest(),
+                "little",
+            )
+        return pd.Series(out.view(np.int64))
+
+    return h
+
+
+def contamination_count_udf(spark, blob: bytes, *, n: int, seed: int):
+    """Column-function ``f(text) -> int``: how many of the document's
+    distinct word n-grams the broadcast eval filter contains.
+
+    ONE pass does tokenize → shingle → hash → batch probe inside the
+    UDF (``dedup._shingle_hashes`` + one ``contains_many`` per Arrow
+    batch). Doing the shingling here rather than with the JVM
+    ``shingles_col`` Column matters twice over: the interpreted
+    higher-order expression costs ~25× more per doc, and Catalyst's
+    projection collapsing would otherwise re-evaluate it in every
+    operator that references the array."""
+    import uuid
+
+    from pyspark.sql.types import IntegerType
+
+    from cuckoofilter_spark.operators.dedup import _shingle_hashes
+    from cuckoofilter_spark.operators.probe import _get_filter
+
+    bc = spark.sparkContext.broadcast(bytes(blob))
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf(IntegerType())
+    def hits(s: pd.Series) -> pd.Series:
+        sk = _get_filter(bc, cache_key)
+        arrs = [
+            _shingle_hashes(t, n, seed) if t is not None
+            else np.empty(0, dtype=np.uint64)
+            for t in s
+        ]
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        if len(arrs) == 0 or int(lens.sum()) == 0:
+            return pd.Series(np.zeros(len(arrs), dtype=np.int32))
+        flat = np.concatenate(arrs)
+        hv = sk.contains_many(flat).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(hv)))
+        ends = np.cumsum(lens)
+        out = csum[ends] - csum[ends - lens]
+        return pd.Series(out.astype(np.int32))
+
+    def apply(col):
+        return hits(F.col(col) if isinstance(col, str) else col)
+
+    return apply
 
 
 def eval_ngram_filter(
@@ -57,7 +129,7 @@ def eval_ngram_filter(
     if capacity is None:
         capacity = ngrams.count()
     shards = build_sketch_shards(
-        ngrams.select(F.xxhash64("ngram").alias("h")),
+        ngrams.select(_ngram_hash_udf(seed)("ngram").alias("h")),
         "h", kind="cuckoo", lineage=False,
         max_num_keys=max(int(capacity), 1024),
         bits_per_item=bits_per_item, seed=seed,
@@ -86,19 +158,20 @@ def decontaminate(
         eval_df, text_col, n=n, bits_per_item=bits_per_item, seed=seed
     )
     spark = corpus.sparkSession
-    hits = count_hits_udf(spark, blob)
+    hits = contamination_count_udf(spark, blob, n=n, seed=seed)
 
-    with_ng = corpus.select(
-        F.col(id_col),
-        shingles_col(text_col, n).alias("_ngrams"),
-    ).withColumn("_h", F.transform("_ngrams", lambda g: F.xxhash64(g)))
+    # Gate first (one UDF pass over raw text), THEN shingle only the
+    # surviving candidates with the JVM Column — the expensive string
+    # n-gram array is never materialized for the clean bulk of the
+    # corpus.
+    candidates = corpus.filter(hits(text_col) >= min_overlap)
 
-    candidates = with_ng.filter(hits("_h") >= min_overlap)
-
-    # Exact verify: shingles_col already de-duplicates per document,
-    # so count(*) after the equi-join IS the distinct-overlap count.
+    # Exact verify: shingles_col de-duplicates per document, so
+    # count(*) after the equi-join IS the distinct-overlap count.
     overlap = (
-        candidates.select(id_col, F.explode("_ngrams").alias("ngram"))
+        candidates.select(
+            id_col, F.explode(shingles_col(text_col, n)).alias("ngram")
+        )
         .join(ev_ngrams, "ngram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
