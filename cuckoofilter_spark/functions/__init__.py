@@ -8,10 +8,15 @@ can write::
     df.select(CF.token_count_ws("text"), CF.fingerprint_md5("text"))
 """
 
+from cuckoofilter_spark.operators.sampling import (  # noqa: F401
+    rate_threshold_hex,
+    sample_hex_key,
+)
 from cuckoofilter_spark.operators.text import (  # noqa: F401
     BPE_ISH_RE,
     LANG_STOPWORDS,
     PUNCT_RE,
+    bigrams_col,
     fingerprint_md5,
     fingerprint_rolling,
     fingerprint_rolling_sql,
@@ -28,9 +33,10 @@ from cuckoofilter_spark.operators.text import (  # noqa: F401
 )
 
 __all__ = [
-    "BPE_ISH_RE", "LANG_STOPWORDS", "PUNCT_RE", "fingerprint_md5",
-    "fingerprint_rolling", "fingerprint_rolling_sql",
+    "BPE_ISH_RE", "LANG_STOPWORDS", "PUNCT_RE", "bigrams_col",
+    "fingerprint_md5", "fingerprint_rolling", "fingerprint_rolling_sql",
     "lang_id", "lang_scores", "normalize_text", "punct_count",
-    "quality_score_milli", "shingles_col", "stopword_hits",
-    "token_count_bpe_ish", "token_count_ws", "words_col",
+    "quality_score_milli", "rate_threshold_hex", "sample_hex_key",
+    "shingles_col", "stopword_hits", "token_count_bpe_ish",
+    "token_count_ws", "words_col",
 ]

@@ -287,3 +287,54 @@ def test_sample_weighted_bounds_and_monotone(spark, docs):
     plan = sample_weighted(docs, "doc_id", F.lit(0.5), seed=1)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------- hypothesis (no Spark)
+def test_rate_threshold_hex_properties():
+    """Pure-python contract of the sampling threshold: monotone in
+    rate, 15 lowercase-hex chars (or the all-pass sentinel), and the
+    string comparison agrees with the numeric one."""
+    from hypothesis import given, strategies as st
+
+    from cuckoofilter_spark.operators.sampling import (
+        HEX_DIGITS, rate_threshold_hex,
+    )
+
+    @given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+           st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+    def check(r1, r2):
+        t1, t2 = rate_threshold_hex(r1), rate_threshold_hex(r2)
+        for t in (t1, t2):
+            assert t == "g" or (len(t) == HEX_DIGITS
+                                and t == t.lower()
+                                and int(t, 16) < 16**HEX_DIGITS)
+        if r1 <= r2:
+            assert t1 <= t2  # string order == numeric order
+    check()
+
+
+def test_sample_predicate_matches_python_md5():
+    """The Spark-side predicate is exactly md5-hex-prefix < threshold;
+    replay it in pure python for a key sample."""
+    import hashlib
+
+    from hypothesis import given, strategies as st
+
+    from cuckoofilter_spark.operators.sampling import (
+        HEX_DIGITS, rate_threshold_hex,
+    )
+
+    @given(st.integers(min_value=-2**62, max_value=2**62),
+           st.integers(min_value=0, max_value=10**6),
+           st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+    def check(key, seed, rate):
+        hx = hashlib.md5(f"{key}#{seed}".encode()).hexdigest()[:HEX_DIGITS]
+        kept = hx < rate_threshold_hex(rate)
+        if rate == 0.0:
+            assert not kept
+        if rate == 1.0:
+            assert kept
+        # monotone in rate for the same key
+        if kept:
+            assert hx < rate_threshold_hex(min(1.0, rate + 0.1)) or rate > 0.9
+    check()
