@@ -1039,6 +1039,43 @@ def q_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination over micro-batches against a static
+    eval set: the union of per-batch flagged/clean outputs must equal
+    the one-shot batch answer (stateless per batch ⇒ batch-size
+    invariant), which the oracle recomputes as the exact n-gram
+    join."""
+    import os
+    import tempfile
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_decontam,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    tmp = tempfile.mkdtemp(prefix="cfdecontam_")
+    src = os.path.join(tmp, "src")
+    corpus.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = os.path.join(tmp, "out")
+    run_streaming_decontam(
+        stream, ev, "doc_id", "text", out_dir=out,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        n=3, min_overlap=1, seed=7,
+    )
+    flagged = spark.read.parquet(os.path.join(out, "flagged", "batch=*"))
+    clean = spark.read.parquet(os.path.join(out, "clean", "batch=*"))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.sum("n_overlap").alias("sum_overlap"),
+    ).crossJoin(clean.agg(F.count(F.lit(1)).alias("n_clean")))
+
+
 def q_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus thinning: keep probability =
     quality_milli/1000 per document (clamped), decided by the same
@@ -1125,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_counts": q_stratified_sample_counts,
         "bottomk_sample": q_bottomk_sample,
         "decontaminate_docs": q_decontaminate_docs,
+        "streaming_decontam": q_streaming_decontam,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_documents_stats": q_pack_documents_stats,
@@ -1567,6 +1605,33 @@ def oracle_sql() -> dict[str, str]:
                                  1, 15), doc_id
               LIMIT 25)
             ORDER BY doc_id
+        """,
+        "streaming_decontam": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w != '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct([w[i] || ' ' || w[i+1] || ' '
+                                      || w[i+2]
+                                      for i in range(1, len(w) - 1)])
+                     ELSE [] END AS s
+              FROM words),
+            ev AS (SELECT DISTINCT unnest(s) AS ngram FROM sh
+                   WHERE doc_id % 97 = 0),
+            cand AS (SELECT doc_id, unnest(s) AS ngram FROM sh
+                     WHERE doc_id % 97 <> 0),
+            fl AS (SELECT doc_id, count(*) AS n_overlap
+                   FROM cand JOIN ev USING (ngram)
+                   GROUP BY doc_id HAVING count(*) >= 1)
+            SELECT (SELECT count(*) FROM fl) AS n_flagged,
+                   (SELECT CAST(sum(n_overlap) AS BIGINT) FROM fl)
+                       AS sum_overlap,
+                   (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0)
+                     - (SELECT count(*) FROM fl) AS n_clean
         """,
         "weighted_sample_stats": r"""
             WITH t AS (

@@ -157,6 +157,21 @@ def decontaminate(
     blob, ev_ngrams = eval_ngram_filter(
         eval_df, text_col, n=n, bits_per_item=bits_per_item, seed=seed
     )
+    return overlap_report(
+        corpus, blob, ev_ngrams, id_col, text_col,
+        n=n, min_overlap=min_overlap, seed=seed,
+    )
+
+
+def overlap_report(
+    corpus: DataFrame, blob: bytes, ev_ngrams: DataFrame,
+    id_col: str, text_col: str, *, n: int = 3, min_overlap: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """The probe-gate + exact-verify core of ``decontaminate``, against
+    PRE-BUILT eval artifacts — so a streaming job (or a loop over
+    corpus slices) builds the eval filter once and reuses it per
+    batch."""
     spark = corpus.sparkSession
     hits = contamination_count_udf(spark, blob, n=n, seed=seed)
 

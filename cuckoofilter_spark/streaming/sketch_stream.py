@@ -387,3 +387,63 @@ def run_streaming_dedup(
     else:
         q = writer.trigger(processingTime="10 seconds").start()
     q.awaitTermination()
+
+
+def run_streaming_decontam(
+    stream_df: DataFrame, eval_df: DataFrame, id_col: str, text_col: str,
+    *, out_dir: str, checkpoint_dir: str, n: int = 3,
+    min_overlap: int = 1, bits_per_item: int = 16, seed: int = 7,
+    trigger_available_now: bool = True,
+) -> None:
+    """Streaming benchmark decontamination: route each micro-batch's
+    documents into ``clean/batch=<id>`` or ``flagged/batch=<id>``
+    (flagged rows carry ``n_overlap``) against a STATIC eval set.
+
+    The eval side is built ONCE before the stream starts — the filter
+    blob rides the closure into every batch (broadcast per job), and
+    the exact-verify n-gram table is parked under
+    ``<out_dir>/_eval/ngrams`` so each micro-batch reads it
+    executor-side (no driver-held row set, no cross-session DataFrame
+    reuse). Per-batch output overwrites its own ``batch=<id>`` dirs —
+    redelivery is idempotent, same as the other streaming jobs here.
+    State never grows: unlike streaming dedup there is NO cross-batch
+    mutable state, so this scales to any stream length as one narrow
+    probe pass + a candidates-only verify join per batch."""
+    from cuckoofilter_spark.operators.decontam import (
+        eval_ngram_filter, overlap_report,
+    )
+
+    blob, ev_ngrams = eval_ngram_filter(
+        eval_df, text_col, n=n, bits_per_item=bits_per_item, seed=seed
+    )
+    ev_dir = os.path.join(out_dir, "_eval", "ngrams")
+    ev_ngrams.write.mode("overwrite").parquet(ev_dir)
+    ev_ngrams.unpersist()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        ev = spark.read.parquet(ev_dir)
+        flagged = overlap_report(
+            batch_df, blob, ev, id_col, text_col,
+            n=n, min_overlap=min_overlap, seed=seed,
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"flagged/batch={batch_id}")
+        )
+        flagged_ids = spark.read.parquet(
+            os.path.join(out_dir, f"flagged/batch={batch_id}")
+        ).select(id_col)
+        clean = batch_df.join(flagged_ids, id_col, "left_anti")
+        clean.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"clean/batch={batch_id}")
+        )
+        batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(per_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer.trigger(availableNow=True).start().awaitTermination()
+    else:
+        writer.trigger(processingTime="10 seconds").start()

@@ -504,3 +504,43 @@ def test_streaming_sliding_window_drops_late_data(spark, tmp_path):
     interior = t0 + dt.timedelta(hours=3)
     if interior in emitted:
         assert emitted[interior] == 2
+
+
+def test_streaming_decontam_partitions_corpus(spark, tmp_path):
+    """clean ∪ flagged == corpus exactly (disjoint), and the flagged
+    set equals the one-shot batch decontaminate — stateless per batch,
+    so micro-batching cannot change the answer."""
+    from cuckoofilter_spark.operators.decontam import decontaminate
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_decontam,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    src = str(tmp_path / "src")
+    corpus.repartition(5).write.parquet(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    run_streaming_decontam(
+        stream, ev, "doc_id", "text", out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"), n=3, min_overlap=2,
+    )
+    flagged = {(r.doc_id, r.n_overlap) for r in
+               spark.read.parquet(f"{out}/flagged/batch=*").collect()}
+    clean_ids = {r.doc_id for r in
+                 spark.read.parquet(f"{out}/clean/batch=*")
+                 .select("doc_id").collect()}
+    batch = {(r.doc_id, r.n_overlap) for r in
+             decontaminate(corpus, ev, "doc_id", "text", n=3,
+                           min_overlap=2).collect()}
+    assert flagged == batch
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    flagged_ids = {d for d, _ in flagged}
+    assert clean_ids | flagged_ids == corpus_ids
+    assert clean_ids & flagged_ids == set()
