@@ -37,6 +37,7 @@ from cuckoofilter_spark.operators.multimodal import (  # noqa: F401
 from cuckoofilter_spark.operators.decontam import (  # noqa: F401
     decontaminate,
     eval_ngram_filter,
+    overlap_report,
 )
 from cuckoofilter_spark.operators.packing import (  # noqa: F401
     pack_documents,

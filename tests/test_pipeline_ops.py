@@ -338,3 +338,38 @@ def test_sample_predicate_matches_python_md5():
         if kept:
             assert hx < rate_threshold_hex(min(1.0, rate + 0.1)) or rate > 0.9
     check()
+
+
+def test_pack_documents_edge_token_counts(spark):
+    """Zero-token docs are bin-neutral; a doc longer than max_tokens
+    starts its own bin advance (concat-then-chunk semantics: bins are
+    contiguous token ranges, ids stay dense)."""
+    from cuckoofilter_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 5000, 10, 0, 2048, 1, 300])],
+        "doc_id long, n_tok long",
+    )
+    packed = pack_documents(df, "doc_id", "n_tok", max_tokens=2048,
+                            n_streams=1, seed=0).collect()
+    rows = sorted(packed, key=lambda r: (r.bin_id, r.bin_tok_start))
+    total = sum(r.n_tok for r in rows)
+    # bin of the LAST doc in stream order == tokens_before // 2048
+    assert all(0 <= r.bin_tok_start < 2048 for r in rows)
+    bins = {r.bin_id for r in rows}
+    assert bins == set(range(max(bins) + 1))  # dense
+    # the last doc in stream order sits at bin tokens_before // 2048
+    assert max(bins) == (total - rows[-1].n_tok) // 2048
+    # deterministic: same input, same assignment
+    again = pack_documents(df, "doc_id", "n_tok", max_tokens=2048,
+                           n_streams=1, seed=0).collect()
+    assert {(r.doc_id, r.bin_id, r.bin_tok_start) for r in packed} == \
+           {(r.doc_id, r.bin_id, r.bin_tok_start) for r in again}
+
+
+def test_pack_documents_rejects_bad_max_tokens(spark):
+    from cuckoofilter_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        pack_documents(df, "doc_id", "n_tok", max_tokens=0)
