@@ -166,14 +166,24 @@ def decontaminate(
 def overlap_report(
     corpus: DataFrame, blob: bytes, ev_ngrams: DataFrame,
     id_col: str, text_col: str, *, n: int = 3, min_overlap: int = 1,
-    seed: int = 7,
+    seed: int = 7, broadcast_eval: bool = True,
 ) -> DataFrame:
     """The probe-gate + exact-verify core of ``decontaminate``, against
     PRE-BUILT eval artifacts — so a streaming job (or a loop over
     corpus slices) builds the eval filter once and reuses it per
-    batch."""
+    batch.
+
+    ``broadcast_eval`` pins the verify join's build side to the eval
+    n-gram table. Without the hint, an eval set past the
+    auto-broadcast threshold silently flips the join to sort-merge —
+    which shuffles EVERY candidate n-gram, the exact movement this
+    operator exists to avoid. Set False only if the eval side is too
+    big for executor memory (at which point reconsider the eval set:
+    this op's contract is a small-relative-to-corpus eval side)."""
     spark = corpus.sparkSession
     hits = contamination_count_udf(spark, blob, n=n, seed=seed)
+    if broadcast_eval:
+        ev_ngrams = F.broadcast(ev_ngrams)
 
     # Gate first (one UDF pass over raw text), THEN shingle only the
     # surviving candidates with the JVM Column — the expensive string
