@@ -54,6 +54,28 @@ def q_cf_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cf_antijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter ANTI-join — novelty detection: lineitem rows whose order
+    is NOT high-value. Probe misses are provably-correct output (zero
+    FN); only the hit sliver pays a verification anti-join."""
+    from cuckoofilter_spark.operators.semijoin import filter_anti_join
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    kept = filter_anti_join(lineitem, "l_orderkey", orders, "o_orderkey",
+                            kind="cuckoo", exact=True)
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_bloom_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-block-Bloom pruning (reference src/simd-block.h role)."""
     from cuckoofilter_spark.operators.semijoin import filter_semi_join
@@ -1119,6 +1141,7 @@ def q_pack_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cf_semijoin_agg": q_cf_semijoin_agg,
+        "cf_antijoin_agg": q_cf_antijoin_agg,
         "bloom_semijoin_agg": q_bloom_semijoin_agg,
         "cf_zero_false_negatives": q_cf_zero_false_negatives,
         "cf_delete_then_lookup": q_cf_delete_then_lookup,
@@ -1177,6 +1200,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
             FROM lineitem
             WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "cf_antijoin_agg": """
+            SELECT l_returnflag,
+                   count(*) AS cnt,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey NOT IN (
                 SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
             GROUP BY l_returnflag
             ORDER BY l_returnflag

@@ -54,7 +54,10 @@ from cuckoofilter_spark.operators.sampling import (  # noqa: F401
     sample_weighted,
     split_train_holdout,
 )
-from cuckoofilter_spark.operators.semijoin import filter_semi_join  # noqa: F401
+from cuckoofilter_spark.operators.semijoin import (  # noqa: F401
+    filter_anti_join,
+    filter_semi_join,
+)
 from cuckoofilter_spark.operators.similarity import (  # noqa: F401
     cosine_near_dup_pairs_blocked,
     cosine_topk,

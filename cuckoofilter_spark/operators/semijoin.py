@@ -86,3 +86,39 @@ def filter_semi_join(
     return pruned.join(
         F.broadcast(dim_keys), on=key_col == F.col("__dk"), how="left_semi"
     )
+
+
+def filter_anti_join(
+    fact: DataFrame, key: str | Column, dim: DataFrame, dim_key: str,
+    *, kind: str = "cuckoo", exact: bool = True, bits_per_item: int = 12,
+    seed: int = 2014,
+) -> DataFrame:
+    """Rows of ``fact`` whose ``key`` does NOT appear in
+    ``dim[dim_key]`` — novelty detection (today's crawl minus
+    yesterday's corpus), the membership filter's other production
+    role.
+
+    Zero false negatives flips the guarantee around: a probe MISS
+    proves the key is absent from dim, so the narrow ``~probe`` filter
+    emits only correct rows and the only error mode is *omission* of
+    the ≤FPR novel keys the filter wrongly claims to contain.
+    ``exact=True`` (default) recovers exactly those: the probe HITS —
+    |dim matches| + FPR stragglers, a sliver of the fact table — go
+    through a broadcast left-anti join and the recovered rows are
+    unioned back. Fact-side cost: one narrow probe pass + an
+    anti-join over the hit sliver only; the bulk of a mostly-novel
+    fact table never touches a join."""
+    spark = fact.sparkSession
+    blob = build_membership_blob(
+        dim, dim_key, kind=kind, bits_per_item=bits_per_item, seed=seed
+    )
+    probe = might_contain_udf(spark, blob)
+    key_col = F.col(key) if isinstance(key, str) else key
+    misses = fact.filter(~probe(key_col))
+    if not exact:
+        return misses
+    dim_keys = dim.select(F.col(dim_key).alias("__dk")).distinct()
+    recovered = fact.filter(probe(key_col)).join(
+        F.broadcast(dim_keys), on=key_col == F.col("__dk"), how="left_anti"
+    )
+    return misses.unionByName(recovered)

@@ -373,3 +373,29 @@ def test_pack_documents_rejects_bad_max_tokens(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tok long")
     with pytest.raises(ValueError):
         pack_documents(df, "doc_id", "n_tok", max_tokens=0)
+
+
+# ---------------------------------------------------------- anti-join
+def test_filter_anti_join_exact_and_approx(spark):
+    """Anti-join: exact mode equals the true NOT IN; approximate mode
+    returns a SUBSET of it (omissions allowed at FPR, wrong rows
+    never — the zero-FN guarantee flipped around)."""
+    from cuckoofilter_spark.operators.semijoin import filter_anti_join
+
+    sf = SF_DIR
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_totalprice") > 150000
+    )
+    truth = {r.l_orderkey for r in
+             lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
+                           "left_anti").select("l_orderkey").collect()}
+    exact = {r.l_orderkey for r in
+             filter_anti_join(lineitem, "l_orderkey", orders, "o_orderkey",
+                              exact=True).select("l_orderkey").collect()}
+    assert exact == truth
+    approx = {r.l_orderkey for r in
+              filter_anti_join(lineitem, "l_orderkey", orders, "o_orderkey",
+                               exact=False).select("l_orderkey").collect()}
+    assert approx <= truth
+    assert len(approx) >= 0.99 * len(truth)  # FPR-bounded omissions
