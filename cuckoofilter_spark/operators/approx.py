@@ -136,3 +136,33 @@ def heavy_hitters(df: DataFrame, column: str, threshold: int, *,
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= int(threshold))
     )
+
+
+def approx_overlap(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str, *,
+    p: int = 14, seed: int = 2014,
+) -> dict:
+    """HLL set algebra — approximate overlap between two key sets
+    (e.g., token vocabularies of two corpus snapshots) WITHOUT a join:
+
+      |A∪B|  = estimate(merge(hll_A, hll_B))   (mergeable: register max)
+      |A∩B| ≈ |A| + |B| − |A∪B|                (inclusion–exclusion)
+
+    Each side is one build pass; the union is a register-wise max of
+    two KB-scale sketches — nothing is shuffled across sides, so A and
+    B can live in different tables, clusters, or days. Intersection
+    error compounds to ~3× the single-sketch std err (1.04/√2^p) and
+    degrades RELATIVE to |A∩B| when the true overlap is much smaller
+    than the sets — the documented trade for never joining. Returns
+    ``{n_a, n_b, n_union, n_intersection, jaccard}`` (floats; clamped
+    ≥ 0)."""
+    a = hll_sketch(df_a, col_a, p=p, seed=seed)
+    b = hll_sketch(df_b, col_b, p=p, seed=seed)
+    na, nb = float(a.estimate()), float(b.estimate())
+    a.merge(b)
+    nu = float(a.estimate())
+    ni = max(0.0, na + nb - nu)
+    return {
+        "n_a": na, "n_b": nb, "n_union": nu, "n_intersection": ni,
+        "jaccard": (ni / nu) if nu > 0 else 0.0,
+    }

@@ -167,3 +167,27 @@ def test_registry_dispatch():
     assert isinstance(sketch_from_bytes(cf.to_bytes()), CuckooFilter)
     with pytest.raises(ValueError):
         sketch_from_bytes(b"XXXXjunk")
+
+
+def test_approx_overlap_inclusion_exclusion(spark):
+    """HLL overlap on planted sets: A=0..9999, B=5000..14999 —
+    intersection 5000, union 15000; estimates within 5-sigma, exact
+    relations hold (disjoint -> ~0, identical -> ~|A|)."""
+    from cuckoofilter_spark.operators.approx import approx_overlap
+
+    a = spark.range(0, 10_000).selectExpr("id AS k")
+    b = spark.range(5_000, 15_000).selectExpr("id AS k")
+    r = approx_overlap(a, "k", b, "k", p=14, seed=7)
+    sigma = 1.04 / (2 ** 14) ** 0.5
+    assert abs(r["n_a"] - 10_000) / 10_000 <= 5 * sigma
+    assert abs(r["n_union"] - 15_000) / 15_000 <= 5 * sigma
+    assert abs(r["n_intersection"] - 5_000) / 5_000 <= 15 * sigma
+    assert 0.0 <= r["jaccard"] <= 1.0
+
+    disjoint = approx_overlap(
+        a, "k", spark.range(100_000, 110_000).selectExpr("id AS k"),
+        "k", p=14, seed=7,
+    )
+    assert disjoint["n_intersection"] <= 0.05 * 10_000
+    same = approx_overlap(a, "k", a, "k", p=14, seed=7)
+    assert abs(same["n_intersection"] - 10_000) / 10_000 <= 5 * sigma
