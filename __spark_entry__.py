@@ -1152,6 +1152,42 @@ def q_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py): plant deterministic emails
+    (doc_id%7==0) and 12-digit account runs (doc_id%11==0) into the
+    corpus, then count and redact. Patterns restricted to the regex
+    subset with identical Java-regex/RE2 semantics, so the oracle
+    replays the construction exactly."""
+    from cuckoofilter_spark.operators.text import with_pii_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact_"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" ref "),
+                         F.lpad(F.col("doc_id").cast("string"), 12, "0")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    r = with_pii_stats(planted)
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_emails") > 0).cast("long")).alias("n_docs_with_email"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_long_ids").alias("total_long_ids"),
+        F.sum(F.length("redacted_text")).alias("sum_redacted_chars"),
+    )
+
+
 def q_pack_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document packing (operators/packing.py): hash-route documents
     into 8 independent streams, chunk each stream into 2048-token
@@ -1223,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_decontam": q_streaming_decontam,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
+        "pii_stats": q_pii_stats,
         "pack_documents_stats": q_pack_documents_stats,
     }
 
@@ -1800,6 +1837,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dup_bi) AS BIGINT) AS sum_dup_bigram_e4,
                    CAST(max(top_w) AS BIGINT) AS max_top_word_e4
             FROM per GROUP BY source ORDER BY source
+        """,
+        "pii_stats": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0 THEN
+                          ' contact_' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN
+                          ' ref ' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                        ELSE '' END AS text
+              FROM documents),
+            r AS (
+              SELECT
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS n_emails,
+                len(regexp_extract_all(text, '\b\d{9,}\b'))
+                  AS n_long_ids,
+                length(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'), '\b\d{9,}\b', '<ID>', 'g'))
+                  AS n_red
+              FROM planted)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_with_email,
+                   CAST(sum(n_emails) AS BIGINT) AS total_emails,
+                   CAST(sum(n_long_ids) AS BIGINT) AS total_long_ids,
+                   CAST(sum(n_red) AS BIGINT) AS sum_redacted_chars
+            FROM r
         """,
         "pack_documents_stats": r"""
             WITH t AS (

@@ -23,8 +23,10 @@ from cuckoofilter_spark.operators.text import (  # noqa: F401
     lang_id,
     lang_scores,
     normalize_text,
+    pii_counts,
     punct_count,
     quality_score_milli,
+    redact_pii,
     shingles_col,
     stopword_hits,
     token_count_bpe_ish,
@@ -36,7 +38,8 @@ __all__ = [
     "BPE_ISH_RE", "LANG_STOPWORDS", "PUNCT_RE", "bigrams_col",
     "fingerprint_md5", "fingerprint_rolling", "fingerprint_rolling_sql",
     "lang_id", "lang_scores", "normalize_text", "punct_count",
-    "quality_score_milli", "rate_threshold_hex", "sample_hex_key",
+    "pii_counts", "quality_score_milli", "rate_threshold_hex",
+    "redact_pii", "sample_hex_key",
     "shingles_col", "stopword_hits", "token_count_bpe_ish",
     "token_count_ws", "words_col",
 ]

@@ -269,3 +269,43 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+# ------------------------------------------------------------ PII scrub
+# C4/MassiveText-style pre-training hygiene: detect and redact
+# personally-identifying strings before anything else sees the text.
+# Patterns are deliberately restricted to the regex subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded repetition, \b — no backrefs, no
+# lookaround.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_ID_RE = r"\b\d{9,}\b"  # SSN/phone/account-shaped digit runs
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Per-document PII match counts (emails, long digit runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)),
+        "n_long_ids": F.size(F.regexp_extract_all(c, F.lit(LONG_ID_RE), 0)),
+    }
+
+
+def redact_pii(
+    text: str | Column, *, email_token: str = "<EMAIL>",
+    id_token: str = "<ID>",
+) -> Column:
+    """Replace every PII match with a placeholder token. Pure Column
+    expression (JVM regex, whole-stage codegen) — the redaction pass
+    is a narrow projection at any corpus size."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, EMAIL_RE, email_token)
+    return F.regexp_replace(out, LONG_ID_RE, id_token)
+
+
+def with_pii_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach PII counts + the redacted text in one projection."""
+    cols = dict(pii_counts(text))
+    cols["redacted_text"] = redact_pii(text)
+    return df.withColumns(cols)

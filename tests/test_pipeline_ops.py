@@ -399,3 +399,27 @@ def test_filter_anti_join_exact_and_approx(spark):
                                exact=False).select("l_orderkey").collect()}
     assert approx <= truth
     assert len(approx) >= 0.99 * len(truth)  # FPR-bounded omissions
+
+
+# ---------------------------------------------------------------- PII
+def test_pii_redaction_hand_cases(spark):
+    from cuckoofilter_spark.operators.text import with_pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+x@sub.example.org or c@d.io"),
+            (1, "ssn 123456789 acct 000987654321 ok 1234"),
+            (2, "clean text no pii"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in with_pii_stats(df).collect()}
+    assert (r[0].n_emails, r[0].n_long_ids) == (2, 0)
+    assert "a.b+x@sub.example.org" not in r[0].redacted_text
+    assert r[0].redacted_text.count("<EMAIL>") == 2
+    assert (r[1].n_emails, r[1].n_long_ids) == (0, 2)
+    assert r[1].redacted_text == "ssn <ID> acct <ID> ok 1234"
+    assert (r[2].n_emails, r[2].n_long_ids) == (0, 0)
+    assert r[2].redacted_text == "clean text no pii"
+    assert (r[3].n_emails, r[3].n_long_ids) == (0, 0)
