@@ -348,6 +348,39 @@ def q_hll_overlap_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k/theta family) set algebra: same overlap question
+    as hll_overlap_bound but estimated on hash-space samples below a
+    common threshold — intersection error ~|A∩B|/sqrt(k) instead of
+    inclusion-exclusion's ~|A∪B| error. k=4096 ⇒ RSE ≈ 1.6%."""
+    from cuckoofilter_spark.operators.approx import approx_overlap_kmv
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    r = approx_overlap_kmv(orders, "o_custkey", customer, "c_custkey",
+                           k=4096, seed=2014)
+    ex_a = orders.select("o_custkey").distinct().count()
+    ex_b = customer.select("c_custkey").distinct().count()
+    ex_i = (
+        orders.select(F.col("o_custkey").alias("k")).distinct()
+        .join(customer.select(F.col("c_custkey").alias("k")).distinct(),
+              "k").count()
+    )
+    rse = 1.0 / (4096 - 2) ** 0.5
+    ok = (
+        abs(r["n_a"] - ex_a) / max(ex_a, 1) <= 5 * rse
+        and abs(r["n_b"] - ex_b) / max(ex_b, 1) <= 5 * rse
+        and abs(r["n_intersection"] - ex_i) / max(ex_i, 1) <= 8 * rse
+    )
+    return spark.createDataFrame(
+        [(int(ex_a), int(ex_b), int(ex_i), bool(ok))],
+        "exact_a long, exact_b long, exact_intersection long, "
+        "within_bound boolean",
+    )
+
+
 def q_hll_by_group_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped mergeable sketch UDAF (partial mapInPandas combine →
     blob-only shuffle → final merge): per-event_type HLL distinct
@@ -1223,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_bound": q_hll_distinct_bound,
         "cms_frequency_bound": q_cms_frequency_bound,
         "hll_overlap_bound": q_hll_overlap_bound,
+        "kmv_overlap_bound": q_kmv_overlap_bound,
         "hll_by_group_bound": q_hll_by_group_bound,
         "heavy_hitters_exact": q_heavy_hitters_exact,
         "tdigest_by_group_bound": q_tdigest_by_group_bound,
@@ -1338,6 +1372,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "hll_overlap_bound": """
+            SELECT (SELECT count(DISTINCT o_custkey) FROM orders)
+                       AS exact_a,
+                   (SELECT count(DISTINCT c_custkey) FROM customer
+                    WHERE c_custkey % 3 <> 0) AS exact_b,
+                   (SELECT count(*) FROM
+                      (SELECT DISTINCT o_custkey FROM orders) o
+                      JOIN (SELECT DISTINCT c_custkey FROM customer
+                            WHERE c_custkey % 3 <> 0) c
+                        ON o.o_custkey = c.c_custkey) AS exact_intersection,
+                   true AS within_bound
+        """,
+        "kmv_overlap_bound": """
             SELECT (SELECT count(DISTINCT o_custkey) FROM orders)
                        AS exact_a,
                    (SELECT count(DISTINCT c_custkey) FROM customer

@@ -13,6 +13,7 @@ from cuckoofilter_spark.core.cuckoo import CuckooFilter
 from cuckoofilter_spark.core.semisort import SemiSortCuckooFilter
 from cuckoofilter_spark.core.hll import HyperLogLog
 from cuckoofilter_spark.core.kll import KLL
+from cuckoofilter_spark.core.kmv import KMVSketch
 from cuckoofilter_spark.core.tdigest import TDigest
 
 SKETCH_KINDS = {
@@ -23,6 +24,7 @@ SKETCH_KINDS = {
     "cms": CountMinSketch,
     "tdigest": TDigest,
     "kll": KLL,
+    "kmv": KMVSketch,
 }
 
 _MAGIC_TO_CLS = {
@@ -33,6 +35,7 @@ _MAGIC_TO_CLS = {
     b"CMS1": CountMinSketch,
     b"TDG1": TDigest,
     b"KLL1": KLL,
+    b"KMV1": KMVSketch,
 }
 
 

@@ -22,6 +22,7 @@ from cuckoofilter_spark.operators.delete import delete_from_shards  # noqa: F401
 from cuckoofilter_spark.operators.approx import (  # noqa: F401
     approx_distinct,
     approx_overlap,
+    approx_overlap_kmv,
     approx_quantiles,
     heavy_hitters,
 )

@@ -166,3 +166,31 @@ def approx_overlap(
         "n_a": na, "n_b": nb, "n_union": nu, "n_intersection": ni,
         "jaccard": (ni / nu) if nu > 0 else 0.0,
     }
+
+
+def kmv_sketch(df: DataFrame, column: str, k: int = 4096,
+               seed: int = 2014, tree: bool = False):
+    """Merged KMV (bottom-k / theta family) distinct sketch over
+    ``column`` — same distributed partial-build + merge shape as the
+    other companions; RSE ≈ 1/sqrt(k-2)."""
+    shards = build_sketch_shards(
+        df, column, kind="kmv", lineage=False, k=k, seed=seed,
+    )
+    return _merged_sketch(shards, tree)
+
+
+def approx_overlap_kmv(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str, *,
+    k: int = 4096, seed: int = 2014,
+) -> dict:
+    """Set-algebra overlap via KMV samples — the estimator whose
+    intersection error scales with the INTERSECTION (≈|A∩B|/sqrt(k)),
+    not with |A∪B| like HLL inclusion–exclusion (``approx_overlap``).
+    Prefer this when the expected overlap is a small fraction of
+    either set (cross-corpus contamination estimates, vocab drift
+    between snapshots). Same return shape as ``approx_overlap``."""
+    from cuckoofilter_spark.core.kmv import kmv_set_estimates
+
+    a = kmv_sketch(df_a, col_a, k=k, seed=seed)
+    b = kmv_sketch(df_b, col_b, k=k, seed=seed)
+    return kmv_set_estimates(a, b)

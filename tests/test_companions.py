@@ -191,3 +191,49 @@ def test_approx_overlap_inclusion_exclusion(spark):
     assert disjoint["n_intersection"] <= 0.05 * 10_000
     same = approx_overlap(a, "k", a, "k", p=14, seed=7)
     assert abs(same["n_intersection"] - 10_000) / 10_000 <= 5 * sigma
+
+
+def test_kmv_distinct_and_overlap(spark):
+    """KMV at estimation scale (sets >> k): distinct within 5/sqrt(k),
+    intersection within its sample bound, exact below k, merge
+    associative, blob round-trip via the registry."""
+    import numpy as np
+
+    from cuckoofilter_spark.core.kmv import KMVSketch, kmv_set_estimates
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.approx import (
+        approx_overlap_kmv, kmv_sketch,
+    )
+
+    k = 2048
+    a = spark.range(0, 200_000).selectExpr("id AS x")
+    b = spark.range(150_000, 350_000).selectExpr("id AS x")
+    r = approx_overlap_kmv(a, "x", b, "x", k=k, seed=11)
+    rse = 1 / (k - 2) ** 0.5
+    assert abs(r["n_a"] - 200_000) / 200_000 <= 5 * rse
+    assert abs(r["n_union"] - 350_000) / 350_000 <= 5 * rse
+    assert abs(r["n_intersection"] - 50_000) / 50_000 <= 10 * rse
+
+    # exact mode below k
+    small = kmv_sketch(spark.range(0, 500).selectExpr("id AS x"), "x",
+                       k=k, seed=11)
+    assert small.estimate() == 500.0
+
+    # merge associativity + registry round-trip
+    s1 = KMVSketch(k=64, seed=3); s1.add_many(np.arange(1000, dtype=np.uint64))
+    s2 = KMVSketch(k=64, seed=3)
+    s2.add_many(np.arange(500, 1500, dtype=np.uint64))
+    s3 = KMVSketch(k=64, seed=3)
+    s3.add_many(np.arange(1200, 2000, dtype=np.uint64))
+    left = sketch_from_bytes(s1.to_bytes()).merge(s2).merge(s3)
+    right = s3.merge(sketch_from_bytes(s2.to_bytes()).merge(s1))
+    assert np.array_equal(left.values, right.values)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        KMVSketch(k=64, seed=3).merge(KMVSketch(k=64, seed=4))
+    with _pt.raises(ValueError):
+        sketch_from_bytes(b"KMV1" + b"\x00" * 10)
+    # jaccard of identical sketches is exactly 1 in exact mode
+    same = kmv_set_estimates(s2, s2)
+    assert same["jaccard"] == 1.0
