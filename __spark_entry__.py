@@ -1062,7 +1062,7 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     s = sample_stratified(
         docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.1},
-        seed=5, key_col="doc_id",
+        "doc_id", seed=5,
     )
     return (
         s.groupBy("source")

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cuckoofilter_spark.operators.sampling import HEX_DIGITS, sample_hex_key
+from cuckoofilter_spark.operators.sampling import sample_hex_key
 
 
 def stream_id(col: str | Column, n_streams: int, seed: int = 0) -> Column:

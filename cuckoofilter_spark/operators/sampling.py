@@ -88,26 +88,27 @@ def split_train_holdout(
 
 
 def sample_stratified(
-    df: DataFrame, strata_col: str, rates: dict[str, float], *,
-    seed: int = 0, default_rate: float = 0.0, key_col: str | None = None,
+    df: DataFrame, strata_col: str, rates: dict[str, float],
+    key_col: str, *, seed: int = 0, default_rate: float = 0.0,
 ) -> DataFrame:
     """Per-stratum deterministic rates — the "source mixture" op: thin
     each corpus source to its training-mix weight in one pass.
 
     ``rates`` maps stratum value -> keep rate; strata not listed get
     ``default_rate``. The rates table is a broadcast dim (strata
-    counts are small by definition); the decision key defaults to the
-    stratum-qualified row key so two strata sampling the same key are
-    independent."""
+    counts are small by definition). ``key_col`` is the ROW identity
+    the per-row decision hashes (stratum-qualified, so two strata
+    sampling the same key stay independent) — it is required
+    precisely because hashing the stratum itself would keep or drop
+    whole strata atomically."""
     spark = df.sparkSession
     dim = spark.createDataFrame(
         [(k, rate_threshold_hex(v)) for k, v in sorted(rates.items())],
         f"{strata_col} string, _thresh string",
     )
-    kc = key_col if key_col is not None else strata_col
     key = F.concat(
         F.col(strata_col).cast("string"), F.lit("|"),
-        F.col(kc).cast("string"),
+        F.col(key_col).cast("string"),
     )
     out = (
         df.join(F.broadcast(dim), strata_col, "left")

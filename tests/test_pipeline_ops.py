@@ -86,8 +86,7 @@ def test_sample_stratified_rates_and_default(spark, docs):
     from cuckoofilter_spark.operators.sampling import sample_stratified
 
     s = sample_stratified(
-        docs, "source", {"src0": 1.0, "src1": 0.0},
-        seed=3, key_col="doc_id",
+        docs, "source", {"src0": 1.0, "src1": 0.0}, "doc_id", seed=3,
     )
     by_src = {r.source: r.cnt for r in
               s.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
@@ -96,8 +95,8 @@ def test_sample_stratified_rates_and_default(spark, docs):
     assert by_src == {"src0": n_src0}  # 1.0 keeps all, 0.0/default drop all
 
     s2 = sample_stratified(
-        docs, "source", {"src0": 0.0}, seed=3, default_rate=1.0,
-        key_col="doc_id",
+        docs, "source", {"src0": 0.0}, "doc_id", seed=3,
+        default_rate=1.0,
     )
     assert s2.filter(F.col("source") == "src0").count() == 0
     assert s2.count() == docs.count() - n_src0
