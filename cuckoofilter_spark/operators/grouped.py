@@ -41,6 +41,7 @@ _READOUTS = {
     "cms": ("size_bytes", lambda sk: float(len(sk.to_bytes()))),
     "tdigest": ("p50", lambda sk: float(sk.quantile(0.5))),
     "kll": ("p50", lambda sk: float(sk.quantile(0.5))),
+    "kmv": ("estimate", lambda sk: float(sk.estimate())),
 }
 _VALUE_KINDS = ("tdigest", "kll")
 

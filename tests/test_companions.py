@@ -237,3 +237,18 @@ def test_kmv_distinct_and_overlap(spark):
     # jaccard of identical sketches is exactly 1 in exact mode
     same = kmv_set_estimates(s2, s2)
     assert same["jaccard"] == 1.0
+
+
+def test_grouped_kmv(spark):
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    df = spark.range(0, 60_000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+    out = {r["g"]: r["estimate"] for r in
+           grouped_sketch_agg(df, "g", "v", kind="kmv", k=1024,
+                              seed=5).collect()}
+    assert set(out) == {0, 1, 2}
+    for est in out.values():
+        assert abs(est - 20_000) / 20_000 <= 5 / (1024 - 2) ** 0.5
