@@ -1,0 +1,129 @@
+"""spark-submit entrypoint: end-to-end corpus shaping for training.
+
+    spark-submit --py-files cuckoofilter_spark.zip jobs/shape_corpus.py \
+        --input /data/documents --eval /data/benchmarks \
+        --id doc_id --text text \
+        --min-quality 400 --sample-rate 0.5 --holdout 0.01 \
+        --max-tokens 2048 --streams 512 --output /out/shaped
+
+The full pre-training pipeline, one declarative plan per stage so
+Catalyst fuses the narrow ones into a single scan where possible:
+
+1. exact dedup (md5 keep-min);
+2. benchmark decontamination against ``--eval`` (CF gate + exact
+   verify — flagged docs dropped, exact semantics);
+3. PII redaction + quality/repetition gates (narrow projections);
+4. deterministic Bernoulli thinning (``--sample-rate``) and
+   hash-disjoint holdout tagging (``--holdout``);
+5. token packing into ``--streams`` independent streams of
+   ``--max-tokens`` bins.
+
+Output layout: shaped rows (with ``is_holdout``, ``stream``,
+``bin_id``) under ``<output>/data``; per-stage row counts as one JSON
+line on stdout. Every stage is deterministic in (row identity, seed):
+re-running the job reproduces byte-identical output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--eval", dest="eval_path", default=None,
+                    help="eval/benchmark docs to decontaminate against")
+    ap.add_argument("--id", dest="id_col", default="doc_id")
+    ap.add_argument("--text", dest="text_col", default="text")
+    ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--min-overlap", type=int, default=1)
+    ap.add_argument("--min-quality", type=int, default=0,
+                    help="drop docs below this quality_milli (0..1000)")
+    ap.add_argument("--max-top-word-frac-e4", type=int, default=10_000,
+                    help="drop docs whose most frequent word exceeds "
+                         "this e4 fraction (Gopher-style repetition gate)")
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--holdout", type=float, default=0.0)
+    ap.add_argument("--max-tokens", type=int, default=2048)
+    ap.add_argument("--streams", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=2014)
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.decontam import decontaminate
+    from cuckoofilter_spark.operators.dedup import dedup_exact
+    from cuckoofilter_spark.operators.packing import pack_documents
+    from cuckoofilter_spark.operators.sampling import (
+        sample_hash, split_train_holdout,
+    )
+    from cuckoofilter_spark.operators.text import (
+        quality_score_milli, redact_pii, token_count_ws,
+        with_repetition_stats,
+    )
+
+    spark = SparkSession.builder.appName("shape-corpus").getOrCreate()
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+    counts = {"rows_in": df.count()}
+
+    # 1. exact dedup
+    df = dedup_exact(df, args.id_col, args.text_col)
+    counts["after_dedup"] = df.count()
+
+    # 2. decontamination (exact — only flagged ids are dropped)
+    if args.eval_path:
+        ev = spark.read.parquet(args.eval_path)
+        flagged = decontaminate(
+            df, ev, args.id_col, args.text_col,
+            n=args.ngram, min_overlap=args.min_overlap, seed=args.seed,
+        ).select(args.id_col)
+        df = df.join(flagged, args.id_col, "left_anti")
+        counts["after_decontam"] = df.count()
+
+    # 3. PII redaction + quality/repetition gates
+    df = df.withColumn(args.text_col, redact_pii(args.text_col))
+    if args.min_quality > 0:
+        df = df.filter(
+            quality_score_milli(args.text_col) >= args.min_quality
+        )
+    if args.max_top_word_frac_e4 < 10_000:
+        df = with_repetition_stats(df, args.text_col).filter(
+            F.col("top_word_frac_e4") <= args.max_top_word_frac_e4
+        ).drop("n_words", "dup_word_frac_e4", "top_word_frac_e4",
+               "dup_bigram_frac_e4")
+    counts["after_quality"] = df.count()
+
+    # 4. deterministic thinning + holdout tag
+    if args.sample_rate < 1.0:
+        df = sample_hash(df, args.id_col, args.sample_rate,
+                         seed=args.seed)
+    if args.holdout > 0.0:
+        df = split_train_holdout(df, args.id_col, args.holdout,
+                                 seed=args.seed + 1)
+    counts["after_sample"] = df.count()
+
+    # 5. packing
+    df = df.withColumn("_n_tok", token_count_ws(args.text_col))
+    packed = pack_documents(
+        df, args.id_col, "_n_tok", max_tokens=args.max_tokens,
+        n_streams=args.streams, seed=args.seed + 2,
+    ).withColumnRenamed("_n_tok", "n_tok")
+    packed.write.mode("overwrite").parquet(f"{args.output}/data")
+
+    out = spark.read.parquet(f"{args.output}/data")
+    counts["rows_out"] = out.count()
+    counts["n_bins"] = out.select("stream", "bin_id").distinct().count()
+    counts["sec"] = round(time.time() - t0, 2)
+    print(json.dumps(counts))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

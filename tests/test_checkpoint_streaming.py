@@ -219,6 +219,42 @@ def test_spark_submit_jobs_end_to_end(tmp_path):
     assert 0 < dstats["rows_out"] <= dstats["rows_in"]
     assert dstats["near_dup_pairs"] >= 0
 
+    # shape_corpus job: the full dedup → decontam → quality → sample →
+    # pack pipeline through the same --py-files path. Eval slice =
+    # first 20 docs of the same corpus (written out first).
+    import duckdb as _duck
+
+    ev_path = str(tmp_path / "eval_docs")
+    con = _duck.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet("
+        f"'{SF_DIR_SMALL}/documents.parquet') WHERE doc_id < 20) "
+        f"TO '{ev_path}' (FORMAT PARQUET)"
+    )
+    out_shaped = str(tmp_path / "shaped")
+    r4 = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.host=127.0.0.1",
+            "--py-files", zip_path,
+            os.path.join(repo, "jobs", "shape_corpus.py"),
+            "--input", f"{SF_DIR_SMALL}/documents.parquet",
+            "--eval", ev_path,
+            "--min-quality", "100", "--sample-rate", "0.9",
+            "--holdout", "0.05", "--max-tokens", "1024",
+            "--streams", "4", "--output", out_shaped,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    sstats = json.loads(r4.stdout.strip().splitlines()[-1])
+    assert sstats["rows_out"] > 0
+    assert (sstats["rows_in"] >= sstats["after_dedup"]
+            >= sstats["after_decontam"] >= sstats["after_quality"]
+            >= sstats["after_sample"] == sstats["rows_out"])
+    assert sstats["n_bins"] > 0
+
 
 def test_streaming_watermark_windowed_agg(spark, tmp_path):
     """Watermarked tumbling-window aggregation in APPEND mode — the
