@@ -242,3 +242,30 @@ def test_grouped_sketch_agg_shuffles_blobs_not_rows(spark):
     assert first_exchange < map_in, (
         "raw-row exchange below the partial combine"
     )
+
+
+def test_decontaminate_plan_gate_below_explode(spark):
+    """Decontamination's scale contract, asserted on the physical
+    plan: (a) no cartesian/nested-loop joins anywhere; (b) the Arrow
+    probe gate runs BELOW the n-gram explode — the corpus is filtered
+    to candidates before any array materialization; (c) the verify
+    join builds (broadcasts) the eval side."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id", "text", n=3, min_overlap=1,
+    ))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    gen = plan.find("Generate")          # the candidate-side explode
+    probe = plan.find("ArrowEvalPython")  # the filter-gate UDF
+    assert gen != -1 and probe != -1
+    # printed tree is top-down: the explode (ancestor) prints before
+    # the probe filter feeding it from below
+    assert gen < probe, "probe gate is not below the explode"
+    assert "BroadcastHashJoin" in plan
