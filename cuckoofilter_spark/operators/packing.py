@@ -48,7 +48,12 @@ def pack_documents(
     Within a stream the order is (hex order key, id); the cumulative
     token sum before each document, integer-divided by ``max_tokens``,
     is its bin. Adds columns ``stream``, ``bin_id``, ``bin_tok_start``
-    (the document's token offset inside its bin)."""
+    (the document's token offset inside its bin).
+
+    NULL token counts propagate (null ``bin_id``) without disturbing
+    other documents' cumulative sums — a null count means a broken
+    upstream row, and silently packing it as zero would hide that;
+    filter or coalesce before packing if that is intended."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     key = sample_hex_key(id_col, seed)

@@ -422,3 +422,38 @@ def test_pii_redaction_hand_cases(spark):
     assert (r[2].n_emails, r[2].n_long_ids) == (0, 0)
     assert r[2].redacted_text == "clean text no pii"
     assert (r[3].n_emails, r[3].n_long_ids) == (0, 0)
+
+
+def test_null_semantics_across_pipeline_ops(spark):
+    """NULL handling is SQL-standard null-propagation everywhere:
+    null text -> null stats (never fabricated zeros), null sampling
+    key / weight -> row dropped (no stable identity to decide on),
+    null token count -> null bin WITHOUT disturbing other docs'
+    cumulative sums (window SUM skips nulls)."""
+    from cuckoofilter_spark.operators.packing import pack_documents
+    from cuckoofilter_spark.operators.sampling import (
+        sample_hash, sample_weighted,
+    )
+    from cuckoofilter_spark.operators.text import (
+        token_count_ws, with_pii_stats, with_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    rep = {r.doc_id: r.n_words for r in with_repetition_stats(df).collect()}
+    assert rep == {0: 3, 1: None, 2: 0}
+    pii = {r.doc_id: r.n_emails for r in with_pii_stats(df).collect()}
+    assert pii == {0: 0, 1: None, 2: 0}
+
+    d2 = df.withColumn("n_tok", token_count_ws("text"))
+    packed = {r.doc_id: r.bin_id for r in
+              pack_documents(d2, "doc_id", "n_tok", max_tokens=10,
+                             n_streams=2).collect()}
+    assert packed[1] is None and packed[0] is not None
+
+    dn = spark.createDataFrame([(None, "x"), (7, "y")],
+                               "doc_id long, text string")
+    assert sample_hash(dn, "doc_id", 1.0, seed=1).count() == 1  # null dropped
+    dw = df.withColumn("w", F.when(F.col("doc_id") == 0, 1.0))
+    assert sample_weighted(dw, "doc_id", "w").count() == 1
