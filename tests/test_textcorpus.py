@@ -1,0 +1,66 @@
+"""JSONL corpus source: enforced schema, corrupt-line accounting,
+quality gate, compressed round-trip."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_corpus(path):
+    os.makedirs(path)
+    lines = [
+        '{"doc_id":"a","text":"hello world","lang":"en","source":"web"}',
+        '{"doc_id":"b","text":"bonjour","lang":"fr","source":"web"}',
+        "NOT JSON AT ALL {{{",
+        '{"doc_id":"c","lang":"en","source":"web"}',  # missing text
+    ]
+    with gzip.open(os.path.join(path, "part-0.jsonl.gz"), "wt") as f:
+        f.write("\n".join(lines))
+
+
+def test_jsonl_read_stats_gate_roundtrip(spark, tmp_path):
+    from cuckoofilter_spark.sources.textcorpus import (
+        corpus_ingest_stats, document_schema, read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    src = str(tmp_path / "corpus")
+    _write_corpus(src)
+
+    raw = (
+        spark.read.schema(document_schema())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(src)
+    )
+    assert corpus_ingest_stats(raw) == {
+        "n_rows": 4, "n_corrupt": 1, "n_null_text": 1,
+    }
+
+    clean = read_jsonl_corpus(spark, src)
+    got = sorted((r.doc_id, r.text) for r in clean.collect())
+    assert got == [("a", "hello world"), ("b", "bonjour"), ("c", None)]
+    assert "_corrupt_record" not in clean.columns
+
+    # quality gate: 1/4 corrupt > 10%
+    with pytest.raises(ValueError, match="corrupt JSONL"):
+        read_jsonl_corpus(spark, src, max_corrupt_frac=0.1)
+    # generous gate passes
+    read_jsonl_corpus(spark, src, max_corrupt_frac=0.5)
+
+    # extra fields extend the enforced schema
+    ext = read_jsonl_corpus(spark, src, extra_fields={"score": "double"})
+    assert "score" in ext.columns
+
+    # gzip JSONL round-trip
+    out = str(tmp_path / "out")
+    write_jsonl_corpus(clean.filter(F.col("text").isNotNull()), out)
+    back = read_jsonl_corpus(spark, out)
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) \
+        == ["a", "b"]
+    assert any(f.endswith(".gz") for f in os.listdir(out)
+               if f.startswith("part-"))
