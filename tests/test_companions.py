@@ -252,3 +252,39 @@ def test_grouped_kmv(spark):
     assert set(out) == {0, 1, 2}
     for est in out.values():
         assert abs(est - 20_000) / 20_000 <= 5 / (1024 - 2) ** 0.5
+
+
+def test_kmv_merge_order_independence_property():
+    """Hypothesis: for ANY partition of a key set into batches and any
+    merge order, the KMV state (value array) is identical — the
+    monoid property the distributed build relies on."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from cuckoofilter_spark.core.kmv import KMVSketch
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**63),
+                 min_size=0, max_size=300),
+        st.integers(min_value=1, max_value=5),
+        st.randoms(),
+    )
+    def check(keys, n_parts, rnd):
+        arr = np.array(keys, dtype=np.uint64)
+        whole = KMVSketch(k=32, seed=9)
+        whole.add_many(arr)
+        parts = [[] for _ in range(n_parts)]
+        for x in keys:
+            parts[rnd.randrange(n_parts)].append(x)
+        shards = []
+        for p in parts:
+            s = KMVSketch(k=32, seed=9)
+            s.add_many(np.array(p, dtype=np.uint64))
+            shards.append(s)
+        rnd.shuffle(shards)
+        acc = shards[0]
+        for s in shards[1:]:
+            acc.merge(s)
+        assert np.array_equal(acc.values, whole.values)
+    check()
