@@ -43,9 +43,9 @@ def build_membership_blob(
     if capacity is None:
         capacity = dim.count()
     capacity = max(64, int(capacity * headroom))
-    if kind == "cuckoo":
+    if kind in ("cuckoo", "semisort"):
         shards = build_sketch_shards(
-            dim, dim_key, kind="cuckoo", lineage=False,
+            dim, dim_key, kind=kind, lineage=False,
             max_num_keys=capacity, bits_per_item=bits_per_item, seed=seed,
         )
     elif kind == "bloom":

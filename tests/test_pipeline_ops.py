@@ -457,3 +457,30 @@ def test_null_semantics_across_pipeline_ops(spark):
     assert sample_hash(dn, "doc_id", 1.0, seed=1).count() == 1  # null dropped
     dw = df.withColumn("w", F.when(F.col("doc_id") == 0, 1.0))
     assert sample_weighted(dw, "doc_id", "w").count() == 1
+
+
+def test_semi_and_anti_join_all_membership_kinds(spark):
+    """filter_semi_join/filter_anti_join accept every membership
+    sketch kind (cuckoo, semisort, bloom) with identical exact
+    results, and semi+anti partition the fact table."""
+    from cuckoofilter_spark.operators.semijoin import (
+        filter_anti_join, filter_semi_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_totalprice") > 150000
+    )
+    n_fact = li.count()
+    counts = set()
+    for kind, bits in (("cuckoo", 12), ("semisort", 13), ("bloom", 12)):
+        semi = filter_semi_join(li, "l_orderkey", od, "o_orderkey",
+                                kind=kind, bits_per_item=bits,
+                                exact=True).count()
+        counts.add(semi)
+    assert len(counts) == 1  # kind-independent exact result
+    anti = filter_anti_join(li, "l_orderkey", od, "o_orderkey",
+                            kind="semisort", bits_per_item=13,
+                            exact=True).count()
+    assert anti + counts.pop() == n_fact
