@@ -72,6 +72,76 @@ STATE_SCHEMA = "sketch binary"
 OUTPUT_SCHEMA = "key string, n_rows long, distinct_est long"
 
 
+def streaming_sketch_by_key(
+    stream_df: DataFrame, key_col: str, value_col: str, *,
+    kind: str = "hll", **params,
+) -> DataFrame:
+    """Running per-key sketch maintenance for ANY registered sketch
+    kind — the custom-stateful-operator pattern
+    (``applyInPandasWithState``): the state store holds one sketch
+    blob per key; each trigger folds the new values in and emits
+    ``(key, n_rows, readout)`` with the kind's standard readout
+    (distinct estimate for hll/kmv, p50 for tdigest/kll, item count
+    for the membership filters — same table as
+    ``operators/grouped._READOUTS``).
+
+    State growth is the sketch's own bound: KBs per key regardless of
+    stream length, the property that makes this run forever. Returns
+    a streaming DataFrame; attach your own writeStream sink."""
+    from cuckoofilter_spark.core.registry import (
+        SKETCH_KINDS, make_sketch, sketch_from_bytes,
+    )
+    from cuckoofilter_spark.operators.grouped import (
+        _READOUTS, _VALUE_KINDS, _keys_array,
+    )
+
+    if kind not in SKETCH_KINDS or kind not in _READOUTS:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+    _, readout = _READOUTS[kind]
+    value_based = kind in _VALUE_KINDS
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (blob,) = state.get
+            sk = sketch_from_bytes(bytes(blob))
+        else:
+            sk = make_sketch(kind, **params)
+        n = 0
+        for pdf in pdfs:
+            vals = _keys_array(pdf[value_col].dropna(), value_based)
+            if len(vals):
+                from cuckoofilter_spark.operators.build import (
+                    check_add_statuses,
+                )
+
+                check_add_statuses(
+                    sk.add_many(vals), f"streaming_sketch_by_key[{kind}]"
+                )
+            n += len(pdf)
+        state.update((sk.to_bytes(),))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_rows": [n],
+                "readout": [float(readout(sk))],
+            }
+        )
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).alias(value_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update, "key string, n_rows long, readout double",
+            STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_distinct_by_key(
     stream_df: DataFrame, key_col: str, value_col: str, *,
     p: int = 14, seed: int = 2014,
@@ -79,7 +149,9 @@ def streaming_distinct_by_key(
     """Running per-key distinct-count estimates via a stateful HLL.
 
     Returns a streaming DataFrame (key, n_rows, distinct_est) updated
-    every trigger; attach your own writeStream sink."""
+    every trigger; attach your own writeStream sink. (The HLL
+    specialization of ``streaming_sketch_by_key``, kept with its
+    original integer-readout schema.)"""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -580,3 +580,66 @@ def test_streaming_decontam_partitions_corpus(spark, tmp_path):
     flagged_ids = {d for d, _ in flagged}
     assert clean_ids | flagged_ids == corpus_ids
     assert clean_ids & flagged_ids == set()
+
+
+def test_streaming_sketch_by_key_generic_kinds(spark, tmp_path):
+    """The kind-generic stateful operator: t-digest p50 and KMV
+    distinct per key, maintained across micro-batches, converge to
+    the batch answers; state survives between triggers."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_sketch_by_key,
+    )
+
+    src = str(tmp_path / "gsrc")
+    events = spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet") \
+        .select("event_type", "user_id", "value")
+    events.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+
+    def run(kind, value_col, **params):
+        q = (
+            streaming_sketch_by_key(stream, "event_type", value_col,
+                                    kind=kind, **params)
+            .writeStream.format("memory")
+            .queryName(f"gsk_{kind}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{kind}"))
+            .trigger(availableNow=True)
+        )
+        q.start().awaitTermination()
+        # last update per key wins (update mode appends each trigger)
+        pdf = spark.sql(f"SELECT * FROM gsk_{kind}").toPandas()
+        return {k: g.iloc[-1]["readout"]
+                for k, g in pdf.groupby("key", sort=False)}
+
+    # t-digest median of amount per event_type vs exact
+    got = run("tdigest", "value", delta=300.0)
+    exact = {
+        r["event_type"]: r["p50"]
+        for r in spark.read.parquet(src).groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50")).collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / max(abs(exact[k]), 1e-9) < 0.1
+
+    # KMV distinct user_id per event_type vs exact
+    got2 = run("kmv", "user_id", k=1024, seed=3)
+    exact2 = {
+        r["event_type"]: r["d"]
+        for r in spark.read.parquet(src).groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    for k in exact2:
+        assert abs(got2[k] - exact2[k]) / max(exact2[k], 1) \
+            <= 5 / (1024 - 2) ** 0.5 + 0.01
+
+    with _pt.raises(ValueError):
+        streaming_sketch_by_key(stream, "event_type", "value",
+                                kind="nope")
