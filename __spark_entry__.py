@@ -1185,6 +1185,49 @@ def q_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_firstfit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT first-fit packing (operators/packing.py
+    pack_documents_firstfit): greedy per-stream FFD is not
+    SQL-expressible, so the oracle checks the exact invariants
+    instead: doc/oversize/token tallies match SQL exactly, no bin
+    exceeds max_tokens (count computed in Spark, must be 0), and the
+    bin count sits within the FFD bound [optimal, 2*optimal+streams]
+    — all deterministic."""
+    from cuckoofilter_spark.operators.packing import pack_documents_firstfit
+    from cuckoofilter_spark.operators.text import token_count_ws
+
+    mt, n_streams = 1024, 8
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count_ws("text")
+    )
+    packed = pack_documents_firstfit(
+        docs, "doc_id", "n_tok", max_tokens=mt, n_streams=n_streams,
+        seed=6,
+    )
+    packed.persist()
+    fills = (
+        packed.filter(F.col("bin_id") >= 0)
+        .groupBy("stream", "bin_id")
+        .agg(F.sum("n_tok").alias("fill"))
+    )
+    agg = fills.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum((F.col("fill") > mt).cast("long")).alias("n_overfull"),
+        F.sum("fill").alias("packed_tokens"),
+    ).collect()[0]
+    n_docs = packed.count()
+    n_oversize = packed.filter(F.col("bin_id") < 0).count()
+    packed.unpersist()
+    optimal = -(-int(agg["packed_tokens"]) // mt)
+    bins_ok = optimal <= int(agg["n_bins"]) <= 2 * optimal + n_streams
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_oversize), int(agg["packed_tokens"]),
+          int(agg["n_overfull"]), bool(bins_ok))],
+        "n_docs long, n_oversize long, packed_tokens long, "
+        "n_overfull long, bins_within_bound boolean",
+    )
+
+
 def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/text.py): plant deterministic emails
     (doc_id%7==0) and 12-digit account runs (doc_id%11==0) into the
@@ -1293,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_decontam": q_streaming_decontam,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
+        "pack_firstfit_stats": q_pack_firstfit_stats,
         "pii_stats": q_pii_stats,
         "pack_documents_stats": q_pack_documents_stats,
     }
@@ -1883,6 +1927,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dup_bi) AS BIGINT) AS sum_dup_bigram_e4,
                    CAST(max(top_w) AS BIGINT) AS max_top_word_e4
             FROM per GROUP BY source ORDER BY source
+        """,
+        "pack_firstfit_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text),
+                                                           '\s+'),
+                                     w -> w != '')) AS n_tok
+              FROM documents)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN n_tok > 1024 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oversize,
+                   CAST(sum(CASE WHEN n_tok <= 1024 THEN n_tok
+                            ELSE 0 END) AS BIGINT) AS packed_tokens,
+                   CAST(0 AS BIGINT) AS n_overfull,
+                   true AS bins_within_bound
+            FROM t
         """,
         "pii_stats": r"""
             WITH planted AS (

@@ -159,6 +159,14 @@ def main() -> None:
         lambda: approx_distinct(tokens, "tokens", p=14, seed=7)
     )
 
+    # -- q4b: KMV distinct (theta-family; set-algebra-capable) ----------
+    from cuckoofilter_spark.operators.approx import kmv_sketch
+
+    queries["kmv_distinct"], extra["kmv_estimate"] = timed2(
+        lambda: float(kmv_sketch(tokens, "tokens", k=4096, seed=7)
+                      .estimate())
+    )
+
     # -- q5: count-min heavy hitters -------------------------------------
     def _q5():
         sk = cms_sketch(tokens, "tokens", eps=0.0001, delta=0.01, seed=7)

@@ -43,6 +43,7 @@ from cuckoofilter_spark.operators.decontam import (  # noqa: F401
 )
 from cuckoofilter_spark.operators.packing import (  # noqa: F401
     pack_documents,
+    pack_documents_firstfit,
     packing_stats,
 )
 from cuckoofilter_spark.operators.probe import (  # noqa: F401

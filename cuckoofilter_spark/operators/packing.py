@@ -89,3 +89,91 @@ def packing_stats(packed: DataFrame, tokens_col: str) -> DataFrame:
             F.sum(F.col(tokens_col)).cast("long").alias("total_tokens"),
         )
     )
+
+
+def _first_fit_bins(sizes, cap):
+    """First-fit-decreasing over one stream, O(n log n): a power-of-two
+    segment tree over bins' remaining capacity answers "leftmost bin
+    with remaining >= size" in O(log B). Returns int64 bin ids aligned
+    with ``sizes`` (-1 for docs larger than ``cap``). Pure function —
+    the applyInPandas worker calls it per stream group."""
+    import numpy as np
+
+    n = len(sizes)
+    order = np.lexsort((np.arange(n), -np.asarray(sizes)))  # size desc, stable
+    bins = np.full(n, -1, dtype=np.int64)
+    size_pow = 1
+    while size_pow < max(n, 1):
+        size_pow <<= 1
+    tree = np.zeros(2 * size_pow, dtype=np.int64)  # max remaining per node
+    n_bins = 0
+    remaining = np.zeros(n, dtype=np.int64)
+
+    def update(leaf, val):
+        i = size_pow + leaf
+        tree[i] = val
+        i >>= 1
+        while i:
+            tree[i] = max(tree[2 * i], tree[2 * i + 1])
+            i >>= 1
+
+    for idx in order:
+        s = int(sizes[idx])
+        if s > cap:
+            continue  # oversize: stays -1
+        if tree[1] >= s:
+            i = 1
+            while i < size_pow:  # walk to the LEFTMOST fitting bin
+                i = 2 * i if tree[2 * i] >= s else 2 * i + 1
+            b = i - size_pow
+        else:
+            b = n_bins
+            n_bins += 1
+            remaining[b] = cap
+        remaining[b] -= s
+        bins[idx] = b
+        update(b, remaining[b])
+    return bins
+
+
+def pack_documents_firstfit(
+    df: DataFrame, id_col: str, tokens_col: str, *, max_tokens: int,
+    n_streams: int = 32, seed: int = 0,
+) -> DataFrame:
+    """STRICT packing: like ``pack_documents`` but no bin ever exceeds
+    ``max_tokens`` — documents are never split, bins are filled
+    first-fit-decreasing. This is the padding-free batch builder for
+    fine-tuning (each bin = one training batch that fits); the
+    concat-then-chunk ``pack_documents`` remains the pre-training
+    path.
+
+    Execution: one ``applyInPandas`` per stream (hash-routed like
+    ``pack_documents``) running the O(n log n) segment-tree first-fit;
+    parallelism = ``n_streams``, per-task memory = one stream's doc
+    sizes. Documents with ``tokens > max_tokens`` get ``bin_id = -1``
+    (caller decides: split upstream or drop). Deterministic in
+    (id, seed): the fit order is (size desc, md5 order key)."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", stream int, bin_id long"
+
+    cap = int(max_tokens)
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pack_key", kind="mergesort") \
+            .reset_index(drop=True)
+        sizes = pdf[tokens_col].fillna(cap + 1).to_numpy()  # null -> -1
+        pdf["bin_id"] = _first_fit_bins(sizes, cap)
+        return pdf.drop(columns=["_pack_key"])
+
+    key = sample_hex_key(id_col, seed)
+    return (
+        df.withColumn("stream", stream_id(id_col, n_streams, seed))
+        .withColumn("_pack_key", key)
+        .groupBy("stream")
+        .applyInPandas(pack_group, out_schema)
+    )

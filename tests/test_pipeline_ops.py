@@ -484,3 +484,54 @@ def test_semi_and_anti_join_all_membership_kinds(spark):
                             kind="semisort", bits_per_item=13,
                             exact=True).count()
     assert anti + counts.pop() == n_fact
+
+
+def test_pack_firstfit_strict_capacity(spark, docs):
+    """Strict packing: no (stream, bin) exceeds max_tokens, oversize
+    docs get -1, layout-deterministic, and fill is sane (>= half the
+    optimal bin count bound, the FFD guarantee margin)."""
+    from collections import defaultdict
+
+    from cuckoofilter_spark.operators.packing import pack_documents_firstfit
+    from cuckoofilter_spark.operators.text import token_count_ws
+
+    mt = 512
+    d = docs.withColumn("n_tok", token_count_ws("text"))
+    rows = pack_documents_firstfit(
+        d, "doc_id", "n_tok", max_tokens=mt, n_streams=4, seed=3
+    ).select("doc_id", "n_tok", "stream", "bin_id").collect()
+    fill = defaultdict(int)
+    for r in rows:
+        if r.n_tok > mt:
+            assert r.bin_id == -1
+        else:
+            assert r.bin_id >= 0
+            fill[(r.stream, r.bin_id)] += r.n_tok
+    assert fill and all(v <= mt for v in fill.values())
+    total = sum(v for v in fill.values())
+    assert len(fill) <= 2 * (total // mt + 4 * 4)  # FFD ≤ ~2x optimal
+
+    again = pack_documents_firstfit(
+        d.repartition(19), "doc_id", "n_tok", max_tokens=mt,
+        n_streams=4, seed=3
+    ).select("doc_id", "stream", "bin_id").collect()
+    assert {(r.doc_id, r.stream, r.bin_id) for r in again} == \
+           {(r.doc_id, r.stream, r.bin_id) for r in rows}
+
+
+def test_pack_firstfit_segment_tree_unit():
+    from cuckoofilter_spark.operators.packing import _first_fit_bins
+
+    # sizes descending fit: [9,6,5,4,3,3] cap 10 -> FFD packs
+    # 9|? ... verify capacity + determinism + oversize
+    bins = _first_fit_bins([9, 6, 5, 4, 3, 3, 12], 10)
+    assert bins[6] == -1  # oversize
+    from collections import defaultdict
+    fill = defaultdict(int)
+    sizes = [9, 6, 5, 4, 3, 3]
+    for s, b in zip(sizes, bins[:6]):
+        assert b >= 0
+        fill[b] += s
+    assert all(v <= 10 for v in fill.values())
+    assert sum(fill.values()) == 30
+    assert list(bins[:6]) == list(_first_fit_bins([9, 6, 5, 4, 3, 3], 10))
