@@ -166,7 +166,7 @@ def decontaminate(
 def overlap_report(
     corpus: DataFrame, blob: bytes, ev_ngrams: DataFrame,
     id_col: str, text_col: str, *, n: int = 3, min_overlap: int = 1,
-    seed: int = 7, broadcast_eval: bool = True,
+    seed: int = 7, broadcast_eval: bool = True, hits_udf=None,
 ) -> DataFrame:
     """The probe-gate + exact-verify core of ``decontaminate``, against
     PRE-BUILT eval artifacts — so a streaming job (or a loop over
@@ -179,9 +179,15 @@ def overlap_report(
     which shuffles EVERY candidate n-gram, the exact movement this
     operator exists to avoid. Set False only if the eval side is too
     big for executor memory (at which point reconsider the eval set:
-    this op's contract is a small-relative-to-corpus eval side)."""
+    this op's contract is a small-relative-to-corpus eval side).
+
+    ``hits_udf`` lets a caller reuse one ``contamination_count_udf``
+    (and its filter broadcast) across MANY calls — the streaming job
+    passes it so a long-running stream broadcasts the blob once, not
+    once per micro-batch."""
     spark = corpus.sparkSession
-    hits = contamination_count_udf(spark, blob, n=n, seed=seed)
+    hits = (hits_udf if hits_udf is not None
+            else contamination_count_udf(spark, blob, n=n, seed=seed))
     if broadcast_eval:
         ev_ngrams = F.broadcast(ev_ngrams)
 

@@ -482,7 +482,7 @@ def run_streaming_decontam(
     mutable state, so this scales to any stream length as one narrow
     probe pass + a candidates-only verify join per batch."""
     from cuckoofilter_spark.operators.decontam import (
-        eval_ngram_filter, overlap_report,
+        contamination_count_udf, eval_ngram_filter, overlap_report,
     )
 
     blob, ev_ngrams = eval_ngram_filter(
@@ -491,6 +491,11 @@ def run_streaming_decontam(
     ev_dir = os.path.join(out_dir, "_eval", "ngrams")
     ev_ngrams.write.mode("overwrite").parquet(ev_dir)
     ev_ngrams.unpersist()
+    # one probe UDF (one filter broadcast) for the stream's lifetime —
+    # creating it per batch would re-broadcast the blob every trigger
+    hits = contamination_count_udf(
+        eval_df.sparkSession, blob, n=n, seed=seed
+    )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -498,7 +503,7 @@ def run_streaming_decontam(
         ev = spark.read.parquet(ev_dir)
         flagged = overlap_report(
             batch_df, blob, ev, id_col, text_col,
-            n=n, min_overlap=min_overlap, seed=seed,
+            n=n, min_overlap=min_overlap, seed=seed, hits_udf=hits,
         )
         flagged.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"flagged/batch={batch_id}")
