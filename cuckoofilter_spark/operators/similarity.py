@@ -102,12 +102,51 @@ def lsh_bucket_udf(dim: int, n_bits: int, n_tables: int, seed: int):
     return bucketize
 
 
+def lsh_multiprobe_bucket_udf(
+    dim: int, n_bits: int, n_tables: int, seed: int, n_probes: int
+):
+    """Query-side multi-probe bucketizer (Lv et al., VLDB'07,
+    restricted to 1-bit perturbations): per table emit the base bucket
+    PLUS the ``n_probes-1`` buckets reached by flipping the sign bits
+    with the smallest hyperplane margins — the buckets a near-miss
+    neighbor most likely fell into. Same plane family as
+    ``lsh_bucket_udf`` (the corpus side stays 1 bucket/table), so
+    multi-probe buys the recall of ~n_probes times the tables at the
+    memory/shuffle cost of the SMALL table count."""
+    if not 1 <= n_probes <= n_bits + 1:
+        raise ValueError(f"n_probes must be in [1, n_bits+1], got {n_probes}")
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    flat = planes.reshape(n_tables * n_bits, dim).T  # (dim, T*B)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    offsets = (np.arange(n_tables, dtype=np.int64) << np.int64(n_bits))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = m @ flat                                  # (batch, T*B)
+        bits = (proj > 0).reshape(len(m), n_tables, n_bits)
+        base = (bits * weights[None, None, :]).sum(axis=2)  # (batch, T)
+        marg = np.abs(proj).reshape(len(m), n_tables, n_bits)
+        # bits ranked by how close the point sits to each hyperplane
+        flip_order = np.argsort(marg, axis=2)[:, :, : n_probes - 1]
+        out = np.empty((len(m), n_tables, n_probes), dtype=np.int64)
+        out[:, :, 0] = base
+        for j in range(n_probes - 1):
+            out[:, :, j + 1] = base ^ (
+                np.int64(1) << flip_order[:, :, j].astype(np.int64)
+            )
+        out += offsets[None, :, None]
+        return pd.Series(list(out.reshape(len(m), -1)))
+
+    return bucketize
+
+
 def lsh_ann_topk(
     corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int, k: int = 10, n_bits: int = 6,
     n_tables: int = 16, seed: int = 2014, exclude_self: bool = True,
     target_recall: float | None = None, recall_at_sim: float = 0.8,
-    max_tables: int = 256,
+    max_tables: int = 256, n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: LSH-bucket candidate join + exact re-rank.
 
@@ -118,19 +157,31 @@ def lsh_ann_topk(
     ``lsh_params_for_recall`` at ``recall_at_sim`` — the cosine level
     at which neighbors must be found with that probability (true
     neighbors ABOVE it are found with higher probability; the solver's
-    S-curve is monotone in s)."""
+    S-curve is monotone in s).
+
+    ``n_probes > 1`` turns on query-side multi-probe (see
+    ``lsh_multiprobe_bucket_udf``): the corpus is still hashed once
+    per table — replication factor, the memory/shuffle cost driver,
+    stays n_tables — while each query additionally checks its
+    n_probes-1 most-likely near-miss buckets per table. The
+    target_recall solver assumes single-probe, so with n_probes>1 it
+    is conservative (measured recall only goes up)."""
     if target_recall is not None:
         n_bits, n_tables = lsh_params_for_recall(
             recall_at_sim, target_recall, max_tables=max_tables
         )
     bucketize = lsh_bucket_udf(dim, n_bits, n_tables, seed)
+    q_bucketize = (
+        lsh_multiprobe_bucket_udf(dim, n_bits, n_tables, seed, n_probes)
+        if n_probes > 1 else bucketize
+    )
     c = corpus.select(
         F.col(id_col).alias("nbr"), _as_double(vec_col).alias("cv"),
         F.explode(bucketize(vec_col)).alias("bucket"),
     ).withColumn("cn", _norm("cv"))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"),
-        F.explode(bucketize(vec_col)).alias("bucket"),
+        F.explode(q_bucketize(vec_col)).alias("bucket"),
     ).withColumn("qn", _norm("qv"))
     cand = c.join(F.broadcast(q), "bucket").drop("bucket")
     if exclude_self:

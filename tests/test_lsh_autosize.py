@@ -85,3 +85,36 @@ def test_auto_sized_near_dup_recall_meets_target(spark, threshold):
     )
     # precision is exact by construction (candidates verify cosine)
     assert approx <= exact
+
+
+def test_multiprobe_lifts_recall_at_fixed_tables(spark):
+    """Multi-probe LSH: recall is monotone in n_probes at fixed
+    tables, and few-tables-many-probes beats 4x the tables at
+    single-probe — the memory/shuffle trade the operator exists for
+    (corpus replication factor stays at the SMALL table count)."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.similarity import (
+        cosine_topk, lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20)
+    dim = len(emb.select("embedding").first()[0])
+    tset = {(r.query_id, r.nbr) for r in cosine_topk(emb, qs, k=10).collect()}
+
+    def recall(n_tables, n_probes):
+        got = lsh_ann_topk(emb, qs, dim=dim, k=10, n_bits=8,
+                           n_tables=n_tables, seed=3, n_probes=n_probes)
+        g = {(r.query_id, r.nbr) for r in got.collect()}
+        return len(g & tset) / len(tset)
+
+    r1, r4, r8 = recall(4, 1), recall(4, 4), recall(4, 8)
+    big = recall(16, 1)
+    assert r1 <= r4 <= r8          # monotone in probes
+    assert r8 > big                # 4 tables x 8 probes > 16 tables
+    assert r8 >= 2 * r1            # substantive lift, not noise
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_ann_topk(emb, qs, dim=dim, n_bits=8, n_tables=4, n_probes=10)
