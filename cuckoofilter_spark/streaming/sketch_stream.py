@@ -524,3 +524,128 @@ def run_streaming_decontam(
         writer.trigger(availableNow=True).start().awaitTermination()
     else:
         writer.trigger(processingTime="10 seconds").start()
+
+
+def streaming_windowed_sketch_by_key(
+    stream_df: DataFrame, ts_col: str, key_col: str, value_col: str, *,
+    window: str = "1 hour", watermark: str = "1 hour",
+    kind: str = "hll", emit_updates: bool = True, **params,
+) -> DataFrame:
+    """Per-(key, event-time-window) sketch maintenance with watermark
+    eviction — the full custom windowed-aggregate pattern the built-in
+    windowed aggs implement internally, here for ANY registry sketch:
+
+    - rows are bucketed into tumbling windows of ``window`` via the
+      event-time column (late rows land in their ORIGINAL window);
+    - state = one sketch blob per (key, window_start), updated each
+      trigger, emitted as a running readout (``emit_updates``);
+    - the watermark drives FINALIZATION: each group's state carries an
+      event-time timeout at window_end + ``watermark``; when the
+      watermark passes it, the group emits a final row
+      (``final=true``) and its state is REMOVED — state size is
+      bounded by (keys x live windows), not stream length, and
+      rows later than the watermark are dropped by Spark before they
+      reach the operator (exactly the built-in windowed-agg
+      contract).
+
+    Returns a streaming DataFrame
+    ``(key, window_start, n_rows, readout, final)``."""
+    from pyspark.sql.types import TimestampType
+
+    from cuckoofilter_spark.core.registry import (
+        SKETCH_KINDS, make_sketch, sketch_from_bytes,
+    )
+    from cuckoofilter_spark.operators.grouped import (
+        _READOUTS, _VALUE_KINDS, _keys_array,
+    )
+
+    if kind not in SKETCH_KINDS or kind not in _READOUTS:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+    _, readout = _READOUTS[kind]
+    value_based = kind in _VALUE_KINDS
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k, wstart = key
+        if state.hasTimedOut:
+            (blob, n_seen) = state.get
+            sk = sketch_from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame({
+                "key": [k], "window_start": [wstart],
+                "n_rows": [int(n_seen)],
+                "readout": [float(readout(sk))], "final": [True],
+            })
+            return
+        if state.exists:
+            (blob, n_seen) = state.get
+            sk = sketch_from_bytes(bytes(blob))
+            n_seen = int(n_seen)
+        else:
+            sk = make_sketch(kind, **params)
+            n_seen = 0
+        n = 0
+        for pdf in pdfs:
+            vals = _keys_array(pdf[value_col].dropna(), value_based)
+            if len(vals):
+                from cuckoofilter_spark.operators.build import (
+                    check_add_statuses,
+                )
+
+                check_add_statuses(
+                    sk.add_many(vals),
+                    f"streaming_windowed_sketch_by_key[{kind}]",
+                )
+            n += len(pdf)
+        n_seen += n
+        state.update((sk.to_bytes(), n_seen))
+        # finalize when the WATERMARK (not wall clock) passes the
+        # window's close; the timeout timestamp is event-time ms.
+        # Clamped to just past the current watermark: a window that
+        # already closed (its rows arrived late-but-within-watermark,
+        # or availableNow raced the watermark ahead) must finalize on
+        # the NEXT trigger, and Spark rejects timeouts in the past.
+        close = wstart + _window_delta(window)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(int(close.timestamp() * 1000), wm + 1)
+        )
+        if emit_updates:
+            yield pd.DataFrame({
+                "key": [k], "window_start": [wstart],
+                "n_rows": [n_seen],
+                "readout": [float(readout(sk))], "final": [False],
+            })
+
+    out_schema = ("key string, window_start timestamp, n_rows long, "
+                  "readout double, final boolean")
+    return (
+        stream_df
+        .withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .withColumn("_w", F.window("_ts", window).getField("start"))
+        # NOTE: `_ts` must survive this projection — it carries the
+        # watermark; dropping it makes the event-time timeout illegal
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col("_w").alias("window_start"),
+            F.col(value_col).alias(value_col),
+            F.col("_ts"),
+        )
+        .groupBy("key", "window_start")
+        .applyInPandasWithState(
+            update, out_schema, "sketch binary, n_seen long",
+            "update", GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _window_delta(window: str):
+    """'1 hour' / '30 minutes' / '10 seconds' -> timedelta."""
+    import datetime as _dt
+
+    qty, unit = window.strip().split()
+    key = {"second": "seconds", "minute": "minutes",
+           "hour": "hours", "day": "days"}[unit.rstrip("s")]
+    return _dt.timedelta(**{key: int(qty)})

@@ -643,3 +643,83 @@ def test_streaming_sketch_by_key_generic_kinds(spark, tmp_path):
     with _pt.raises(ValueError):
         streaming_sketch_by_key(stream, "event_type", "value",
                                 kind="nope")
+
+
+def test_streaming_windowed_sketch_finalizes_on_watermark(spark, tmp_path):
+    """Windowed stateful sketches with event-time finalization,
+    delivered in two controlled phases:
+
+    phase 1: key A, window 10:00 (3 distinct users) + a 13:00 row
+             that pushes the watermark past A's window close;
+    phase 2: a LATE A/10:00 row (beyond watermark -> dropped by
+             Spark) + fresh key B rows. The A/10:00 FINAL must carry
+             exactly phase-1's distinct count, and no update for that
+             window may follow its final."""
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_windowed_sketch_by_key,
+    )
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    schema = "ts timestamp, k string, v long"
+
+    res = tmp_path / "wres"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = streaming_windowed_sketch_by_key(
+            stream, "ts", "k", "v",
+            window="1 hour", watermark="1 hour", kind="hll", p=14, seed=4,
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(str(res / f"batch={bid}"))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "wck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    H = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm, 0)
+
+    spark.createDataFrame(
+        [(ts(10, 5), "A", 1), (ts(10, 10), "A", 2), (ts(10, 40), "A", 3),
+         (ts(10, 20), "A", 1),            # dup user -> distinct stays 3
+         (ts(13, 0), "C", 99)],           # watermark -> 12:00 > 11:00
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+
+    spark.createDataFrame(
+        [(ts(10, 50), "A", 4),            # LATE beyond watermark: dropped
+         (ts(14, 0), "B", 7)],
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+
+    import re as _re
+
+    rows = []
+    for d in sorted(os.listdir(res)):
+        bid = int(_re.match(r"batch=(\d+)", d).group(1))
+        for r in spark.read.parquet(str(res / d)).collect():
+            rows.append((bid, r))
+    a_final = [(b, r) for b, r in rows if r["key"] == "A" and r["final"]]
+    assert len(a_final) == 1, "A/10:00 did not finalize exactly once"
+    fb, row = a_final[0]
+    assert row["window_start"] == H
+    assert round(row["readout"]) == 3      # late user 4 NOT counted
+    assert row["n_rows"] == 4
+    # no A update in any batch AFTER the final (state was removed)
+    assert all(b <= fb for b, r in rows if r["key"] == "A")
+    # B's window is still open: updates only, no final
+    b_rows = [r for _, r in rows if r["key"] == "B"]
+    assert b_rows and not any(r["final"] for r in b_rows)
