@@ -736,6 +736,34 @@ def q_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_multiprobe_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: 8 tables x 4 bits with 4 probes/table must (a)
+    clear the same 0.8 recall bar as the 32-table single-probe query
+    at 1/4 the corpus replication, and (b) beat its own single-probe
+    recall — the Lv et al. trade made measurable."""
+    from cuckoofilter_spark.operators.similarity import (
+        ann_recall, cosine_topk, lsh_ann_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries_df, k=10)
+
+    def mean_recall(n_probes):
+        approx = lsh_ann_topk(emb, queries_df, dim=64, k=10, n_bits=4,
+                              n_tables=8, seed=2014, n_probes=n_probes)
+        return ann_recall(exact, approx).agg(
+            F.round(F.avg("recall_e4")).cast("long")
+        ).collect()[0][0]
+
+    multi, single = int(mean_recall(4)), int(mean_recall(1))
+    n_q = queries_df.count()
+    return spark.createDataFrame(
+        [(int(n_q), bool(multi >= 8000), bool(multi >= single))],
+        "n_queries long, recall_ok boolean, lifts_over_single boolean",
+    )
+
+
 def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: hash-sampled coarse quantizer, one
     cell per corpus vector, nprobe cells per query, exact re-rank.
@@ -1317,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "ann_recall_bound": q_ann_recall_bound,
+        "ann_multiprobe_recall_bound": q_ann_multiprobe_recall_bound,
         "ivf_recall_bound": q_ivf_recall_bound,
         "embedding_near_dups": q_embedding_near_dups,
         "media_byte_stats": q_media_byte_stats,
@@ -1668,6 +1697,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_recall_bound": """
             SELECT count(*) AS n_queries, true AS recall_ok
+            FROM embeddings WHERE vec_id < 20
+        """,
+        "ann_multiprobe_recall_bound": """
+            SELECT count(*) AS n_queries, true AS recall_ok,
+                   true AS lifts_over_single
             FROM embeddings WHERE vec_id < 20
         """,
         "ivf_recall_bound": """
