@@ -35,6 +35,10 @@ import time
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl"],
+                    help="jsonl: enforced-schema corpus read with a "
+                         "0.1%% corrupt-line gate (sources/textcorpus)")
     ap.add_argument("--eval", dest="eval_path", default=None,
                     help="eval/benchmark docs to decontaminate against")
     ap.add_argument("--id", dest="id_col", default="doc_id")
@@ -70,8 +74,32 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("shape-corpus").getOrCreate()
     t0 = time.time()
-    df = spark.read.parquet(args.input)
-    counts = {"rows_in": df.count()}
+    if args.format == "jsonl":
+        # count clean rows via the ingest stats (a bare count() on the
+        # corrupt-filtered frame trips Spark's only-corrupt-column
+        # restriction — see sources/textcorpus.py)
+        from pyspark.sql import functions as _F
+
+        from cuckoofilter_spark.sources.textcorpus import (
+            corpus_ingest_stats, document_schema,
+        )
+
+        raw = (
+            spark.read.schema(document_schema())
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(args.input)
+        )
+        stats = corpus_ingest_stats(raw)
+        if stats["n_corrupt"] > 0.001 * max(stats["n_rows"], 1):
+            raise SystemExit(
+                f"corrupt JSONL fraction over gate: {stats}"
+            )
+        df = raw.filter(_F.col("_corrupt_record").isNull())             .drop("_corrupt_record")
+        counts = {"rows_in": stats["n_rows"] - stats["n_corrupt"]}
+    else:
+        df = spark.read.parquet(args.input)
+        counts = {"rows_in": df.count()}
 
     # 1. exact dedup
     df = dedup_exact(df, args.id_col, args.text_col)

@@ -64,3 +64,43 @@ def test_jsonl_read_stats_gate_roundtrip(spark, tmp_path):
         == ["a", "b"]
     assert any(f.endswith(".gz") for f in os.listdir(out)
                if f.startswith("part-"))
+
+
+def test_shape_corpus_job_jsonl_input(spark, tmp_path):
+    """jobs/shape_corpus.py accepts JSONL input in-process: the
+    enforced-schema read feeds the same pipeline; stage counts stay
+    monotone."""
+    import json as _json
+    import sys
+    from io import StringIO
+
+    from cuckoofilter_spark.sources.textcorpus import write_jsonl_corpus
+
+    import jobs.shape_corpus as job
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang", "source") \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    src = str(tmp_path / "corpus_jsonl")
+    write_jsonl_corpus(docs, src)
+
+    out = str(tmp_path / "shaped")
+    cap = StringIO()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        rc = job.main([
+            "--input", src, "--format", "jsonl",
+            "--min-quality", "100", "--sample-rate", "0.9",
+            "--max-tokens", "1024", "--streams", "4",
+            "--output", out,
+        ])
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    stats = _json.loads(cap.getvalue().strip().splitlines()[-1])
+    assert stats["rows_in"] == docs.count()
+    assert (stats["rows_in"] >= stats["after_dedup"]
+            >= stats["after_quality"] >= stats["after_sample"]
+            == stats["rows_out"] > 0)
