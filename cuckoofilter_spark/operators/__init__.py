@@ -55,6 +55,7 @@ from cuckoofilter_spark.operators.sampling import (  # noqa: F401
     sample_hash,
     sample_stratified,
     sample_weighted,
+    sample_weighted_bottom_k,
     split_train_holdout,
 )
 from cuckoofilter_spark.operators.semijoin import (  # noqa: F401

@@ -162,3 +162,33 @@ def sample_weighted(
         * F.lit(float(_SPACE))
     ).cast("long")
     return df.filter(key_num < thresh)
+
+
+def sample_weighted_bottom_k(
+    df: DataFrame, key_col: str, weight_col: str | Column, k: int, *,
+    seed: int = 0,
+) -> DataFrame:
+    """Fixed-size WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006): priority = -ln(u)/w with u the key's uniform md5
+    draw; the k smallest priorities are a weighted-uniform k-subset.
+    The quality-weighted audit sample: heavier documents more likely
+    in, still deterministic per (key, seed) and still
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    Rows with weight <= 0 or NULL are never sampled. NOT in the
+    SQL-oracle contract: the priority involves ln() and float
+    division, whose last-ulp behavior is not guaranteed identical
+    across engines — near-ties could order differently, so this op is
+    pytest-verified (distribution + determinism) rather than
+    hash-matched."""
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (F.conv(sample_hex_key(key_col, seed), 16, 10).cast("double")
+         + F.lit(1.0)) / F.lit(float(_SPACE))  # u in (0, 1]
+    pri = -F.log(u) / wc.cast("double")
+    return (
+        df.filter(wc.isNotNull() & (wc > 0))
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri"), F.col(key_col))
+        .limit(k)
+        .drop("_pri")
+    )

@@ -535,3 +535,36 @@ def test_pack_firstfit_segment_tree_unit():
     assert all(v <= 10 for v in fill.values())
     assert sum(fill.values()) == 30
     assert list(bins[:6]) == list(_first_fit_bins([9, 6, 5, 4, 3, 3], 10))
+
+
+def test_sample_weighted_bottom_k_distribution(spark):
+    """A-ES weighted sample: deterministic under layout; weight-10
+    keys dominate weight-1 keys in a k-of-2n draw well beyond chance;
+    zero/null weights never appear; plan stays TakeOrderedAndProject."""
+    from cuckoofilter_spark.operators.sampling import (
+        sample_weighted_bottom_k,
+    )
+
+    n = 2000
+    df = spark.range(0, 2 * n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < n, 10.0)
+         .when(F.col("id") < 2 * n - 2, 1.0)
+         .when(F.col("id") == 2 * n - 2, 0.0)
+         .otherwise(F.lit(None).cast("double")).alias("w"),
+    )
+    got = {r.k for r in
+           sample_weighted_bottom_k(df, "k", "w", 400, seed=5).collect()}
+    assert len(got) == 400
+    assert (2 * n - 2) not in got and (2 * n - 1) not in got
+    heavy = sum(1 for x in got if x < n)
+    # E[heavy] ≈ 400·10/11 ≈ 364; chance under uniform would be ~200
+    assert heavy > 300
+
+    again = {r.k for r in
+             sample_weighted_bottom_k(df.repartition(13), "k", "w", 400,
+                                      seed=5).collect()}
+    assert got == again
+    plan = sample_weighted_bottom_k(df, "k", "w", 400, seed=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
