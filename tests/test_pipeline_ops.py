@@ -568,3 +568,15 @@ def test_sample_weighted_bottom_k_distribution(spark):
     plan = sample_weighted_bottom_k(df, "k", "w", 400, seed=5)._jdf \
         .queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_firstfit_plan_single_exchange(spark, docs):
+    from cuckoofilter_spark.operators.packing import pack_documents_firstfit
+    from cuckoofilter_spark.operators.text import token_count_ws
+
+    d = docs.withColumn("n_tok", token_count_ws("text"))
+    plan = pack_documents_firstfit(d, "doc_id", "n_tok", max_tokens=512,
+                                   n_streams=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1      # the stream route only
+    assert "rangepartitioning" not in plan.lower()

@@ -104,3 +104,25 @@ def test_shape_corpus_job_jsonl_input(spark, tmp_path):
     assert (stats["rows_in"] >= stats["after_dedup"]
             >= stats["after_quality"] >= stats["after_sample"]
             == stats["rows_out"] > 0)
+
+
+def test_shape_corpus_job_is_deterministic(spark, tmp_path):
+    """The job's headline claim: identical inputs + seed reproduce the
+    identical shaped output (row set, including bin assignments)."""
+    import jobs.shape_corpus as job
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    outs = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / f"shaped_{tag}")
+        rc = job.main([
+            "--input", src, "--min-quality", "100",
+            "--sample-rate", "0.8", "--holdout", "0.1",
+            "--max-tokens", "1024", "--streams", "4", "--output", out,
+        ])
+        assert rc == 0
+        rows = {tuple(r) for r in spark.read.parquet(f"{out}/data")
+                .select("doc_id", "is_holdout", "stream", "bin_id",
+                        "n_tok").collect()}
+        outs.append(rows)
+    assert outs[0] == outs[1] and len(outs[0]) > 0
