@@ -469,6 +469,50 @@ def q_tdigest_by_group_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup_day_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup table (operators/rollup.py): hourly per-event-type
+    HLL blobs merged up to days WITHOUT rescanning raw events. Two
+    claims verified: (a) the rolled-up day sketch is BIT-IDENTICAL to
+    one built directly from the day's raw rows (register-max merge =
+    the mergeability contract, deterministic, no tolerance), (b) every
+    day estimate is within the published 3-sigma of the exact
+    distinct."""
+    from cuckoofilter_spark.operators.rollup import (
+        rollup_sketch_table, sketch_time_table,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    fine = sketch_time_table(ev, "ts", "event_type", "user_id",
+                             bucket="1 hour", kind="hll", p=14, seed=8)
+    fine.persist()
+    day = {(r.bucket_start, r.key): r.readout
+           for r in rollup_sketch_table(fine, bucket="1 day").collect()}
+    fine.unpersist()
+    direct = {(r.bucket_start, r.key): r.readout
+              for r in sketch_time_table(ev, "ts", "event_type",
+                                         "user_id", bucket="1 day",
+                                         kind="hll", p=14,
+                                         seed=8).collect()}
+    identical = (set(day) == set(direct)
+                 and all(abs(day[k] - direct[k]) < 1e-9 for k in day))
+    exact = {(r.d, r.event_type): r.n for r in
+             ev.withColumn(
+                 "d", F.window(F.col("ts").cast("timestamp"),
+                               "1 day").getField("start"))
+             .groupBy("d", "event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    sigma = 1.04 / (2 ** 14) ** 0.5
+    bound = all(
+        abs(day[k] - exact[k]) / max(exact[k], 1) <= 3 * sigma + 1e-3
+        for k in day
+    )
+    return spark.createDataFrame(
+        [(len(day), bool(identical), bool(bound))],
+        "n_day_groups long, rollup_equals_direct boolean, "
+        "within_bound boolean",
+    )
+
+
 def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS-pruned EXACT heavy hitters: count-min's one-sided error
     means the broadcast-estimate filter can never drop a true hitter,
@@ -1329,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap_bound": q_hll_overlap_bound,
         "kmv_overlap_bound": q_kmv_overlap_bound,
         "hll_by_group_bound": q_hll_by_group_bound,
+        "hll_rollup_day_bound": q_hll_rollup_day_bound,
         "heavy_hitters_exact": q_heavy_hitters_exact,
         "tdigest_by_group_bound": q_tdigest_by_group_bound,
         "tdigest_quantile_bound": q_tdigest_quantile_bound,
@@ -1467,6 +1512,13 @@ def oracle_sql() -> dict[str, str]:
                             WHERE c_custkey % 3 <> 0) c
                         ON o.o_custkey = c.c_custkey) AS exact_intersection,
                    true AS within_bound
+        """,
+        "hll_rollup_day_bound": """
+            SELECT count(*) AS n_day_groups,
+                   true AS rollup_equals_direct, true AS within_bound
+            FROM (
+              SELECT DISTINCT date_trunc('day', ts) AS d, event_type
+              FROM events)
         """,
         "hll_by_group_bound": """
             SELECT event_type,

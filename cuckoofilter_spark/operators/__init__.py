@@ -50,6 +50,10 @@ from cuckoofilter_spark.operators.probe import (  # noqa: F401
     count_hits_udf,
     might_contain_udf,
 )
+from cuckoofilter_spark.operators.rollup import (  # noqa: F401
+    rollup_sketch_table,
+    sketch_time_table,
+)
 from cuckoofilter_spark.operators.sampling import (  # noqa: F401
     sample_bottom_k,
     sample_hash,

@@ -288,3 +288,34 @@ def test_kmv_merge_order_independence_property():
             acc.merge(s)
         assert np.array_equal(acc.values, whole.values)
     check()
+
+
+def test_sketch_rollup_mergeability(spark):
+    """Rollup tables: hour->day blob merges are BIT-identical to
+    direct day builds for hll AND kmv (the mergeability contract at
+    the storage layer); raw data is scanned once per granularity
+    here, zero times in the rollup itself."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.rollup import (
+        rollup_sketch_table, sketch_time_table,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for kind, params in (("hll", {"p": 12, "seed": 3}),
+                         ("kmv", {"k": 256, "seed": 3})):
+        fine = sketch_time_table(ev, "ts", "event_type", "user_id",
+                                 bucket="1 hour", kind=kind, **params)
+        fine.persist()
+        day = {(r.bucket_start, r.key): r.readout
+               for r in rollup_sketch_table(fine, bucket="1 day")
+               .collect()}
+        direct = {(r.bucket_start, r.key): r.readout
+                  for r in sketch_time_table(ev, "ts", "event_type",
+                                             "user_id", bucket="1 day",
+                                             kind=kind, **params)
+                  .collect()}
+        fine.unpersist()
+        assert set(day) == set(direct) and len(day) > 0, kind
+        for k in day:
+            assert abs(day[k] - direct[k]) < 1e-9, (kind, k)
