@@ -95,7 +95,10 @@ class KMVSketch:
         sk = cls(k=k, seed=seed)
         sk.values = np.frombuffer(blob, dtype=np.uint64, count=n,
                                   offset=off).copy()
-        if n and np.any(np.diff(sk.values.view(np.uint64)) <= 0):
+        # elementwise compare, NOT np.diff: uint64 diff wraps mod 2^64,
+        # so a decreasing pair yields a huge positive delta and an
+        # unsorted blob would slip through to corrupt _theta()
+        if n and np.any(sk.values[1:] <= sk.values[:-1]):
             raise ValueError("KMV blob values not strictly increasing")
         return sk
 

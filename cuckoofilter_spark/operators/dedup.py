@@ -45,6 +45,29 @@ from cuckoofilter_spark.operators.text import fingerprint_md5
 _MERSENNE = (1 << 31) - 1
 _P31 = np.uint64(_MERSENNE)
 
+# Tokenizer parity: the JVM side (``text.words_col`` → Java regex
+# ``\s+``) and the DuckDB oracle (RE2 ``\s``) both split on ASCII
+# whitespace ONLY — [ \t\n\x0B\f\r]. Python's ``str.split()`` also
+# splits on Unicode whitespace (NBSP \xa0,  , \x85, ...), so a
+# document whose n-grams straddle such a character would hash
+# differently here than in the filter built from JVM shingles — and a
+# probe gate (decontam) could then undercount hits and silently drop a
+# truly contaminated document, breaking the zero-false-negative
+# contract. Every Python-side tokenization in this package goes
+# through ``_words`` so all three tokenizers agree byte-for-byte.
+_ASCII_WS_RE = None  # compiled lazily (workers import this module)
+
+
+def _words(text: str) -> list[str]:
+    """ASCII-whitespace word split matching Java ``\\s+`` / RE2
+    ``\\s`` exactly (empty strings filtered)."""
+    global _ASCII_WS_RE
+    if _ASCII_WS_RE is None:
+        import re
+
+        _ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+    return [w for w in _ASCII_WS_RE.split(text) if w]
+
 
 def _fold31(x: np.ndarray) -> np.ndarray:
     """x mod (2^31-1) for any uint64 x, exact (2^31 ≡ 1 mod p, so
@@ -89,7 +112,7 @@ def _shingle_hashes(text: str, k: int, seed: int) -> np.ndarray:
     """
     import hashlib
 
-    words = text.split()
+    words = _words(text)
     if len(words) < k:
         return np.empty(0, dtype=np.uint64)
     salt = seed.to_bytes(8, "little", signed=False)
@@ -262,8 +285,8 @@ def verified_jaccard_pairs(
     def j_e4_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.empty(len(ta), dtype=np.int64)
         for i in range(len(ta)):
-            wa = (ta.iloc[i] or "").split()
-            wb = (tb.iloc[i] or "").split()
+            wa = _words(ta.iloc[i] or "")
+            wb = _words(tb.iloc[i] or "")
             sa = {" ".join(wa[j:j + shingle_k])
                   for j in range(len(wa) - shingle_k + 1)}
             sb = {" ".join(wb[j:j + shingle_k])

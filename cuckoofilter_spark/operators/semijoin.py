@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cuckoofilter_spark.operators.build import build_sketch_shards
-from cuckoofilter_spark.operators.merge import collect_merged
+from cuckoofilter_spark.operators.merge import merge_shards_to_blob
 from cuckoofilter_spark.operators.probe import might_contain_udf
 
 
@@ -58,7 +58,12 @@ def build_membership_blob(
         )
     else:
         raise ValueError(f"not a membership sketch kind: {kind!r}")
-    return collect_merged(shards, dedup=(kind == "cuckoo")).to_bytes()
+    # merge_shards_to_blob, NOT collect_merged: below its
+    # driver_threshold it collects (tests, small dims); above, it tree-
+    # merges so a 10^5-shard dim build never fans every shard blob
+    # into the driver — the aggregate-then-merge shape the reference's
+    # own merge design exists for (SURVEY §2.1 merge row).
+    return merge_shards_to_blob(shards, dedup=(kind == "cuckoo"))
 
 
 def filter_semi_join(
@@ -107,14 +112,20 @@ def filter_anti_join(
     through a broadcast left-anti join and the recovered rows are
     unioned back. Fact-side cost: one narrow probe pass + an
     anti-join over the hit sliver only; the bulk of a mostly-novel
-    fact table never touches a join."""
+    fact table never touches a join.
+
+    NULL keys: kept, matching ``left_anti`` join semantics (a NULL key
+    can never equal any dim key, so the row is trivially novel).
+    ``probe(NULL)`` is NULL — failing both the ``~probe`` and
+    ``probe`` filters — so NULL rows are routed through an explicit
+    ``isNull`` arm rather than silently dropped."""
     spark = fact.sparkSession
     blob = build_membership_blob(
         dim, dim_key, kind=kind, bits_per_item=bits_per_item, seed=seed
     )
     probe = might_contain_udf(spark, blob)
     key_col = F.col(key) if isinstance(key, str) else key
-    misses = fact.filter(~probe(key_col))
+    misses = fact.filter(key_col.isNull() | ~probe(key_col))
     if not exact:
         return misses
     dim_keys = dim.select(F.col(dim_key).alias("__dk")).distinct()

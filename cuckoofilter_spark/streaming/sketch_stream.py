@@ -253,7 +253,16 @@ def compact_dedup_state(
     loader's per-shard max_by picks identical content either way, so a
     crash mid-write or between write and cleanup never changes what a
     reader sees; (2) batch dirs are deleted only after the snapshot's
-    ``_SUCCESS`` marker exists.
+    ``_SUCCESS`` marker exists; (3) a retry that finds a COMPLETE
+    ``snapshot=<upto_batch>`` (crash landed between write and cleanup)
+    never re-reads-and-overwrites it — the snapshot was built from
+    every dir ≤ upto_batch and committed batch dirs are immutable, so
+    it subsumes whatever batch dirs remain and the retry just finishes
+    the cleanup. (Re-reading while overwriting would either fail with
+    Spark's read/overwrite-conflict error or destroy the only copy of
+    shards whose batch dirs were already removed.) A PARTIAL snapshot
+    (no ``_SUCCESS`` — crash mid-write) is deleted and rebuilt; its
+    inputs are all still present because cleanup gates on the marker.
 
     REPLAY CONTRACT: pass ``upto_batch`` ≤ the newest batch id the
     STREAM CHECKPOINT has committed. Committed batches are never
@@ -274,6 +283,22 @@ def compact_dedup_state(
                 if k <= upto_batch:
                     old.append(name)
                 break
+    snap_name = f"snapshot={upto_batch}"
+    snap = os.path.join(shards_dir, snap_name)
+    if snap_name in old:
+        if path_exists(spark, os.path.join(snap, "_SUCCESS")):
+            # Retry after a crash between snapshot write and cleanup:
+            # the complete snapshot subsumes every remaining dir ≤
+            # upto_batch (they were its inputs and are immutable).
+            # Finish the cleanup; do NOT read + overwrite the snapshot.
+            rest = [n for n in old if n != snap_name]
+            for n in rest:
+                delete_path(spark, os.path.join(shards_dir, n))
+            return len(rest)
+        # Crash mid-write: partial snapshot, inputs all intact
+        # (cleanup only runs after _SUCCESS). Drop and rebuild.
+        delete_path(spark, snap)
+        old.remove(snap_name)
     if len(old) < 2:
         return 0
     paths = [os.path.join(shards_dir, n) for n in old]
@@ -287,7 +312,6 @@ def compact_dedup_state(
         .select("shard_id", "s.state_batch", "s.num_shards", "s.sketch",
                 "s.n_keys")
     )
-    snap = os.path.join(shards_dir, f"snapshot={upto_batch}")
     compacted.write.mode("overwrite").parquet(snap)
     if not path_exists(spark, os.path.join(snap, "_SUCCESS")):
         raise RuntimeError(f"snapshot write incomplete at {snap}")
@@ -564,6 +588,19 @@ def streaming_windowed_sketch_by_key(
     _, readout = _READOUTS[kind]
     value_based = kind in _VALUE_KINDS
 
+    # The grouped-state key's window_start arrives as a tz-NAIVE
+    # datetime rendered in spark.sql.session.timeZone, while
+    # setTimeoutTimestamp / getCurrentWatermarkMs speak epoch-UTC ms.
+    # A bare naive.timestamp() would interpret it in the WORKER's
+    # system timezone — hours of premature (state removed, finals
+    # split) or late finalization whenever the two zones differ — so
+    # resolve the session zone on the driver and attach it before
+    # converting. Captured by closure; ships to workers in the pickle.
+    session_tz = _session_tzinfo(
+        stream_df.sparkSession.conf.get("spark.sql.session.timeZone")
+        or "UTC"
+    )
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -606,7 +643,7 @@ def streaming_windowed_sketch_by_key(
         # already closed (its rows arrived late-but-within-watermark,
         # or availableNow raced the watermark ahead) must finalize on
         # the NEXT trigger, and Spark rejects timeouts in the past.
-        close = wstart + _window_delta(window)
+        close = (wstart + _window_delta(window)).replace(tzinfo=session_tz)
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
             max(int(close.timestamp() * 1000), wm + 1)
@@ -639,6 +676,28 @@ def streaming_windowed_sketch_by_key(
             "update", GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _session_tzinfo(tz_name: str):
+    """Resolve a Spark session-timezone string to a tzinfo: region ids
+    ('UTC', 'America/Los_Angeles') via zoneinfo, Spark's accepted
+    offset forms ('+08:00', '-0530', 'GMT+8') as fixed offsets."""
+    import datetime as _dt
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(?:GMT|UTC)?(?P<sign>[+-])(?P<h>\d{1,2}):?(?P<m>\d{2})?",
+        tz_name.strip(),
+    )
+    if m:
+        sign = 1 if m.group("sign") == "+" else -1
+        delta = _dt.timedelta(
+            hours=int(m.group("h")), minutes=int(m.group("m") or 0)
+        )
+        return _dt.timezone(sign * delta)
+    from zoneinfo import ZoneInfo
+
+    return ZoneInfo(tz_name.strip())
 
 
 def _window_delta(window: str):

@@ -474,6 +474,103 @@ def test_streaming_dedup_state_compaction(spark, tmp_path):
     assert compact_dedup_state(spark, out, upto_batch=1) == 0
 
 
+def test_streaming_dedup_compaction_crash_retry(spark, tmp_path):
+    """Compaction retries are idempotent across both crash windows:
+
+    (a) crash BETWEEN snapshot write and batch-dir cleanup — the
+        retry finds a complete ``snapshot=<upto>``; it must finish the
+        cleanup WITHOUT reading+overwriting the snapshot (Spark either
+        refuses a path that is both input and overwrite target, or —
+        worse — destroys the only copy of shard state mid-read);
+    (b) crash MID-WRITE — a partial snapshot without ``_SUCCESS`` is
+        discarded and rebuilt from the still-intact batch dirs.
+    After either retry, later batches still dedup against everything
+    the folded batches inserted."""
+    import pathlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.plans.fsutil import list_dir_names
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        STATE_SHARD_SCHEMA, compact_dedup_state, run_streaming_dedup,
+    )
+
+    src = tmp_path / "cr_src"
+    src.mkdir()
+    out = str(tmp_path / "cr_out")
+    ckpt = str(tmp_path / "cr_ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_streaming_dedup(
+            stream, "doc_id", "text", out_dir=out, checkpoint_dir=ckpt,
+            capacity=10_000, seed=11, num_shards=8,
+        )
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    spark.createDataFrame(
+        [(2, "delta epsilon zeta")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+
+    shards_dir = f"{out}/_filter/shards"
+
+    # ---- (a) simulate the write-done-cleanup-not state: build the
+    # snapshot exactly as compaction would, but leave the batch dirs
+    batches = [f"{shards_dir}/batch=0", f"{shards_dir}/batch=1"]
+    raw = spark.read.schema(STATE_SHARD_SCHEMA).parquet(*batches)
+    (
+        raw.groupBy("shard_id")
+        .agg(F.max_by(
+            F.struct("state_batch", "num_shards", "sketch", "n_keys"),
+            "state_batch",
+        ).alias("s"))
+        .select("shard_id", "s.state_batch", "s.num_shards", "s.sketch",
+                "s.n_keys")
+        .write.mode("overwrite").parquet(f"{shards_dir}/snapshot=1")
+    )
+    assert sorted(list_dir_names(spark, shards_dir)) == [
+        "batch=0", "batch=1", "snapshot=1",
+    ]
+    assert compact_dedup_state(spark, out, upto_batch=1) == 2
+    assert sorted(list_dir_names(spark, shards_dir)) == ["snapshot=1"]
+
+    # state is live: batch 2 dedups against the snapshot
+    spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "eta theta iota")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(f"{out}/data/batch=2").collect()}
+    assert kept2 == {11}
+
+    # ---- (b) partial snapshot (no _SUCCESS): discarded and rebuilt
+    snap3 = pathlib.Path(shards_dir) / "snapshot=2"
+    snap3.mkdir()
+    (snap3 / "part-garbage.parquet").write_bytes(b"not parquet")
+    # snapshot=1 (complete) + batch=2 + partial snapshot=2 present
+    n = compact_dedup_state(spark, out, upto_batch=2)
+    assert n == 2  # folded snapshot=1 + batch=2; partial dir dropped
+    assert sorted(list_dir_names(spark, shards_dir)) == ["snapshot=2"]
+    success = pathlib.Path(shards_dir) / "snapshot=2" / "_SUCCESS"
+    assert success.exists()
+
+    # cross-batch memory intact after both retries
+    spark.createDataFrame(
+        [(20, "eta theta iota"), (21, "kappa lambda mu")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    kept3 = {r["doc_id"] for r in
+             spark.read.parquet(f"{out}/data/batch=3").collect()}
+    assert kept3 == {21}
+    shutil.rmtree(str(src), ignore_errors=True)
+
+
 def test_streaming_sliding_window_drops_late_data(spark, tmp_path):
     """Sliding-window agg (2h window, 1h slide) with a 1h watermark:
     an event arriving AFTER the watermark has passed its window must

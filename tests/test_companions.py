@@ -239,6 +239,38 @@ def test_kmv_distinct_and_overlap(spark):
     assert same["jaccard"] == 1.0
 
 
+def test_kmv_from_bytes_rejects_unsorted_blob():
+    """Sortedness validation must use an elementwise compare:
+    np.diff on uint64 wraps mod 2^64, so a DECREASING pair yields a
+    huge positive diff and an unsorted blob would slip through to
+    corrupt _theta() and every estimate derived from it."""
+    import numpy as np
+    import pytest as _pt
+
+    from cuckoofilter_spark.core.kmv import KMVSketch
+
+    sk = KMVSketch(k=64, seed=3)
+    sk.add_many(np.arange(1, 200, dtype=np.uint64))
+    blob = sk.to_bytes()
+    import struct
+
+    head = struct.calcsize("<4sIQI")
+    vals = np.frombuffer(blob, dtype=np.uint64, offset=head).copy()
+    assert len(vals) >= 2
+    bad = bytes(blob[:head]) + vals[::-1].tobytes()  # strictly decreasing
+    with _pt.raises(ValueError, match="not strictly increasing"):
+        KMVSketch.from_bytes(bad)
+    # adjacent-equal still rejected too
+    vals2 = vals.copy()
+    vals2[1] = vals2[0]
+    bad2 = bytes(blob[:head]) + vals2.tobytes()
+    with _pt.raises(ValueError, match="not strictly increasing"):
+        KMVSketch.from_bytes(bad2)
+    # and the intact blob still round-trips
+    ok = KMVSketch.from_bytes(blob)
+    assert np.array_equal(ok.values, sk.values)
+
+
 def test_grouped_kmv(spark):
     from pyspark.sql import functions as F
 

@@ -147,6 +147,60 @@ def test_decontaminate_planted_overlap(spark):
     assert got2 == {(100, 2)}
 
 
+def test_decontaminate_unicode_whitespace_parity(spark):
+    """Tokenizer parity between the Python probe gate and the
+    JVM-built filter: a contaminated phrase containing NBSP (which
+    Python str.split() splits on but Java \\s+ / the shingle filter
+    does not) must still be caught — the gate and the filter must
+    tokenize identically or the zero-false-negative contract breaks
+    for crawled/HTML-derived text."""
+    from cuckoofilter_spark.operators.decontam import decontaminate
+
+    phrase = "alpha beta\u00a0gamma delta epsilon"  # NBSP inside a "word"
+    ev = spark.createDataFrame([(1, phrase)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (200, f"x y {phrase} z"),            # shares both 3-grams
+            (201, "one two three four five"),    # clean
+            (202, "clean with\u2028line sep and\u0085next line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.n_overlap) for r in
+           decontaminate(corpus, ev, "doc_id", "text", n=3,
+                         min_overlap=1).collect()}
+    # JVM words of the phrase: [alpha, beta\xa0gamma, delta, epsilon]
+    # -> 3-grams 'alpha beta\xa0gamma delta', 'beta\xa0gamma delta
+    # epsilon', both present in doc 200
+    assert got == {(200, 2)}
+
+
+def test_shingle_hashes_ascii_whitespace_only(spark):
+    """_shingle_hashes must agree with the JVM shingles_col on text
+    containing Unicode whitespace: same shingle strings, same count."""
+    import hashlib
+
+    from cuckoofilter_spark.operators.dedup import _shingle_hashes
+    from cuckoofilter_spark.operators.text import shingles_col
+
+    text = "a\u00a0b c d\u2028e f \t g h i"
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(shingles_col("text", 3).alias("sh"))
+        .collect()[0]
+    )
+    jvm = set(row.sh)
+    salt = (7).to_bytes(8, "little")
+    jvm_hashes = {
+        int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8, key=salt).digest(),
+            "little")
+        for g in jvm
+    }
+    py_hashes = set(int(h) for h in _shingle_hashes(text, 3, 7))
+    assert py_hashes == jvm_hashes and len(jvm) >= 2
+
+
 def test_decontaminate_gate_never_drops(spark, docs):
     """Filter-gate safety at a deliberately terrible FPR (4 bits/item):
     the exact result must be IDENTICAL to the high-bits run — false
@@ -398,6 +452,63 @@ def test_filter_anti_join_exact_and_approx(spark):
                                exact=False).select("l_orderkey").collect()}
     assert approx <= truth
     assert len(approx) >= 0.99 * len(truth)  # FPR-bounded omissions
+
+
+def test_filter_anti_join_keeps_null_keys(spark):
+    """left_anti semantics for NULL fact keys: a NULL key can never
+    equal any dim key, so Spark's built-in anti-join KEEPS the row —
+    and so must ours (probe(NULL) is NULL, which would otherwise fail
+    both filter arms and silently drop it)."""
+    from cuckoofilter_spark.operators.semijoin import filter_anti_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99), (4, None)],
+        "id long, k long",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "dk long")
+    truth = {r.id for r in
+             fact.join(dim, fact.k == dim.dk, "left_anti").collect()}
+    assert truth == {2, 3, 4}
+    got = {r.id for r in
+           filter_anti_join(fact, "k", dim, "dk", exact=True).collect()}
+    assert got == truth
+    approx = {r.id for r in
+              filter_anti_join(fact, "k", dim, "dk", exact=False).collect()}
+    assert {2, 4} <= approx <= truth
+
+
+def test_build_membership_blob_never_fans_into_driver(spark):
+    """The blob build inside filter_semi_join must go through the
+    driver-threshold switch: above 64 shards the shard blobs tree-
+    merge executor-side, and collect_merged (the driver fan-in) must
+    only ever see ≤ threshold rows. Guards the 10^5-shard story."""
+    from cuckoofilter_spark.operators import merge as merge_mod
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+    from cuckoofilter_spark.operators.semijoin import build_membership_blob
+
+    seen_counts = []
+    real = merge_mod.collect_merged
+
+    def spy(shards, dedup=True):
+        seen_counts.append(shards.count())
+        return real(shards, dedup=dedup)
+
+    orig = merge_mod.collect_merged
+    merge_mod.collect_merged = spy
+    try:
+        dim = spark.range(0, 20_000).selectExpr("id AS k").repartition(80)
+        blob = build_membership_blob(dim, "k", kind="cuckoo")
+    finally:
+        merge_mod.collect_merged = orig
+
+    assert all(c <= 64 for c in seen_counts), seen_counts
+    # and the tree-merged blob is a working filter: zero false negatives
+    probe = might_contain_udf(spark, blob)
+    n_missed = (
+        spark.range(0, 20_000).selectExpr("id AS k")
+        .filter(~probe("k")).count()
+    )
+    assert n_missed == 0
 
 
 # ---------------------------------------------------------------- PII
