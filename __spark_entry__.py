@@ -20,6 +20,8 @@ import os
 from collections.abc import Callable
 
 import numpy as np
+
+from cuckoofilter_spark.core.cuckoo import suggest_capacity
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,7 +103,7 @@ def q_cf_zero_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = lineitem.select("l_partkey").distinct().count()
     shards = build_sketch_shards(
         lineitem, "l_partkey", kind="cuckoo", lineage=False,
-        max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+        max_num_keys=suggest_capacity(n), bits_per_item=12, seed=2014,
     )
     blob = merge_shards_to_blob(shards, dedup=True)
     probe = might_contain_udf(spark, blob)
@@ -160,7 +162,7 @@ def q_cf_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = orders.distinct().count()
     shards_df = build_sketch_shards(
         orders, "o_orderkey", kind="cuckoo", lineage=False,
-        max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+        max_num_keys=suggest_capacity(n), bits_per_item=12, seed=2014,
     ).persist()
     n_shards = shards_df.count()
     reversed_df = shards_df.withColumn(
@@ -202,7 +204,7 @@ def q_cf_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.distinct().count()
     shards = build_sketch_shards(
         docs, "doc_key", kind="cuckoo", lineage=False,
-        max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+        max_num_keys=suggest_capacity(n), bits_per_item=12, seed=2014,
     )
     blob = merge_shards_to_blob(shards, dedup=True)
     probe = might_contain_udf(spark, blob)
@@ -226,7 +228,7 @@ def q_cf_tabulation_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = part.select("p_partkey").distinct().count()
     shards = build_sketch_shards(
         part, "p_partkey", kind="cuckoo", lineage=False,
-        max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+        max_num_keys=suggest_capacity(n), bits_per_item=12, seed=2014,
         hash_family="tabulation",
     )
     blob = merge_shards_to_blob(shards, dedup=True)
@@ -261,7 +263,7 @@ def q_tokens_array_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = vocab.count()
     shards = build_sketch_shards(
         toks, "tokens", kind="cuckoo", lineage=False,
-        max_num_keys=int(n * 1.3) + 64, bits_per_item=16, seed=2014,
+        max_num_keys=suggest_capacity(n), bits_per_item=16, seed=2014,
         strategy="shuffle_distinct", shuffle_partitions=8,
     )
     blob = merge_shards_to_blob(shards, dedup=False)
@@ -289,7 +291,7 @@ def q_cf_hash_families_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for family in ("bob", "superfast"):
         shards = build_sketch_shards(
             supplier, "s_suppkey", kind="cuckoo", lineage=False,
-            max_num_keys=int(n * 1.3) + 64, bits_per_item=12, seed=2014,
+            max_num_keys=suggest_capacity(n), bits_per_item=12, seed=2014,
             hash_family=family,
         )
         blob = merge_shards_to_blob(shards, dedup=True)
@@ -582,7 +584,7 @@ def q_semisort_zero_false_negatives(spark: SparkSession, sf_dir: str) -> DataFra
     n = orders.select("o_orderkey").distinct().count()
     shards = build_sketch_shards(
         orders, "o_orderkey", kind="semisort", lineage=False,
-        max_num_keys=int(n * 1.3) + 64, bits_per_item=13, seed=2014,
+        max_num_keys=suggest_capacity(n), bits_per_item=13, seed=2014,
     )
     blob = merge_shards_to_blob(shards, dedup=True)
     probe = might_contain_udf(spark, blob)
@@ -1302,10 +1304,11 @@ def q_pack_firstfit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/text.py): plant deterministic emails
-    (doc_id%7==0) and 12-digit account runs (doc_id%11==0) into the
-    corpus, then count and redact. Patterns restricted to the regex
-    subset with identical Java-regex/RE2 semantics, so the oracle
-    replays the construction exactly."""
+    (doc_id%7==0), 12-digit account runs (%11), NANP phone numbers
+    (%5), dotted-quad IPs (%13) and IBANs (%17) into the corpus, then
+    count per class and redact in PII_CLASSES order. Patterns are
+    restricted to the regex subset with identical Java-regex/RE2
+    semantics, so the oracle replays the construction exactly."""
     from cuckoofilter_spark.operators.text import with_pii_stats
 
     docs = _read(spark, sf_dir, "documents")
@@ -1324,6 +1327,18 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(" ref "),
                          F.lpad(F.col("doc_id").cast("string"), 12, "0")),
             ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" call 555-123-4567"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" host 10.1.2.3"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit(" iban DE44500105175407324931"),
+            ).otherwise(F.lit("")),
         ),
     )
     r = with_pii_stats(planted)
@@ -1332,6 +1347,9 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_emails") > 0).cast("long")).alias("n_docs_with_email"),
         F.sum("n_emails").alias("total_emails"),
         F.sum("n_long_ids").alias("total_long_ids"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum("n_ips").alias("total_ips"),
+        F.sum("n_ibans").alias("total_ibans"),
         F.sum(F.length("redacted_text")).alias("sum_redacted_chars"),
     )
 
@@ -2039,7 +2057,14 @@ def oracle_sql() -> dict[str, str]:
                           || '@example.com' ELSE '' END
                      || CASE WHEN doc_id % 11 = 0 THEN
                           ' ref ' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
-                        ELSE '' END AS text
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN
+                          ' call 555-123-4567' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN
+                          ' host 10.1.2.3' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN
+                          ' iban DE44500105175407324931' ELSE '' END
+                       AS text
               FROM documents),
             r AS (
               SELECT
@@ -2048,9 +2073,23 @@ def oracle_sql() -> dict[str, str]:
                   AS n_emails,
                 len(regexp_extract_all(text, '\b\d{9,}\b'))
                   AS n_long_ids,
-                length(regexp_replace(regexp_replace(text,
+                len(regexp_extract_all(text,
+                  '\+\d{1,3}[ .-]?\d{2,4}[ .-]?\d{3,4}[ .-]?\d{2,4}\b|\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b|\b\d{3}[.-]\d{3}[.-]\d{4}\b'))
+                  AS n_phones,
+                len(regexp_extract_all(text,
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+                len(regexp_extract_all(text,
+                  '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b')) AS n_ibans,
+                length(
+                  regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                  '<EMAIL>', 'g'), '\b\d{9,}\b', '<ID>', 'g'))
+                  '<EMAIL>', 'g'),
+                  '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b', '<IBAN>', 'g'),
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                  '\+\d{1,3}[ .-]?\d{2,4}[ .-]?\d{3,4}[ .-]?\d{2,4}\b|\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b|\b\d{3}[.-]\d{3}[.-]\d{4}\b',
+                  '<PHONE>', 'g'),
+                  '\b\d{9,}\b', '<ID>', 'g'))
                   AS n_red
               FROM planted)
             SELECT count(*) AS n_docs,
@@ -2058,6 +2097,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_docs_with_email,
                    CAST(sum(n_emails) AS BIGINT) AS total_emails,
                    CAST(sum(n_long_ids) AS BIGINT) AS total_long_ids,
+                   CAST(sum(n_phones) AS BIGINT) AS total_phones,
+                   CAST(sum(n_ips) AS BIGINT) AS total_ips,
+                   CAST(sum(n_ibans) AS BIGINT) AS total_ibans,
                    CAST(sum(n_red) AS BIGINT) AS sum_redacted_chars
             FROM r
         """,

@@ -27,7 +27,9 @@ Cormode-Muthukrishnan CMS; Dunning t-digest; Karnin-Lang-Liberty KLL).
 
 __version__ = "0.1.0"
 
-from cuckoofilter_spark.core.cuckoo import CuckooFilter, Status  # noqa: F401
+from cuckoofilter_spark.core.cuckoo import (  # noqa: F401
+    CuckooFilter, Status, suggest_capacity,
+)
 from cuckoofilter_spark.core.semisort import SemiSortCuckooFilter  # noqa: F401
 from cuckoofilter_spark.core.bloom import BlockedBloomFilter  # noqa: F401
 from cuckoofilter_spark.core.hll import HyperLogLog  # noqa: F401

@@ -70,6 +70,41 @@ _HARD_KICK_CAP = 5000    # never drop a tag silently: raise past this
 _MAGIC = b"CKF1"
 
 
+def suggest_capacity(
+    n_keys: int, *, num_shards: int = 1, target_load: float = 0.85,
+) -> int:
+    """The ``max_num_keys`` to pass to a (shard) filter constructor so
+    that ``n_keys`` total distinct keys — hash-split uniformly over
+    ``num_shards`` filters that will later MERGE — insert without
+    overflow and the merged table stays at ≤ ``target_load``.
+
+    Encodes the merged-load rule in ONE place instead of caller-side
+    ``n * 1.3`` math: a single filter inserts reliably to ~0.96 load
+    (the reference pre-doubles there, src/cuckoofilter.h:92-95), but a
+    MERGE re-inserts the smaller table's tags into whatever slots
+    remain, so the post-merge load must leave kick-out room — 0.85 is
+    the measured safe line (operators/build.py module notes). On top:
+    per-shard binomial imbalance (a uniform hash split is Binomial(n,
+    1/s); mean + 6σ covers it past the 1e-9 quantile) and a +64
+    additive floor for tiny builds. The constructor's power-of-two
+    rounding usually adds further slack; this bound is what makes
+    ``check_add_statuses``'s loud overflow failure RARE, not merely
+    loud."""
+    import math
+
+    if n_keys < 0:
+        raise ValueError(f"n_keys must be >= 0, got {n_keys}")
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    if not 0.0 < target_load <= 0.96:
+        raise ValueError(
+            f"target_load must be in (0, 0.96], got {target_load}"
+        )
+    mean = n_keys / num_shards
+    per_shard = mean + 6.0 * math.sqrt(mean) + 64.0
+    return max(64, int(math.ceil(per_shard / target_load)))
+
+
 class Status(enum.IntEnum):
     """Reference Status enum, same numeric values (src/cuckoofilter.h:15-20)."""
 

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cuckoofilter_spark.core.cuckoo import suggest_capacity as _suggest_capacity
 from cuckoofilter_spark.operators.build import build_sketch_shards
 from cuckoofilter_spark.operators.merge import merge_shards_to_blob
 from cuckoofilter_spark.operators.text import shingles_col
@@ -131,7 +132,7 @@ def eval_ngram_filter(
     shards = build_sketch_shards(
         ngrams.select(_ngram_hash_udf(seed)("ngram").alias("h")),
         "h", kind="cuckoo", lineage=False,
-        max_num_keys=max(int(capacity), 1024),
+        max_num_keys=max(_suggest_capacity(int(capacity)), 1024),
         bits_per_item=bits_per_item, seed=seed,
     )
     blob = merge_shards_to_blob(shards, dedup=True)

@@ -32,17 +32,21 @@ from cuckoofilter_spark.operators.probe import might_contain_udf
 def build_membership_blob(
     dim: DataFrame, dim_key: str, *, kind: str = "cuckoo",
     bits_per_item: int = 12, seed: int = 2014, capacity: int | None = None,
-    headroom: float = 1.30,
+    target_load: float = 0.85,
 ) -> bytes:
     """Build + merge a membership sketch over ``dim[dim_key]``.
 
-    ``capacity`` defaults to ``dim.count()`` scaled by ``headroom`` —
-    the merged-load guard (a merged filter above ~0.96 load can
-    overflow; reference pre-doubles at 0.96, src/cuckoofilter.h:92-95).
+    ``capacity`` defaults to ``dim.count()``; either way it is run
+    through ``suggest_capacity`` (core/cuckoo.py), the single home of
+    the merged-load guard: a merged filter above ~0.96 load can
+    overflow (reference pre-doubles at 0.96,
+    src/cuckoofilter.h:92-95), so size for ≤ ``target_load`` merged.
     """
+    from cuckoofilter_spark.core.cuckoo import suggest_capacity
+
     if capacity is None:
         capacity = dim.count()
-    capacity = max(64, int(capacity * headroom))
+    capacity = suggest_capacity(int(capacity), target_load=target_load)
     if kind in ("cuckoo", "semisort"):
         shards = build_sketch_shards(
             dim, dim_key, kind=kind, lineage=False,

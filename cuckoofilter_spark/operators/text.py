@@ -280,28 +280,60 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
 # lookaround.
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-LONG_ID_RE = r"\b\d{9,}\b"  # SSN/phone/account-shaped digit runs
+LONG_ID_RE = r"\b\d{9,}\b"  # SSN/account-shaped digit runs
+# International (+CC ...) and North-American ((xxx) / xxx-xxx-xxxx)
+# phone shapes. Heuristic by design: a scrubber prefers recall.
+PHONE_RE = (
+    r"\+\d{1,3}[ .-]?\d{2,4}[ .-]?\d{3,4}[ .-]?\d{2,4}\b"
+    r"|\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b"
+    r"|\b\d{3}[.-]\d{3}[.-]\d{4}\b"
+)
+# Dotted-quad IPv4. Deliberately no 0-255 octet range check (that
+# needs alternations whose leftmost-first behavior is harder to keep
+# identical across engines); version strings like 10.2.3.4 match —
+# acceptable for hygiene scrubbing, where recall beats precision.
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# IBAN: country code + 2 check digits + 11-30 alphanumerics (shortest
+# real IBAN is 15 chars). Redacted BEFORE the long-digit pass so its
+# digit tail can't be half-eaten by <ID>.
+IBAN_RE = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+
+# (name, pattern, redaction token) in REDACTION ORDER. Order is part
+# of the contract: emails first (their local parts may contain digit
+# runs), then the structured formats, the bare long-digit catch-all
+# last so it only sees digits no earlier class claimed. Counts are
+# computed per-class on the ORIGINAL text, so a +CC phone whose digit
+# run also matches LONG_ID counts under both classes — redaction
+# resolves the overlap by order, counting does not hide it.
+PII_CLASSES = (
+    ("emails", EMAIL_RE, "<EMAIL>"),
+    ("ibans", IBAN_RE, "<IBAN>"),
+    ("ips", IPV4_RE, "<IP>"),
+    ("phones", PHONE_RE, "<PHONE>"),
+    ("long_ids", LONG_ID_RE, "<ID>"),
+)
 
 
 def pii_counts(text: str | Column) -> dict[str, Column]:
-    """Per-document PII match counts (emails, long digit runs)."""
+    """Per-document PII match counts, one column per class
+    (``n_emails``, ``n_ibans``, ``n_ips``, ``n_phones``,
+    ``n_long_ids``), each evaluated on the original text."""
     c = F.col(text) if isinstance(text, str) else text
     return {
-        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)),
-        "n_long_ids": F.size(F.regexp_extract_all(c, F.lit(LONG_ID_RE), 0)),
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for name, pat, _ in PII_CLASSES
     }
 
 
-def redact_pii(
-    text: str | Column, *, email_token: str = "<EMAIL>",
-    id_token: str = "<ID>",
-) -> Column:
-    """Replace every PII match with a placeholder token. Pure Column
-    expression (JVM regex, whole-stage codegen) — the redaction pass
-    is a narrow projection at any corpus size."""
-    c = F.col(text) if isinstance(text, str) else text
-    out = F.regexp_replace(c, EMAIL_RE, email_token)
-    return F.regexp_replace(out, LONG_ID_RE, id_token)
+def redact_pii(text: str | Column) -> Column:
+    """Replace every PII match with its class placeholder token, in
+    ``PII_CLASSES`` order. Pure Column expression (JVM regex,
+    whole-stage codegen) — the redaction pass is a narrow projection
+    at any corpus size."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_CLASSES:
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 def with_pii_stats(df: DataFrame, text: str = "text") -> DataFrame:

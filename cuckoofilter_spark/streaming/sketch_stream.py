@@ -371,9 +371,14 @@ def run_streaming_dedup(
     from cuckoofilter_spark.operators.text import normalize_text
 
     shards_dir = os.path.join(out_dir, "_filter", "shards")
-    # per-shard capacity: keys hash-split uniformly over num_shards;
-    # 1.3x headroom absorbs binomial imbalance at small shard counts
-    per_shard_cap = max(4096, -(-capacity * 13 // (10 * num_shards)))
+    # per-shard capacity via the one sizing rule (core/cuckoo.py):
+    # binomial split imbalance + merged-load headroom, 4096 floor so
+    # early micro-batches never start in the overflow-prone regime
+    from cuckoofilter_spark.core.cuckoo import suggest_capacity
+
+    per_shard_cap = max(
+        4096, suggest_capacity(capacity, num_shards=num_shards)
+    )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

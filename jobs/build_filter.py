@@ -30,7 +30,9 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--fanout", type=int, default=16)
-    ap.add_argument("--headroom", type=float, default=1.3)
+    ap.add_argument("--headroom", type=float, default=None,
+                    help="legacy capacity multiplier; default is the "
+                         "suggest_capacity merged-load rule")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,7 +45,12 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("cf-build").getOrCreate()
     df = read_tokens(spark, args.input)
-    cap = int(args.capacity * args.headroom)
+    if args.headroom is not None:
+        cap = int(args.capacity * args.headroom)
+    else:
+        from cuckoofilter_spark.core.cuckoo import suggest_capacity
+
+        cap = suggest_capacity(args.capacity)
     params: dict = {"kind": args.kind, "seed": args.seed}
     if args.kind == "cuckoo":
         params |= {"max_num_keys": cap, "bits_per_item": args.bits}

@@ -149,6 +149,56 @@ def test_duplicate_adds_and_deletes():
     assert cf.contain(12345) == Status.NotFound
 
 
+# ------------------------------------------------------------------ sizing
+def test_suggest_capacity_sharded_build_and_merge():
+    """The one sizing rule (SURVEY §7 hard part c): shards sized by
+    suggest_capacity over a hash-uniform key split must insert with
+    all-Ok statuses, merge without overflow, and land the merged
+    filter at <= 0.96 load. Replaces caller-side `n * 1.3` math."""
+    from cuckoofilter_spark.core.cuckoo import suggest_capacity
+
+    n, s = 50_000, 8
+    keys = _keys(n)
+
+    # merge path: every shard carries the GLOBAL geometry
+    # (num_shards=1 — shards that will merge must share capacity)
+    cap = suggest_capacity(n)
+    parts = np.array_split(keys, s)
+    shards = []
+    for i, p in enumerate(parts):
+        cf = CuckooFilter(cap, 12, seed=77)
+        st = cf.add_many(p)
+        assert (st == 0).all(), f"shard {i} refused inserts"
+        shards.append(cf)
+    merged = shards[0]
+    for cf in shards[1:]:
+        merged.merge(cf)
+    assert merged.contains_many(keys).all()
+    assert merged.load_factor <= 0.96
+
+    # independent-shard path (streaming dedup state): each filter owns
+    # a hash-disjoint key range and is NEVER merged — num_shards sizes
+    # the per-shard capacity including binomial split imbalance
+    cap_s = suggest_capacity(n, num_shards=s)
+    assert n // s <= cap_s < cap
+    shard_of = keys % np.uint64(s)
+    for i in range(s):
+        cf = CuckooFilter(cap_s, 12, seed=5)
+        st = cf.add_many(keys[shard_of == i])
+        assert (st == 0).all(), f"independent shard {i} refused"
+        assert cf.load_factor <= 0.96
+
+    # floor + argument validation
+    assert suggest_capacity(0) >= 64
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        suggest_capacity(-1)
+    with _pt.raises(ValueError):
+        suggest_capacity(10, num_shards=0)
+    with _pt.raises(ValueError):
+        suggest_capacity(10, target_load=0.99)
+
+
 # ------------------------------------------------------------ victim cache
 def _fill_to_victim(seed=0):
     """Overfill a tiny filter until the victim cache engages."""

@@ -535,6 +535,38 @@ def test_pii_redaction_hand_cases(spark):
     assert (r[3].n_emails, r[3].n_long_ids) == (0, 0)
 
 
+def test_pii_phone_ip_iban_classes(spark):
+    """The structured PII classes: NANP + international phones,
+    dotted-quad IPs, IBANs — counts per class on the original text,
+    redaction in PII_CLASSES order (IBAN before the long-digit
+    catch-all, so its digit tail is never half-eaten by <ID>)."""
+    from cuckoofilter_spark.operators.text import with_pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "call 555-123-4567 or (212) 555-0143 today"),
+            (1, "intl +44 20 7946 0958 and +1 555 123 4567"),
+            (2, "server at 192.168.1.100 and 10.0.0.1 up"),
+            (3, "pay to DE44500105175407324931 ref GB82WEST12345698765432"),
+            (4, "v1.2.3 released"),  # short octets still dotted-quad? no: 3 groups only
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in with_pii_stats(df).collect()}
+    assert r[0].n_phones == 2
+    assert r[0].redacted_text == "call <PHONE> or <PHONE> today"
+    assert r[1].n_phones == 2
+    assert r[1].redacted_text == "intl <PHONE> and <PHONE>"
+    assert r[2].n_ips == 2
+    assert r[2].redacted_text == "server at <IP> and <IP> up"
+    assert r[3].n_ibans == 2
+    # order contract: IBAN token appears, never a partial <ID> bite
+    assert r[3].redacted_text == "pay to <IBAN> ref <IBAN>"
+    assert "<ID>" not in r[3].redacted_text
+    # three-part version string is NOT a dotted quad
+    assert r[4].n_ips == 0 and r[4].redacted_text == "v1.2.3 released"
+
+
 def test_null_semantics_across_pipeline_ops(spark):
     """NULL handling is SQL-standard null-propagation everywhere:
     null text -> null stats (never fabricated zeros), null sampling
