@@ -1239,6 +1239,94 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(clean.agg(F.count(F.lit(1)).alias("n_clean")))
 
 
+def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stateful streaming sketches
+    (streaming/sketch_stream.py streaming_windowed_sketch_by_key):
+    per-(event_type, 1-day event-time window) HLL over user_id with
+    watermark-driven finalization. Two availableNow runs: run 1 feeds
+    the real events plus a far-future sentinel that pushes the
+    watermark past every real window; run 2 delivers a later sentinel
+    whose batch fires the event-time timeouts, emitting exactly one
+    FINAL row per real (key, window). Each final's n_rows is exact and
+    its HLL readout must sit within bound of the window's true
+    distinct count (checked in Spark — deterministic, same blob math
+    as the batch path); the oracle recomputes windows/rows exactly."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_windowed_sketch_by_key,
+    )
+
+    events = (
+        _read(spark, sf_dir, "events")
+        .select(F.col("ts").cast("timestamp").alias("ts"),
+                F.col("event_type").cast("string").alias("k"),
+                F.col("user_id").alias("v"))
+    )
+    tmp = tempfile.mkdtemp(prefix="cfwin_")
+    src = os.path.join(tmp, "src")
+    res = os.path.join(tmp, "res")
+    schema = "ts timestamp, k string, v long"
+    sent1 = dt.datetime(2024, 6, 1)
+    sent2 = dt.datetime(2024, 8, 1)
+    events.unionByName(
+        spark.createDataFrame([(sent1, "zz_sentinel", 0)], schema)
+    ).repartition(4).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_windowed_sketch_by_key(
+            stream, "ts", "k", "v", window="1 day", watermark="1 hour",
+            kind="hll", emit_updates=False, p=14, seed=4,
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(
+                os.path.join(res, f"batch={bid}")
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(
+        [(sent2, "zz_sentinel", 0)], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    run()
+
+    finals = (
+        spark.read.parquet(os.path.join(res, "batch=*"))
+        .filter(F.col("final") & (F.col("key") != "zz_sentinel"))
+    )
+    exact = (
+        events.groupBy(
+            F.col("k").alias("key"),
+            F.window("ts", "1 day").getField("start").alias("window_start"),
+        )
+        .agg(F.countDistinct("v").alias("exact_distinct"))
+    )
+    joined = finals.join(exact, ["key", "window_start"], "left")
+    # p=14 HLL at window cardinalities sits in the near-exact sparse
+    # regime; 3% relative or ±2 absolute is deterministic-safe
+    ok = joined.withColumn(
+        "ok",
+        F.abs(F.col("readout") - F.col("exact_distinct"))
+        <= F.greatest(F.lit(2.0), F.col("exact_distinct") * 0.03),
+    )
+    return ok.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min(F.col("ok").cast("long")).cast("boolean").alias(
+            "all_within_bound"),
+    )
+
+
 def q_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus thinning: keep probability =
     quality_milli/1000 per document (clamped), decided by the same
@@ -1426,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_sample": q_bottomk_sample,
         "decontaminate_docs": q_decontaminate_docs,
         "streaming_decontam": q_streaming_decontam,
+        "streaming_windowed_hll_bound": q_streaming_windowed_hll,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
@@ -1811,6 +1900,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT l_orderkey) AS n_probed,
                    count(DISTINCT l_orderkey) AS n_hits
             FROM lineitem
+        """,
+        "streaming_windowed_hll_bound": """
+            WITH w AS (
+              SELECT event_type, date_trunc('day', ts) AS ws,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2)
+            SELECT count(*) AS n_windows,
+                   CAST(sum(cnt) AS BIGINT) AS total_rows,
+                   true AS all_within_bound
+            FROM w
         """,
         "streaming_dedup": r"""
             SELECT count(*) AS n_docs,

@@ -484,11 +484,60 @@ def lsh_params_for_recall(
     )
 
 
+def lsh_multiprobe_params_for_recall(
+    threshold: float, target_recall: float, n_probes: int, *,
+    max_replication: int = 256, max_bits: int = 24,
+) -> tuple[int, int]:
+    """(n_bits, n_tables) for the MULTI-PROBE pair join so a pair at
+    cosine ``threshold`` is found with probability ≥ ``target_recall``
+    within a total replication budget of ``max_replication`` rows per
+    point (base arm + probe arm = n_tables * (1 + n_probes)).
+
+    Model: per-bit collision p = 1 - acos(s)/π. A table catches the
+    pair if the codes match (p^b) or differ in EXACTLY one bit that
+    one endpoint's m = n_probes-1 flip set covers. The flip sets are
+    margin-ranked, but the model scores them as uniform m-of-b draws
+    from both sides — ρ = 1-(1-m/b)² — which UNDERSTATES recovery for
+    genuinely-near pairs (the mismatched hyperplane grazes the pair,
+    so it ranks early by margin); the solver is therefore conservative
+    and measured recall lands above target (tests/test_lsh_autosize).
+    Like the single-probe solver, picks the largest (most selective)
+    n_bits whose table count fits the budget."""
+    import math
+
+    if n_probes < 2:
+        raise ValueError("n_probes must be >= 2 for the multi-probe solver")
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1)")
+    if not (-1.0 < threshold < 1.0):
+        raise ValueError("cosine threshold must be in (-1, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    if p <= 0.0:
+        raise ValueError("threshold <= -1 has zero collision probability")
+    m = n_probes - 1
+    log_miss = math.log(1.0 - target_recall)
+    for n_bits in range(max_bits, 0, -1):
+        rho = 1.0 if m >= n_bits else 1.0 - (1.0 - m / n_bits) ** 2
+        q = (p ** n_bits
+             + n_bits * p ** (n_bits - 1) * (1.0 - p) * rho)
+        if q >= 1.0:
+            return n_bits, 1
+        n_tables = math.ceil(log_miss / math.log(1.0 - q))
+        if n_tables * (1 + n_probes) <= max_replication:
+            return n_bits, n_tables
+    raise ValueError(
+        f"no (n_bits<={max_bits}) fits replication budget "
+        f"{max_replication} at recall {target_recall}, cosine "
+        f"{threshold}, n_probes={n_probes} — raise max_replication or "
+        f"use the exact blocked path"
+    )
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9, dim: int, n_bits: int = 16, n_tables: int = 32,
     seed: int = 2014, target_recall: float | None = None,
-    max_tables: int = 256,
+    max_tables: int = 256, n_probes: int = 1,
 ) -> DataFrame:
     """SUBQUADRATIC near-dup pairs for HIGH thresholds: hyperplane-LSH
     bucket equi-join for candidates, exact cosine verification.
@@ -504,29 +553,78 @@ def lsh_near_dup_pairs(
     (candidates verify with the true cosine). Candidates stay
     near-linear when 2^n_bits ≫ corpus/bucket-occupancy; for
     thresholds near the bulk of the distribution use
-    ``cosine_near_dup_pairs_blocked``."""
+    ``cosine_near_dup_pairs_blocked``.
+
+    ``n_probes > 1`` turns on multi-probe (same 1-bit-flip scheme as
+    the ANN path, ``lsh_multiprobe_bucket_udf``), ASYMMETRICALLY: one
+    join arm keeps base buckets (n_tables rows/point — the bucket-
+    occupancy driver), the other also emits each point's n_probes-1
+    lowest-margin flip buckets per table. A pair is caught when either
+    endpoint probes into the other's base bucket, so a one-bit code
+    miss is recovered when the offending hyperplane grazes EITHER
+    point — which for a genuinely-near pair is the likely geometry.
+    That lets n_tables shrink at fixed measured recall: total
+    replication n_tables*(1+n_probes) rows/point vs 2*n_tables(solver)
+    for single-probe, a net cut once the solver's table count is >
+    ~(1+n_probes)/2 times the multi-probe one (measured in
+    tests/test_lsh_autosize.py). With ``target_recall`` AND
+    ``n_probes>1``, sizing goes through the multi-probe-aware solver
+    (``lsh_multiprobe_params_for_recall``, budget = ``max_tables``
+    rows/point TOTAL across both arms) — it picks fewer bits/tables
+    because 1-bit flips recover most single-bit code misses."""
     if target_recall is not None:
-        n_bits, n_tables = lsh_params_for_recall(
-            threshold, target_recall, max_tables=max_tables
-        )
+        if n_probes > 1:
+            n_bits, n_tables = lsh_multiprobe_params_for_recall(
+                threshold, target_recall, n_probes,
+                max_replication=max_tables,
+            )
+        else:
+            n_bits, n_tables = lsh_params_for_recall(
+                threshold, target_recall, max_tables=max_tables
+            )
     bucketize = lsh_bucket_udf(dim, n_bits, n_tables, seed)
-    tagged = corpus.select(
+    p_bucketize = (
+        lsh_multiprobe_bucket_udf(dim, n_bits, n_tables, seed, n_probes)
+        if n_probes > 1 else bucketize
+    )
+    base = corpus.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"),
         F.explode(bucketize(vec_col)).alias("bucket"),
     ).withColumn("nrm", _norm("v"))
-    left = tagged.select(
+    probed = base if n_probes == 1 else corpus.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"),
+        F.explode(p_bucketize(vec_col)).alias("bucket"),
+    ).withColumn("nrm", _norm("v"))
+    left = base.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "bucket",
     )
-    right = tagged.select(
+    right = probed.select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"), "bucket",
     )
-    cand = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    joined = left.join(right, "bucket").filter(F.col("id_a") != F.col("id_b"))
+    if n_probes > 1:
+        # base×probe sees each unordered pair from both directions —
+        # canonicalize before dedup so (a,b)/(b,a) collapse
+        joined = joined.select(
+            F.least("id_a", "id_b").alias("id_a_c"),
+            F.greatest("id_a", "id_b").alias("id_b_c"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("va"))
+             .otherwise(F.col("vb")).alias("va_c"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("vb"))
+             .otherwise(F.col("va")).alias("vb_c"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("na"))
+             .otherwise(F.col("nb")).alias("na_c"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("nb"))
+             .otherwise(F.col("na")).alias("nb_c"),
+        ).withColumnsRenamed({
+            "id_a_c": "id_a", "id_b_c": "id_b", "va_c": "va",
+            "vb_c": "vb", "na_c": "na", "nb_c": "nb",
+        })
+    else:
+        joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    cand = joined.dropDuplicates(["id_a", "id_b"])
     return (
         cand.withColumn("sim", _cosine("va", "vb", "na", "nb"))
         .filter(F.col("sim") >= threshold)

@@ -118,3 +118,64 @@ def test_multiprobe_lifts_recall_at_fixed_tables(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         lsh_ann_topk(emb, qs, dim=dim, n_bits=8, n_tables=4, n_probes=10)
+
+
+def test_multiprobe_near_dup_pairs_halves_replication(spark):
+    """Multi-probe on the PAIR path: with the solver's single-probe
+    (n_bits, n_tables) as the baseline, the asymmetric multi-probe
+    join must reach equal-or-better planted-pair recall from <= half
+    the total corpus replication (rows emitted per point across both
+    join arms: 2*T_solver single-probe vs T_mp*(1+n_probes))."""
+    threshold, target, dim = 0.9, 0.9, 32
+    rows = _planted_corpus(threshold, n_base=80, n_pairs=50, dim=dim,
+                           seed=900)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs_blocked(
+            emb, threshold=threshold, n_blocks=4
+        ).collect()
+    }
+    assert len(exact) >= 50
+
+    n_bits, t_solver = lsh_params_for_recall(threshold, target)
+
+    def recall(n_tables, n_probes):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_near_dup_pairs(
+                emb, threshold=threshold, dim=dim, seed=7,
+                n_bits=n_bits, n_tables=n_tables, n_probes=n_probes,
+            ).collect()
+        }
+        assert got <= exact  # precision stays exact
+        return len(got & exact) / len(exact)
+
+    r_single = recall(t_solver, 1)
+    n_probes = 4
+
+    # the multi-probe solver must fit the HALVED budget: total
+    # replication (both arms) <= t_solver, vs single-probe's 2*t_solver
+    from cuckoofilter_spark.operators.similarity import (
+        lsh_multiprobe_params_for_recall,
+    )
+
+    b_mp, t_mp = lsh_multiprobe_params_for_recall(
+        threshold, target, n_probes, max_replication=t_solver
+    )
+    assert t_mp * (1 + n_probes) <= t_solver
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            emb, threshold=threshold, dim=dim, seed=7,
+            target_recall=target, max_tables=t_solver, n_probes=n_probes,
+        ).collect()
+    }
+    assert got <= exact
+    r_multi = len(got & exact) / len(exact)
+    assert r_multi >= target
+    assert r_multi >= r_single - 0.02, (
+        f"multi-probe recall {r_multi:.3f} fell more than noise below "
+        f"single-probe {r_single:.3f} at half the replication"
+    )
