@@ -74,37 +74,48 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def timed2(fn):
-        """min-of-2 wall time for a Spark action (this shared VM shows
-        >2x run-to-run CPU noise; the first run also warms caches).
-        Returns (best_seconds, last_result)."""
-        best, out = float("inf"), None
-        for _ in range(2):
+    spread: dict[str, dict] = {}
+
+    def timed2(name, fn, n=3):
+        """Best-of-``n`` wall time for a Spark action (this shared VM
+        shows >2x run-to-run CPU noise; the first run also warms
+        caches). Returns (best_seconds, last_result) and, when
+        ``name`` is given, records the full sample spread under
+        extra["spread"][name] — so a cross-round delta in the headline
+        (min) number can be judged against the same-process noise
+        floor instead of a hand-waved quiet-box caveat."""
+        samples, out = [], None
+        for _ in range(n):
             t0 = time.time()
             out = fn()
-            best = min(best, time.time() - t0)
-        return best, out
+            samples.append(time.time() - t0)
+        ss = sorted(samples)
+        spread[name] = {
+            "min": round(ss[0], 3),
+            "med": round(ss[len(ss) // 2], 3),
+            "max": round(ss[-1], 3),
+            "n": n,
+        }
+        return min(samples), out
 
     # -- q1: bulk distributed cuckoo build over the token stream -------
-    # min of 2 runs: the first also warms the OS page cache for the
-    # parquet input; this sandbox shows >2x run-to-run CPU noise.
-    times = []
-    for _ in range(2):
-        t0 = time.time()
+    # best-of-n (first run also warms the OS page cache for the
+    # parquet input; this sandbox shows >2x run-to-run CPU noise)
+    def _q1():
         shards = build_sketch_shards(
             tokens, "tokens", kind="cuckoo", lineage=False,
             max_num_keys=1 << 21, bits_per_item=12, seed=7,
             strategy="shuffle_distinct",
         )
-        blob = merge_shards_to_blob(shards, dedup=True, fanout=16)
-        times.append(time.time() - t0)
-    queries["build_cuckoo"] = min(times)
+        return merge_shards_to_blob(shards, dedup=True, fanout=16)
+
+    queries["build_cuckoo"], blob = timed2("build_cuckoo", _q1)
     extra["build_tokens_per_sec"] = n_tokens / queries["build_cuckoo"]
     extra["n_tokens"] = int(n_tokens)
 
     # -- q2: probe 2M keys (~50% hit rate vs the 2^20 vocab) -----------
     probe = might_contain_udf(spark, blob)
-    queries["probe_2m"], n_hits = timed2(lambda: (
+    queries["probe_2m"], n_hits = timed2("probe_2m", lambda: (
         spark.range(0, 2 << 20)
         .select(F.col("id").alias("tok"))
         .select(probe("tok").alias("hit"))
@@ -118,7 +129,7 @@ def main() -> None:
     # (scheduling + broadcast dominate), so it understates sustained
     # probe throughput by ~10x; this row shows both regimes in the
     # headline table (BENCH/scaling.json measures 25.5 M/s at 128M).
-    queries["probe_32m"], n_hits32 = timed2(lambda: (
+    queries["probe_32m"], n_hits32 = timed2("probe_32m", lambda: (
         spark.range(0, 32 << 20)
         .select(F.col("id").alias("tok"))
         .select(probe("tok").alias("hit"))
@@ -129,40 +140,36 @@ def main() -> None:
     extra["probe32_hits"] = int(n_hits32)
 
     # -- q2b: semi-sorted (f=13, 12 bits/tag) build — ss-CF baseline row
-    times = []
-    for _ in range(2):  # min-of-2 vs VM noise, like q1
-        t0 = time.time()
+    def _q2b():
         ss_shards = build_sketch_shards(
             tokens, "tokens", kind="semisort", lineage=False,
             max_num_keys=1 << 21, bits_per_item=13, seed=7,
             strategy="shuffle_distinct",
         )
-        ss_blob = merge_shards_to_blob(ss_shards, dedup=True, fanout=16)
-        times.append(time.time() - t0)
-    queries["build_semisort"] = min(times)
+        return merge_shards_to_blob(ss_shards, dedup=True, fanout=16)
+
+    queries["build_semisort"], ss_blob = timed2("build_semisort", _q2b)
     extra["semisort_blob_bytes"] = len(ss_blob)
 
     # -- q3: bloom build over the same stream ---------------------------
-    times = []
-    for _ in range(2):  # min-of-2 vs VM noise, like q1
-        t0 = time.time()
+    def _q3():
         bshards = build_sketch_shards(
             tokens, "tokens", kind="bloom", lineage=False,
             log_num_buckets=16, seed=7,
         )
-        merge_shards_to_blob(bshards, dedup=False, fanout=16)
-        times.append(time.time() - t0)
-    queries["build_bloom"] = min(times)
+        return merge_shards_to_blob(bshards, dedup=False, fanout=16)
+
+    queries["build_bloom"], _ = timed2("build_bloom", _q3)
 
     # -- q4: HLL distinct tokens ----------------------------------------
-    queries["hll_distinct"], extra["hll_estimate"] = timed2(
+    queries["hll_distinct"], extra["hll_estimate"] = timed2("hll_distinct",
         lambda: approx_distinct(tokens, "tokens", p=14, seed=7)
     )
 
     # -- q4b: KMV distinct (theta-family; set-algebra-capable) ----------
     from cuckoofilter_spark.operators.approx import kmv_sketch
 
-    queries["kmv_distinct"], extra["kmv_estimate"] = timed2(
+    queries["kmv_distinct"], extra["kmv_estimate"] = timed2("kmv_distinct",
         lambda: float(kmv_sketch(tokens, "tokens", k=4096, seed=7)
                       .estimate())
     )
@@ -172,10 +179,10 @@ def main() -> None:
         sk = cms_sketch(tokens, "tokens", eps=0.0001, delta=0.01, seed=7)
         return int(sk.query_many(np.arange(64, dtype=np.uint64)).max())
 
-    queries["cms_build"], extra["cms_hot_token_max"] = timed2(_q5)
+    queries["cms_build"], extra["cms_hot_token_max"] = timed2("cms_build", _q5)
 
     # -- q6: t-digest quantiles of n_tok ---------------------------------
-    queries["tdigest_quantiles"], qs = timed2(lambda: approx_quantiles(
+    queries["tdigest_quantiles"], qs = timed2("tdigest_quantiles", lambda: approx_quantiles(
         tokens, "n_tok", [0.01, 0.5, 0.99], kind="tdigest", seed=7
     ))
     extra["n_tok_p50_est"] = float(qs[1])
@@ -183,7 +190,7 @@ def main() -> None:
     # -- q7: cuckoo-pruned semi-join on the driver testdata ---------------
     lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
-    queries["cf_semijoin"], cnt = timed2(lambda: filter_semi_join(
+    queries["cf_semijoin"], cnt = timed2("cf_semijoin", lambda: filter_semi_join(
         lineitem, "l_orderkey",
         orders.filter(F.col("o_totalprice") > 150000), "o_orderkey",
         kind="cuckoo", exact=True,
@@ -194,7 +201,7 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     from cuckoofilter_spark.operators.dedup import near_dup_pairs_minhash
 
-    queries["minhash_dedup"], extra["minhash_pairs"] = timed2(
+    queries["minhash_dedup"], extra["minhash_pairs"] = timed2("minhash_dedup",
         lambda: near_dup_pairs_minhash(
             docs, "doc_id", "text", threshold=0.8
         ).count()
@@ -202,7 +209,7 @@ def main() -> None:
 
     from cuckoofilter_spark.operators.text import with_text_stats
 
-    queries["text_stats"], _ = timed2(
+    queries["text_stats"], _ = timed2("text_stats",
         lambda: with_text_stats(docs).agg(F.sum("quality_milli")).collect()
     )
 
@@ -212,7 +219,7 @@ def main() -> None:
     # verify join on candidates only
     from cuckoofilter_spark.operators.decontam import decontaminate
 
-    queries["decontam"], extra["decontam_docs"] = timed2(
+    queries["decontam"], extra["decontam_docs"] = timed2("decontam",
         lambda: decontaminate(
             docs.filter(F.col("doc_id") % 97 != 0),
             docs.filter(F.col("doc_id") % 97 == 0),
@@ -225,7 +232,7 @@ def main() -> None:
     )
     from cuckoofilter_spark.operators.text import token_count_ws
 
-    queries["pack_docs"], extra["pack_bins"] = timed2(
+    queries["pack_docs"], extra["pack_bins"] = timed2("pack_docs",
         lambda: int(
             packing_stats(
                 pack_documents(
@@ -240,7 +247,7 @@ def main() -> None:
     from cuckoofilter_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    queries["cosine_topk"], extra["cosine_rows"] = timed2(
+    queries["cosine_topk"], extra["cosine_rows"] = timed2("cosine_topk",
         lambda: cosine_topk(
             emb, emb.filter(F.col("vec_id") < 20), k=10
         ).count()
@@ -249,7 +256,7 @@ def main() -> None:
     # -- q7e: simhash near-dup pairs (banded, skew-tiled) -----------------
     from cuckoofilter_spark.operators.dedup import near_dup_pairs_simhash
 
-    queries["simhash_dedup"], extra["simhash_pairs"] = timed2(
+    queries["simhash_dedup"], extra["simhash_pairs"] = timed2("simhash_dedup",
         lambda: near_dup_pairs_simhash(
             docs, "doc_id", "text", max_hamming=3
         ).count()
@@ -258,7 +265,7 @@ def main() -> None:
     # -- q7f: IVF approximate top-k over embeddings ------------------------
     from cuckoofilter_spark.operators.similarity import ivf_topk
 
-    queries["ivf_topk"], extra["ivf_rows"] = timed2(lambda: ivf_topk(
+    queries["ivf_topk"], extra["ivf_rows"] = timed2("ivf_topk", lambda: ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=10, n_cells=64, nprobe=8
     ).count())
 
@@ -266,7 +273,7 @@ def main() -> None:
     from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-    queries["hll_by_group"], grows = timed2(lambda: grouped_sketch_agg(
+    queries["hll_by_group"], grows = timed2("hll_by_group", lambda: grouped_sketch_agg(
         events, "event_type", "user_id", kind="hll", p=14, seed=7
     ).collect())
     extra["hll_groups"] = len(grows)
@@ -353,6 +360,7 @@ def main() -> None:
         except Exception:
             pass
 
+    extra["spread"] = spread
     total = sum(queries.values())
     print(json.dumps({
         "metric": "sketch_bench_total",
