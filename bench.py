@@ -25,6 +25,10 @@ import numpy as np
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# samples per row (spread discipline). 1 for expensive one-off scale
+# steps (sf1/sf10) where the interesting signal is the plan shape,
+# not the noise band.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
 N_DOCS = {0.001: 1_000, 0.01: 10_000, 0.1: 100_000}
@@ -76,7 +80,7 @@ def main() -> None:
 
     spread: dict[str, dict] = {}
 
-    def timed2(name, fn, n=3):
+    def timed2(name, fn, n=RUNS):
         """Best-of-``n`` wall time for a Spark action (this shared VM
         shows >2x run-to-run CPU noise; the first run also warms
         caches). Returns (best_seconds, last_result) and, when

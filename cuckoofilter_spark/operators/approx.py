@@ -28,28 +28,69 @@ def _merged_sketch(shards: DataFrame, tree: bool, dedup: bool = False):
     return collect_merged(shards, dedup=dedup)
 
 
+def _distinct_strategy(df: DataFrame, column: str, strategy: str) -> str:
+    """Resolve strategy='auto' for DISTINCT-INSENSITIVE sketches (HLL,
+    KMV: duplicate inserts cannot change the state). For an array
+    column (token streams: ~10^3 occurrences per distinct key) the
+    'shuffle_distinct' plan lets Catalyst's map-side partial distinct
+    collapse the stream JVM-side, so Arrow ships ~cardinality keys
+    instead of every occurrence — at the 10^9-token scale step that is
+    the difference between a 23 GB and an 8 MB python-boundary
+    transfer. Scalar columns keep the narrow zero-shuffle build: their
+    Arrow volume equals the shuffle volume, so the extra exchange buys
+    nothing."""
+    if strategy != "auto":
+        return strategy
+    from pyspark.sql.types import ArrayType
+
+    return ("shuffle_distinct"
+            if isinstance(df.schema[column].dataType, ArrayType)
+            else "local")
+
+
 def hll_sketch(df: DataFrame, column: str, p: int = 14, seed: int = 2014,
-               tree: bool = False):
-    """Merged HyperLogLog over ``column`` (scalar int or array<int>)."""
+               tree: bool = False, strategy: str = "auto"):
+    """Merged HyperLogLog over ``column`` (scalar int or array<int>).
+
+    ``strategy='auto'`` picks the JVM-side pre-distinct plan for array
+    columns (``_distinct_strategy``) — HLL is distinct-insensitive, so
+    the registers are identical either way and only the data movement
+    changes."""
     shards = build_sketch_shards(
-        df, column, kind="hll", distinct=False, lineage=False, p=p, seed=seed
+        df, column, kind="hll", distinct=False, lineage=False,
+        strategy=_distinct_strategy(df, column, strategy), p=p, seed=seed,
     )
     return _merged_sketch(shards, tree)
 
 
 def approx_distinct(df: DataFrame, column: str, p: int = 14,
-                    seed: int = 2014) -> float:
+                    seed: int = 2014, strategy: str = "auto") -> float:
     """HLL estimate of ``count(distinct column)``; std err ≈ 1.04/√2^p."""
-    return float(hll_sketch(df, column, p=p, seed=seed).estimate())
+    return float(
+        hll_sketch(df, column, p=p, seed=seed, strategy=strategy).estimate()
+    )
 
 
 def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
-               delta: float = 0.01, seed: int = 2014, tree: bool = False):
+               delta: float = 0.01, seed: int = 2014, tree: bool = False,
+               strategy: str = "auto"):
     """Merged count-min over ``column``; point estimates upper-bound the
-    true frequency, overshoot ≤ eps·N with prob ≥ 1-delta."""
+    true frequency, overshoot ≤ eps·N with prob ≥ 1-delta.
+
+    ``strategy='auto'`` picks ``shuffle_count`` for array columns —
+    Catalyst's map-side partial COUNT collapses the token stream
+    JVM-side and the python boundary carries exact (key, count) pairs
+    at ~cardinality rows; counters are identical to the per-occurrence
+    build, only the data movement changes."""
+    if strategy == "auto":
+        from pyspark.sql.types import ArrayType
+
+        strategy = ("shuffle_count"
+                    if isinstance(df.schema[column].dataType, ArrayType)
+                    else "local")
     shards = build_sketch_shards(
         df, column, kind="cms", distinct=False, weight_by_count=True,
-        lineage=False, eps=eps, delta=delta, seed=seed,
+        lineage=False, strategy=strategy, eps=eps, delta=delta, seed=seed,
     )
     return _merged_sketch(shards, tree)
 
@@ -169,12 +210,16 @@ def approx_overlap(
 
 
 def kmv_sketch(df: DataFrame, column: str, k: int = 4096,
-               seed: int = 2014, tree: bool = False):
+               seed: int = 2014, tree: bool = False,
+               strategy: str = "auto"):
     """Merged KMV (bottom-k / theta family) distinct sketch over
     ``column`` — same distributed partial-build + merge shape as the
-    other companions; RSE ≈ 1/sqrt(k-2)."""
+    other companions; RSE ≈ 1/sqrt(k-2). Distinct-insensitive, so
+    ``strategy='auto'`` applies the same array-column pre-distinct
+    plan as ``hll_sketch``."""
     shards = build_sketch_shards(
-        df, column, kind="kmv", lineage=False, k=k, seed=seed,
+        df, column, kind="kmv", lineage=False,
+        strategy=_distinct_strategy(df, column, strategy), k=k, seed=seed,
     )
     return _merged_sketch(shards, tree)
 

@@ -223,9 +223,37 @@ def build_sketch_shards(
     """
     cls = SKETCH_KINDS[kind]
     value_based = kind in ("tdigest", "kll")
-    if strategy not in ("local", "shuffle_distinct"):
+    if strategy not in ("local", "shuffle_distinct", "shuffle_count"):
         raise ValueError(f"unknown build strategy {strategy!r}")
-    if strategy == "shuffle_distinct":
+    if strategy == "shuffle_count":
+        # Frequency-sketch analog of shuffle_distinct: Catalyst's
+        # map-side partial COUNT collapses the token stream JVM-side,
+        # so the python boundary carries (key, count) pairs at
+        # ~cardinality rows instead of every occurrence — same 23 GB →
+        # 16 MB transfer collapse, with the exact per-key totals a
+        # weighted CMS insert needs.
+        if value_based or not weight_by_count:
+            raise ValueError(
+                "shuffle_count requires a weight_by_count frequency "
+                "sketch (cms)"
+            )
+        lineage = False
+        src = df.select(F.col(column).alias("__v"))
+        if isinstance(src.schema["__v"].dataType, _ARRAY_TYPES):
+            src = src.select(F.explode("__v").alias("__v"))
+        if isinstance(src.schema["__v"].dataType, StringType):
+            src = src.select(string_key_expr("__v").alias("__v"))
+        n_parts = shuffle_partitions or df.sparkSession.sparkContext \
+            .defaultParallelism
+        # groupBy carries its own ENSURE_REQUIREMENTS exchange; the
+        # explicit user-numbered repartition on a DIFFERENT expression
+        # (shard hash) dodges the same two AQE traps as
+        # shuffle_distinct below
+        projected = (
+            src.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+            .repartition(n_parts, shard_key_expr("__v"))
+        )
+    elif strategy == "shuffle_distinct":
         if value_based or weight_by_count:
             raise ValueError(
                 "shuffle_distinct is a membership-build strategy"
@@ -278,7 +306,7 @@ def build_sketch_shards(
     # (delete_from_shards) can validate routing assumptions; num_shards
     # is the shuffle partition count for shuffle_distinct (-1 = n/a)
     n_shards_meta = -1
-    if strategy == "shuffle_distinct":
+    if strategy in ("shuffle_distinct", "shuffle_count"):
         n_shards_meta = int(
             shuffle_partitions
             or df.sparkSession.sparkContext.defaultParallelism
@@ -288,6 +316,7 @@ def build_sketch_shards(
         sk = cls(**params)
         files: set = set()
         pieces: list[np.ndarray] = []
+        cnt_pieces: list[np.ndarray] = []
         for b in batches:
             col = b.column(0)
             if lineage and b.num_columns > 1:
@@ -300,11 +329,21 @@ def build_sketch_shards(
                 keys = _to_uint64(col)
                 if len(keys):
                     pieces.append(keys)
+                    if strategy == "shuffle_count":
+                        # pre-aggregated (key, count) pairs from the
+                        # JVM groupBy — keys are globally disjoint per
+                        # reducer, no local re-unique needed
+                        cnt_pieces.append(
+                            b.column(1).to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                        )
         n_in = 0
         if not value_based and pieces:
             keys = np.concatenate(pieces)
             n_in = len(keys)
-            if weight_by_count:
+            if strategy == "shuffle_count":
+                sk.add_many(keys, np.concatenate(cnt_pieces))
+            elif weight_by_count:
                 uniq, counts = np.unique(keys, return_counts=True)
                 sk.add_many(uniq, counts)
             else:

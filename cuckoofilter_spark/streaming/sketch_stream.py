@@ -557,15 +557,21 @@ def run_streaming_decontam(
 
 def streaming_windowed_sketch_by_key(
     stream_df: DataFrame, ts_col: str, key_col: str, value_col: str, *,
-    window: str = "1 hour", watermark: str = "1 hour",
+    window: str = "1 hour", slide: str | None = None,
+    watermark: str = "1 hour",
     kind: str = "hll", emit_updates: bool = True, **params,
 ) -> DataFrame:
     """Per-(key, event-time-window) sketch maintenance with watermark
     eviction — the full custom windowed-aggregate pattern the built-in
     windowed aggs implement internally, here for ANY registry sketch:
 
-    - rows are bucketed into tumbling windows of ``window`` via the
-      event-time column (late rows land in their ORIGINAL window);
+    - rows are bucketed into windows of ``window`` via the event-time
+      column (late rows land in their ORIGINAL window). ``slide``
+      (default: tumbling, slide = window) makes the windows SLIDING:
+      the projection-side ``F.window`` expands each row into its
+      window/slide overlapping windows, so one event updates several
+      (key, window_start) states — each still finalizes independently
+      when the watermark passes ITS close;
     - state = one sketch blob per (key, window_start), updated each
       trigger, emitted as a running readout (``emit_updates``);
     - the watermark drives FINALIZATION: each group's state carries an
@@ -666,7 +672,10 @@ def streaming_windowed_sketch_by_key(
         stream_df
         .withColumn("_ts", F.col(ts_col).cast("timestamp"))
         .withWatermark("_ts", watermark)
-        .withColumn("_w", F.window("_ts", window).getField("start"))
+        .withColumn(
+            "_w",
+            F.window("_ts", window, slide or window).getField("start"),
+        )
         # NOTE: `_ts` must survive this projection — it carries the
         # watermark; dropping it makes the event-time timeout illegal
         .select(

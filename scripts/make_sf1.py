@@ -16,8 +16,12 @@ The tokens table used by the build/probe benches is already synthetic
 and scales natively (bench.py sizes it from the sf in the dir name:
 ``sf1`` -> 10^6 docs), so it is NOT derived here.
 
-Usage:  python scripts/make_sf1.py  [src_sf_dir]  [out_dir]
+Usage:  python scripts/make_sf1.py  [src_sf_dir]  [out_dir]  [mult]
 then:   SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
+``mult`` (default 10) generalizes the step: 100 from sf0.1 gives an
+sf10 input (the round-4 decade, VERDICT r3 item 9) with the same
+id-offset/text-suffix discipline — one replication pass, no external
+data.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MULT = 10
+MULT = 10   # default; argv[3] overrides
 OFF = 10**12
 
 
@@ -41,6 +45,7 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".bench", "sf1",
     )
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else MULT
     spark = get_spark(app="make-sf1", cores=16)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -58,7 +63,7 @@ def main() -> None:
             continue
         base = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
         parts = []
-        for k in range(MULT):
+        for k in range(mult):
             rep = base
             for c in id_cols:
                 rep = rep.withColumn(c, F.col(c) + F.lit(k * OFF))
@@ -71,7 +76,7 @@ def main() -> None:
         for p in parts[1:]:
             df = df.unionByName(p)
         df.repartition(32).write.mode("overwrite").parquet(dst)
-        print(f"wrote {table} x{MULT}")
+        print(f"wrote {table} x{mult}")
     spark.stop()
     print(out)
 

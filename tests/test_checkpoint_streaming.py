@@ -571,6 +571,70 @@ def test_streaming_dedup_compaction_crash_retry(spark, tmp_path):
     shutil.rmtree(str(src), ignore_errors=True)
 
 
+def test_streaming_windowed_sketch_sliding(spark, tmp_path):
+    """Sliding windows on the stateful sketch operator: one event
+    updates window/slide overlapping (key, window_start) states; each
+    finalizes independently with the counts of exactly the events its
+    span covers."""
+    import datetime as dt
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_windowed_sketch_by_key,
+    )
+
+    src = tmp_path / "slsrc"
+    src.mkdir()
+    res = tmp_path / "slres"
+    schema = "ts timestamp, k string, v long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = streaming_windowed_sketch_by_key(
+            stream, "ts", "k", "v", window="2 hours", slide="1 hour",
+            watermark="1 hour", kind="hll", emit_updates=False,
+            p=14, seed=4,
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(str(res / f"batch={bid}"))
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "slck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def ts(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm, 0)
+
+    spark.createDataFrame(
+        [(ts(10, 5), "A", 1), (ts(10, 40), "A", 2), (ts(11, 30), "A", 3),
+         (ts(15, 0), "C", 99)],  # watermark -> 14:00, past all A windows
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    spark.createDataFrame(
+        [(ts(16, 0), "D", 1)], schema  # trigger to fire A's timeouts
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+
+    finals = {}
+    for d in sorted(os.listdir(res)):
+        for r in spark.read.parquet(str(res / d)).collect():
+            if r["key"] == "A" and r["final"]:
+                assert r["window_start"] not in finals, "double final"
+                finals[r["window_start"]] = r
+    # 2h windows sliding by 1h: starts 09,10,11 cover the three events
+    assert set(finals) == {ts(9, 0), ts(10, 0), ts(11, 0)}
+    assert finals[ts(9, 0)]["n_rows"] == 2      # 10:05, 10:40
+    assert finals[ts(10, 0)]["n_rows"] == 3     # all three
+    assert finals[ts(11, 0)]["n_rows"] == 1     # 11:30
+    assert round(finals[ts(9, 0)]["readout"]) == 2
+    assert round(finals[ts(10, 0)]["readout"]) == 3
+    assert round(finals[ts(11, 0)]["readout"]) == 1
+
+
 def test_streaming_sliding_window_drops_late_data(spark, tmp_path):
     """Sliding-window agg (2h window, 1h slide) with a 1h watermark:
     an event arriving AFTER the watermark has passed its window must

@@ -350,6 +350,38 @@ def test_shuffle_distinct_strategy(spark, tokens_df):
     assert abs(fa - fb) < 5e-3
 
 
+def test_shuffle_count_and_distinct_strategies_bit_identical(spark, tokens_df):
+    """The JVM pre-aggregation plans must be STATE-identical to the
+    per-occurrence local builds, not just estimate-close: CMS counters
+    under shuffle_count (groupBy count → weighted insert) and HLL
+    registers / KMV values under shuffle_distinct equal the local
+    strategy's bit for bit."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.operators.approx import (
+        cms_sketch, hll_sketch, kmv_sketch,
+    )
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+
+    c_lo = cms_sketch(tokens_df, "tokens", eps=0.001, seed=7,
+                      strategy="local")
+    c_sc = cms_sketch(tokens_df, "tokens", eps=0.001, seed=7)  # auto
+    assert np.array_equal(c_lo.counts, c_sc.counts)
+
+    h_lo = hll_sketch(tokens_df, "tokens", p=12, seed=7, strategy="local")
+    h_sd = hll_sketch(tokens_df, "tokens", p=12, seed=7)  # auto
+    assert np.array_equal(h_lo.registers, h_sd.registers)
+
+    k_lo = kmv_sketch(tokens_df, "tokens", k=512, seed=7, strategy="local")
+    k_sd = kmv_sketch(tokens_df, "tokens", k=512, seed=7)  # auto
+    assert np.array_equal(k_lo.values, k_sd.values)
+
+    # guard: shuffle_count is a frequency-build strategy only
+    with _pt.raises(ValueError, match="shuffle_count"):
+        build_sketch_shards(tokens_df, "tokens", kind="hll",
+                            strategy="shuffle_count", p=12, seed=7)
+
+
 def test_distributed_delete_routing(spark):
     """Distributed delete over hash-disjoint (shuffle_distinct) shards:
     deleted keys drop out, survivors keep zero false negatives."""
