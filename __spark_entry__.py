@@ -1327,6 +1327,117 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_session_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window stateful sketches (streaming/sketch_stream.py
+    streaming_session_sketch_by_key): per-(event_type, 5-minute-gap
+    session) HLL over user_id. Two availableNow runs with far-future
+    sentinels (same finalization pattern as the windowed query); the
+    oracle recomputes the session partition exactly with the standard
+    lag/cumsum idiom, so session count and per-session row totals
+    must match; per-session HLL readouts are bound-checked in Spark
+    against the same lag/cumsum truth."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_session_sketch_by_key,
+    )
+
+    events = (
+        _read(spark, sf_dir, "events")
+        .select(F.col("ts").cast("timestamp").alias("ts"),
+                F.col("event_type").cast("string").alias("k"),
+                F.col("user_id").alias("v"))
+    )
+    tmp = tempfile.mkdtemp(prefix="cfses_")
+    src = os.path.join(tmp, "src")
+    res = os.path.join(tmp, "res")
+    schema = "ts timestamp, k string, v long"
+    sent1 = dt.datetime(2024, 6, 1)
+    sent2 = dt.datetime(2024, 8, 1)
+    events.unionByName(
+        spark.createDataFrame([(sent1, "zz_sentinel", 0)], schema)
+    ).repartition(4).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_session_sketch_by_key(
+            stream, "ts", "k", "v", gap="5 minutes", watermark="1 hour",
+            kind="hll", p=14, seed=4,
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(
+                os.path.join(res, f"batch={bid}")
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(
+        [(sent2, "zz_sentinel", 0)], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    run()
+
+    finals = (
+        spark.read.parquet(os.path.join(res, "batch=*"))
+        .filter(F.col("final") & (F.col("key") != "zz_sentinel"))
+    )
+    # batch-side truth: identical lag/cumsum session partition
+    w = Window.partitionBy("k").orderBy("ts")
+    truth = (
+        events
+        .withColumn(
+            "brk",
+            # millisecond arithmetic to match the operator exactly —
+            # seconds-truncated casts would disagree on gaps that
+            # straddle the boundary by <1s
+            F.when(
+                F.unix_millis("ts")
+                - F.lag(F.unix_millis("ts")).over(w) > 300_000, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("k", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("exact_rows"),
+            F.countDistinct("v").alias("exact_distinct"),
+        )
+    )
+    joined = finals.join(
+        truth,
+        (finals.key == truth.k)
+        & (finals.session_start == truth.session_start),
+        "left",
+    )
+    ok = joined.withColumn(
+        "ok",
+        (F.col("n_rows") == F.col("exact_rows"))
+        & (F.abs(F.col("readout") - F.col("exact_distinct"))
+           <= F.greatest(F.lit(2.0), F.col("exact_distinct") * 0.03)),
+    )
+    return ok.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min(F.col("ok").cast("long")).cast("boolean").alias(
+            "all_sessions_exact"),
+    )
+
+
 def q_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus thinning: keep probability =
     quality_milli/1000 per document (clamped), decided by the same
@@ -1515,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "streaming_decontam": q_streaming_decontam,
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
+        "streaming_session_hll_bound": q_streaming_session_hll,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
@@ -1910,6 +2022,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cnt) AS BIGINT) AS total_rows,
                    true AS all_within_bound
             FROM w
+        """,
+        "streaming_session_hll_bound": """
+            WITH s AS (
+              SELECT event_type, ts,
+                     CASE WHEN lag(ts) OVER
+                              (PARTITION BY event_type ORDER BY ts)
+                              IS NULL
+                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER
+                              (PARTITION BY event_type ORDER BY ts))
+                              > 300000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            g AS (
+              SELECT event_type, ts,
+                     sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s),
+            ses AS (
+              SELECT event_type, sid, count(*) AS cnt
+              FROM g GROUP BY 1, 2)
+            SELECT count(*) AS n_sessions,
+                   CAST(sum(cnt) AS BIGINT) AS total_rows,
+                   true AS all_sessions_exact
+            FROM ses
         """,
         "streaming_dedup": r"""
             SELECT count(*) AS n_docs,

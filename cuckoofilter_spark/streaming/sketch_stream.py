@@ -692,6 +692,169 @@ def streaming_windowed_sketch_by_key(
     )
 
 
+def streaming_session_sketch_by_key(
+    stream_df: DataFrame, ts_col: str, key_col: str, value_col: str, *,
+    gap: str = "30 minutes", watermark: str = "1 hour",
+    kind: str = "hll", emit_updates: bool = False, **params,
+) -> DataFrame:
+    """Per-(key, SESSION) sketch maintenance — the built-in
+    ``session_window`` aggregation re-expressed for ANY registry
+    sketch: consecutive events of a key belong to one session while
+    their gaps stay below ``gap``; a quiet period longer than ``gap``
+    closes the session.
+
+    Semantics (matching the built-in session windows):
+
+    - state per key = the OPEN sessions (start, end, sketch blob,
+      n_rows) — more than one can be open when events arrive out of
+      order within the watermark;
+    - a new event extends any session whose ``[start, end+gap)`` span
+      it touches; a late-but-in-watermark event can BRIDGE two open
+      sessions, which then merge — sketches merge losslessly (the
+      mergeable-UDAF property doing the work);
+    - a session finalizes when the WATERMARK passes ``end + gap``: no
+      admissible event can extend it anymore (anything later than the
+      watermark is dropped by Spark upstream), so the final row is
+      immutable. Event-time timeout = the earliest open ``end + gap``.
+
+    All session arithmetic runs on JVM-computed epoch-millis
+    (``unix_millis``) — never on rendered naive datetimes — so it is
+    session-timezone-proof by construction. Returns a streaming
+    DataFrame ``(key, session_start, session_end, n_rows, readout,
+    final)``; ``emit_updates`` adds a running row per open session
+    per trigger."""
+    from cuckoofilter_spark.core.registry import (
+        SKETCH_KINDS, make_sketch, sketch_from_bytes,
+    )
+    from cuckoofilter_spark.operators.grouped import (
+        _READOUTS, _VALUE_KINDS, _keys_array,
+    )
+
+    if kind not in SKETCH_KINDS or kind not in _READOUTS:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+    _, readout = _READOUTS[kind]
+    value_based = kind in _VALUE_KINDS
+    gap_ms = int(_window_delta(gap).total_seconds() * 1000)
+    if gap_ms <= 0:
+        raise ValueError(f"gap must be positive, got {gap!r}")
+
+    def _merge_spans(spans: list) -> list:
+        """Interval-union of (start, end, sketch, n) with the gap rule:
+        spans merge when one starts within the other's end+gap."""
+        spans.sort(key=lambda s: s[0])
+        out = [spans[0]]
+        for start, end, sk, n in spans[1:]:
+            pstart, pend, psk, pn = out[-1]
+            if start <= pend + gap_ms:
+                psk.merge(sk)
+                out[-1] = (pstart, max(pend, end), psk, pn + n)
+            else:
+                out.append((start, end, sk, n))
+        return out
+
+    def _rows(key, spans, final):
+        return pd.DataFrame({
+            "key": [key] * len(spans),
+            "session_start_ms": [s[0] for s in spans],
+            "session_end_ms": [s[1] for s in spans],
+            "n_rows": [int(s[3]) for s in spans],
+            "readout": [float(readout(s[2])) for s in spans],
+            "final": [final] * len(spans),
+        })
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        spans: list = []
+        if state.exists:
+            starts, ends, blobs, ns = state.get
+            spans = [
+                (int(s), int(e), sketch_from_bytes(bytes(b)), int(n))
+                for s, e, b, n in zip(starts, ends, blobs, ns)
+            ]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                pdf = pdf.dropna(subset=["_ts_ms"])
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("_ts_ms")
+                ts = pdf["_ts_ms"].to_numpy(dtype=np.int64)
+                # split this batch's events into gap-separated runs
+                cuts = np.flatnonzero(np.diff(ts) > gap_ms) + 1
+                lo = 0
+                for hi in list(cuts) + [len(ts)]:
+                    seg = pdf.iloc[lo:hi]
+                    sk = make_sketch(kind, **params)
+                    vals = _keys_array(seg[value_col].dropna(), value_based)
+                    if len(vals):
+                        from cuckoofilter_spark.operators.build import (
+                            check_add_statuses,
+                        )
+
+                        check_add_statuses(
+                            sk.add_many(vals),
+                            f"streaming_session_sketch_by_key[{kind}]",
+                        )
+                    spans.append(
+                        (int(ts[lo]), int(ts[hi - 1]), sk, hi - lo)
+                    )
+                    lo = hi
+        if not spans:
+            if state.exists:
+                state.remove()
+            return
+        spans = _merge_spans(spans)
+        wm = state.getCurrentWatermarkMs()
+        closed = [s for s in spans if s[1] + gap_ms <= wm]
+        open_ = [s for s in spans if s[1] + gap_ms > wm]
+        if closed:
+            yield _rows(k, closed, True)
+        if open_:
+            state.update((
+                [s[0] for s in open_], [s[1] for s in open_],
+                [s[2].to_bytes() for s in open_],
+                [int(s[3]) for s in open_],
+            ))
+            state.setTimeoutTimestamp(
+                max(min(s[1] + gap_ms for s in open_), wm + 1)
+            )
+            if emit_updates:
+                yield _rows(k, open_, False)
+        elif state.exists:
+            state.remove()
+
+    out_schema = ("key string, session_start_ms long, "
+                  "session_end_ms long, n_rows long, readout double, "
+                  "final boolean")
+    state_schema = ("starts array<long>, ends array<long>, "
+                    "blobs array<binary>, ns array<long>")
+    raw = (
+        stream_df
+        .withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).alias(value_col),
+            F.unix_millis(F.col("_ts")).alias("_ts_ms"),
+            # `_ts` must survive the projection — it carries the
+            # watermark that drives the event-time timeout
+            F.col("_ts"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select(
+        "key",
+        F.timestamp_millis("session_start_ms").alias("session_start"),
+        F.timestamp_millis("session_end_ms").alias("session_end"),
+        "n_rows", "readout", "final",
+    )
+
+
 def _session_tzinfo(tz_name: str):
     """Resolve a Spark session-timezone string to a tzinfo: region ids
     ('UTC', 'America/Los_Angeles') via zoneinfo, Spark's accepted

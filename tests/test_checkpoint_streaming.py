@@ -571,6 +571,223 @@ def test_streaming_dedup_compaction_crash_retry(spark, tmp_path):
     shutil.rmtree(str(src), ignore_errors=True)
 
 
+def test_streaming_session_sketch_gap_and_bridge(spark, tmp_path):
+    """Session-window sketches: gap-separated event runs form distinct
+    sessions; a late-but-in-watermark event BRIDGES two open sessions
+    into one (sketches merge); a session finalizes only once the
+    watermark passes end+gap, with the distinct count of exactly its
+    events."""
+    import datetime as dt
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_session_sketch_by_key,
+    )
+
+    src = tmp_path / "sessrc"
+    src.mkdir()
+    res = tmp_path / "sesres"
+    schema = "ts timestamp, k string, v long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = streaming_session_sketch_by_key(
+            stream, "ts", "k", "v", gap="30 minutes",
+            watermark="1 hour", kind="hll", p=14, seed=4,
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(str(res / f"batch={bid}"))
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "sesck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def ts(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm, 0)
+
+    def finals():
+        rows = []
+        if res.exists():
+            for d in sorted(os.listdir(res)):
+                for r in spark.read.parquet(str(res / d)).collect():
+                    if r["key"] == "A" and r["final"]:
+                        rows.append(r)
+        return sorted(rows, key=lambda r: r["session_start"])
+
+    # phase 1: two gap-separated runs for A (10:00-10:10 and 10:50),
+    # 30m gap => two OPEN sessions
+    spark.createDataFrame(
+        [(ts(10, 0), "A", 1), (ts(10, 10), "A", 2), (ts(10, 50), "A", 3)],
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    assert finals() == []
+
+    # phase 2: late 10:25 event (within the 1h watermark) lands
+    # between the sessions and bridges them: 10:10+30m reaches 10:25,
+    # 10:25+30m reaches 10:50 -> ONE merged session 10:00-10:50.
+    # Also a far event to push the watermark past its close.
+    spark.createDataFrame(
+        [(ts(10, 25), "A", 4), (ts(13, 0), "Z", 9)],
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    # watermark 12:00 > 10:50+30m -> merged session must finalize
+    # (on this or the next trigger); drive one more tick to be sure
+    spark.createDataFrame(
+        [(ts(13, 30), "Z", 10)], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    a = finals()
+    assert len(a) == 1, f"expected ONE merged session, got {a}"
+    r = a[0]
+    assert r["session_start"] == ts(10, 0)
+    assert r["session_end"] == ts(10, 50)
+    assert r["n_rows"] == 4
+    assert round(r["readout"]) == 4  # distinct values 1,2,3,4
+
+
+def test_streaming_session_sketch_separate_sessions(spark, tmp_path):
+    """Without a bridging event the two runs finalize as TWO sessions,
+    each counting only its own values."""
+    import datetime as dt
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_session_sketch_by_key,
+    )
+
+    src = tmp_path / "ses2src"
+    src.mkdir()
+    res = tmp_path / "ses2res"
+    schema = "ts timestamp, k string, v long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = streaming_session_sketch_by_key(
+            stream, "ts", "k", "v", gap="30 minutes",
+            watermark="1 hour", kind="hll", p=14, seed=4,
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(str(res / f"batch={bid}"))
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ses2ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def ts(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm, 0)
+
+    spark.createDataFrame(
+        [(ts(10, 0), "A", 1), (ts(10, 10), "A", 1), (ts(11, 0), "A", 2),
+         (ts(14, 0), "Z", 9)],
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    spark.createDataFrame(
+        [(ts(14, 30), "Z", 10)], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    rows = []
+    for d in sorted(os.listdir(res)):
+        for r in spark.read.parquet(str(res / d)).collect():
+            if r["key"] == "A" and r["final"]:
+                rows.append(r)
+    rows.sort(key=lambda r: r["session_start"])
+    assert [(r["session_start"], r["session_end"], r["n_rows"],
+             round(r["readout"])) for r in rows] == [
+        (ts(10, 0), ts(10, 10), 2, 1),   # dup value -> distinct 1
+        (ts(11, 0), ts(11, 0), 1, 1),
+    ]
+
+
+def test_streaming_windowed_sketch_session_timezone(spark, tmp_path):
+    """Event-time timeouts must be computed in the SESSION timezone:
+    the grouped-state key's window_start is a tz-naive datetime
+    rendered in spark.sql.session.timeZone, while the timeout API
+    speaks epoch-UTC ms. With the session zone set behind UTC
+    (America/Los_Angeles), a naive .timestamp() would read the window
+    close as UTC — hours EARLY — so an open window's timeout would be
+    clamped to watermark+1 and fire a premature final on the next
+    trigger. This drives exactly that scenario and asserts the final
+    only fires once the watermark truly passes the close."""
+    import datetime as dt
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_windowed_sketch_by_key,
+    )
+
+    src = tmp_path / "tzsrc"
+    src.mkdir()
+    res = tmp_path / "tzres"
+    schema = "ts timestamp, k string, v long"
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        def run():
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            out = streaming_windowed_sketch_by_key(
+                stream, "ts", "k", "v", window="1 hour",
+                watermark="1 hour", kind="hll", emit_updates=False,
+                p=14, seed=4,
+            )
+
+            def sink(df, bid):
+                df.write.mode("overwrite").parquet(
+                    str(res / f"batch={bid}")
+                )
+
+            q = (
+                out.writeStream.foreachBatch(sink).outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "tzck"))
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+
+        def ts(hh, mm):
+            # naive datetimes: interpreted in the SESSION zone (LA)
+            return dt.datetime(2024, 1, 1, hh, mm, 0)
+
+        def finals():
+            out = []
+            if res.exists():
+                for d in sorted(os.listdir(res)):
+                    for r in spark.read.parquet(str(res / d)).collect():
+                        if r["key"] == "A" and r["final"]:
+                            out.append(r)
+            return out
+
+        # phase 1: A's 10:00 window is OPEN (watermark 9:20 LA)
+        spark.createDataFrame(
+            [(ts(10, 5), "A", 1), (ts(10, 20), "B", 2)], schema
+        ).coalesce(1).write.parquet(str(src), mode="append")
+        run()
+        # phase 2: watermark 9:30 LA — still before A's 11:00 close.
+        # The tz bug would fire A's final HERE (timeout naively read
+        # as 11:00 UTC = 03:00 LA, already past the watermark).
+        spark.createDataFrame(
+            [(ts(10, 30), "C", 3)], schema
+        ).coalesce(1).write.parquet(str(src), mode="append")
+        run()
+        assert finals() == [], "premature final: timeout read in UTC"
+        # phase 3: watermark 11:30 LA > close -> the final fires now
+        spark.createDataFrame(
+            [(ts(12, 30), "D", 4)], schema
+        ).coalesce(1).write.parquet(str(src), mode="append")
+        run()
+        a = finals()
+        assert len(a) == 1 and a[0]["n_rows"] == 1
+        assert a[0]["window_start"] == ts(10, 0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_streaming_windowed_sketch_sliding(spark, tmp_path):
     """Sliding windows on the stateful sketch operator: one event
     updates window/slide overlapping (key, window_start) states; each
