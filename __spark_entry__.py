@@ -1327,6 +1327,65 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage gate (operators/probe.py vocab_coverage):
+    build a cuckoo filter over the word vocabulary of 3/4 of the
+    corpus (doc_id % 4 != 0), then score EVERY document's token
+    occurrences against it per source — the narrow-scan OOV-rate gate
+    a 100 TB pipeline uses to route mojibake/wrong-language documents.
+    n_docs / n_tokens / exact OOV counts hash-match the DuckDB oracle;
+    the probe-based estimate is bound-checked in Spark (zero FN ⇒
+    est ≤ exact; FPR-sized undershoot only)."""
+    from cuckoofilter_spark.operators.build import (
+        build_sketch_shards, string_key_expr,
+    )
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import vocab_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    words_arr = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit("")
+    )
+    toks = docs.select(
+        "doc_id", "source", words_arr.alias("ws"),
+        F.transform(words_arr, string_key_expr).alias("toks"),
+    )
+    vocab_words = (
+        toks.filter(F.col("doc_id") % 4 != 0)
+        .select(F.explode("ws").alias("w")).distinct()
+    )
+    n_vocab = vocab_words.count()
+    shards = build_sketch_shards(
+        toks.filter(F.col("doc_id") % 4 != 0), "ws", kind="cuckoo",
+        lineage=False, max_num_keys=suggest_capacity(n_vocab),
+        bits_per_item=16, seed=2014,
+        strategy="shuffle_distinct", shuffle_partitions=8,
+    )
+    blob = merge_shards_to_blob(shards, dedup=False)
+
+    est = vocab_coverage(toks, "toks", blob, by="source")
+    exact = (
+        toks.select("source", F.explode("ws").alias("w"))
+        .join(vocab_words, "w", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("oov_exact"))
+    )
+    r = (
+        est.join(exact, "source", "left")
+        .withColumn("oov_exact", F.coalesce("oov_exact", F.lit(0)))
+        .withColumn("oov_est", F.col("n_tokens") - F.col("tokens_in_vocab"))
+        .withColumn(
+            "est_within_bound",
+            (F.col("oov_est") <= F.col("oov_exact"))
+            & (F.col("oov_exact") - F.col("oov_est")
+               <= F.col("oov_exact") * 0.002 + 20),
+        )
+    )
+    return r.select(
+        "source", "n_docs", "n_tokens", "oov_exact", "est_within_bound"
+    ).orderBy("source")
+
+
 def q_streaming_session_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window stateful sketches (streaming/sketch_stream.py
     streaming_session_sketch_by_key): per-(event_type, 5-minute-gap
@@ -1627,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_decontam": q_streaming_decontam,
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
         "streaming_session_hll_bound": q_streaming_session_hll,
+        "vocab_oov_stats": q_vocab_oov_stats,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
@@ -2022,6 +2082,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cnt) AS BIGINT) AS total_rows,
                    true AS all_within_bound
             FROM w
+        """,
+        "vocab_oov_stats": r"""
+            WITH docs AS (
+              SELECT source, doc_id,
+                     list_filter(regexp_split_to_array(trim(text),
+                                                       '\s+'),
+                                 w -> w != '') AS ws
+              FROM documents),
+            tok AS (
+              SELECT source, unnest(ws) AS w FROM docs),
+            vocab AS (
+              SELECT DISTINCT w FROM (
+                SELECT unnest(ws) AS w FROM docs
+                WHERE doc_id % 4 <> 0)),
+            agg AS (
+              SELECT t.source,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                         AS oov_exact
+              FROM tok t LEFT JOIN vocab v ON t.w = v.w
+              GROUP BY t.source),
+            d AS (
+              SELECT source, count(*) AS n_docs
+              FROM docs GROUP BY source)
+            SELECT d.source, d.n_docs,
+                   CAST(coalesce(agg.n_tokens, 0) AS BIGINT)
+                       AS n_tokens,
+                   CAST(coalesce(agg.oov_exact, 0) AS BIGINT)
+                       AS oov_exact,
+                   true AS est_within_bound
+            FROM d LEFT JOIN agg ON d.source = agg.source
+            ORDER BY d.source
         """,
         "streaming_session_hll_bound": """
             WITH s AS (

@@ -109,3 +109,47 @@ def count_hits_udf(spark: SparkSession, blob: bytes):
         return hits(F.col(col) if isinstance(col, str) else col)
 
     return apply
+
+
+def vocab_coverage(
+    df, tokens_col: str | Column, blob: bytes, *, by: str | None = None,
+):
+    """Vocabulary-coverage report of a token corpus against a
+    broadcast membership filter (a tokenizer vocab, yesterday's
+    corpus, an allowlist): per group —
+
+    - ``n_docs`` / ``n_tokens``: exact row and token-occurrence counts;
+    - ``tokens_in_vocab``: filter hits (zero false negatives ⇒ every
+      true vocab occurrence is counted; FPR can only ADD);
+    - ``oov_e6``: out-of-vocabulary occurrence rate in 1e-6 units —
+      by the zero-FN guarantee a LOWER bound on the true OOV rate,
+      short of it by at most FPR of the true OOV occurrences.
+
+    ``tokens_col`` must be ``array<long>`` keys in the SAME key space
+    the filter was built over (hash string tokens with
+    ``build.string_key_expr`` on both sides). One narrow scan — the
+    per-document probe counter — plus a tiny groupBy; no explode, no
+    token shuffle. The production gate this feeds: route low-coverage
+    documents (mojibake, wrong language, binary spill) out of a
+    training corpus at 100 TB for the cost of a broadcast."""
+    hits = count_hits_udf(df.sparkSession, blob)
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    per_doc = df.select(
+        *( [F.col(by)] if by else [] ),
+        F.coalesce(F.size(c), F.lit(0)).alias("__n"),
+        hits(c).alias("__h"),
+    )
+    keys = [by] if by else []
+    return (
+        per_doc.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+            F.sum("__h").alias("tokens_in_vocab"),
+            F.round(
+                (F.lit(1.0) - F.sum("__h") / F.greatest(
+                    F.sum("__n"), F.lit(1)
+                )) * 1_000_000
+            ).cast("long").alias("oov_e6"),
+        )
+    )

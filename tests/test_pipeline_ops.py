@@ -511,6 +511,43 @@ def test_build_membership_blob_never_fans_into_driver(spark):
     assert n_missed == 0
 
 
+def test_vocab_coverage_bounds_and_nulls(spark):
+    """vocab_coverage: exact doc/token accounting incl. NULL and empty
+    arrays, zero-FN floor (every true vocab occurrence counted), and
+    the OOV estimate never exceeding the true OOV count."""
+    from cuckoofilter_spark.core.cuckoo import suggest_capacity
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+    from cuckoofilter_spark.operators.probe import vocab_coverage
+
+    vocab = spark.range(0, 1000).selectExpr("id AS k")
+    shards = build_sketch_shards(
+        vocab, "k", kind="cuckoo", lineage=False,
+        max_num_keys=suggest_capacity(1000), bits_per_item=16, seed=3,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True)
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3, 5000]),        # 3 in-vocab, 1 OOV
+            ("a", []),                      # empty
+            ("a", None),                    # null
+            ("b", [7000, 8000, 9000]),      # all OOV
+            ("b", [10, 10, 10]),            # dup occurrences all count
+        ],
+        "src string, toks array<long>",
+    )
+    r = {x.src: x for x in
+         vocab_coverage(df, "toks", blob, by="src").collect()}
+    assert (r["a"].n_docs, r["a"].n_tokens) == (3, 4)
+    assert r["a"].tokens_in_vocab >= 3        # zero FN
+    assert r["a"].n_tokens - r["a"].tokens_in_vocab <= 1  # est <= exact OOV
+    assert (r["b"].n_docs, r["b"].n_tokens) == (2, 6)
+    assert r["b"].tokens_in_vocab >= 3
+    # ungrouped form: one global row
+    g = vocab_coverage(df, "toks", blob).collect()
+    assert len(g) == 1 and g[0].n_tokens == 10
+
+
 # ---------------------------------------------------------------- PII
 def test_pii_redaction_hand_cases(spark):
     from cuckoofilter_spark.operators.text import with_pii_stats
