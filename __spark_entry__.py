@@ -1327,6 +1327,73 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group overlap matrix (operators/approx.py overlap_matrix):
+    pairwise vocabulary jaccard between ALL sources from one corpus
+    pass — per-group KMV sketches, set algebra on KB blobs, no
+    pairwise joins. Exact per-source vocab sizes and pairwise
+    intersections hash-match the DuckDB oracle; each pair's KMV
+    jaccard estimate is bound-checked in Spark against the exact
+    value."""
+    from cuckoofilter_spark.operators.approx import overlap_matrix
+    from cuckoofilter_spark.operators.build import string_key_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    words_arr = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit("")
+    )
+    wdf = docs.select(
+        "source", F.explode(words_arr).alias("w")
+    )
+    m = overlap_matrix(
+        wdf.select("source", string_key_expr("w").alias("h")),
+        "source", "h", k=4096, seed=11,
+    )
+    dw = wdf.distinct()
+    counts = dw.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = dw.select(F.col("source").alias("sa"), "w")
+    b = dw.select(F.col("source").alias("sb"), "w")
+    inter = (
+        a.join(b, "w").filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("ni"))
+    )
+    pairs = (
+        counts.alias("ca").crossJoin(counts.alias("cb"))
+        .filter(F.col("ca.source") < F.col("cb.source"))
+        .select(
+            F.col("ca.source").alias("source_a"),
+            F.col("cb.source").alias("source_b"),
+            F.col("ca.n").alias("exact_a"),
+            F.col("cb.n").alias("exact_b"),
+        )
+        .join(
+            inter,
+            (F.col("source_a") == F.col("sa"))
+            & (F.col("source_b") == F.col("sb")),
+            "left",
+        )
+        .withColumn("exact_intersection", F.coalesce("ni", F.lit(0)))
+    )
+    r = pairs.join(
+        m,
+        (pairs.source_a == m.group_a) & (pairs.source_b == m.group_b),
+        "left",
+    ).withColumn(
+        "exact_j",
+        F.col("exact_intersection")
+        / (F.col("exact_a") + F.col("exact_b")
+           - F.col("exact_intersection")),
+    ).withColumn(
+        "within_bound",
+        F.abs(F.col("jaccard_e6") / 1_000_000 - F.col("exact_j"))
+        <= 0.05,
+    )
+    return r.select(
+        "source_a", "source_b", "exact_a", "exact_b",
+        "exact_intersection", "within_bound",
+    ).orderBy("source_a", "source_b")
+
+
 def q_vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage gate (operators/probe.py vocab_coverage):
     build a cuckoo filter over the word vocabulary of 3/4 of the
@@ -1687,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
         "streaming_session_hll_bound": q_streaming_session_hll,
         "vocab_oov_stats": q_vocab_oov_stats,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
@@ -2082,6 +2150,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cnt) AS BIGINT) AS total_rows,
                    true AS all_within_bound
             FROM w
+        """,
+        "source_vocab_overlap": r"""
+            WITH w AS (
+              SELECT DISTINCT source,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x != '')) AS w
+              FROM documents),
+            c AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+            p AS (
+              SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+              FROM w a JOIN w b ON a.w = b.w AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT ca.source AS source_a, cb.source AS source_b,
+                   ca.n AS exact_a, cb.n AS exact_b,
+                   CAST(coalesce(p.ni, 0) AS BIGINT)
+                       AS exact_intersection,
+                   true AS within_bound
+            FROM c ca JOIN c cb ON ca.source < cb.source
+            LEFT JOIN p ON p.sa = ca.source AND p.sb = cb.source
+            ORDER BY 1, 2
         """,
         "vocab_oov_stats": r"""
             WITH docs AS (

@@ -239,3 +239,56 @@ def approx_overlap_kmv(
     a = kmv_sketch(df_a, col_a, k=k, seed=seed)
     b = kmv_sketch(df_b, col_b, k=k, seed=seed)
     return kmv_set_estimates(a, b)
+
+
+def overlap_matrix(
+    df: DataFrame, group_col: str, column: str, *,
+    k: int = 4096, seed: int = 2014,
+) -> DataFrame:
+    """All-pairs distinct-overlap estimates BETWEEN groups without any
+    join: one KMV sketch per group (grouped mergeable UDAF — one scan,
+    blob-only shuffle), then pairwise set algebra on the KB-sized
+    sketches. The dataset-curation question this answers at 100 TB:
+    which sources/snapshots/shards duplicate each other's content or
+    vocabulary — N^2 pair estimates for the cost of ONE corpus pass,
+    where the exact answer would be N^2 distinct-intersection joins.
+
+    Returns ``(group_a, group_b, est_a, est_b, est_union,
+    est_intersection, jaccard_e6)`` for all unordered pairs
+    (group_a < group_b, groups as strings).
+
+    Driver-side bound: one KB blob per GROUP is collected (not per
+    row); group cardinality should be the usual groupBy-report scale
+    (≤ ~10^4 — the same bound as any per-group report a human reads).
+    Estimator error ≈ 1/sqrt(k) relative on each set size; the
+    intersection error scales with the intersection, the property
+    that keeps small-overlap pairs honest (see
+    ``approx_overlap_kmv``)."""
+    from cuckoofilter_spark.core.kmv import kmv_set_estimates
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    g = grouped_sketch_agg(
+        df, group_col, column, kind="kmv", k=k, seed=seed,
+    )
+    rows = g.select(group_col, "sketch").collect()
+    sketches = sorted(
+        ((str(r[group_col]), sketch_from_bytes(bytes(r["sketch"])))
+         for r in rows),
+        key=lambda t: t[0],
+    )
+    out = []
+    for i in range(len(sketches)):
+        ga, ska = sketches[i]
+        for gb, skb in sketches[i + 1:]:
+            est = kmv_set_estimates(ska, skb)
+            out.append((
+                ga, gb, float(est["n_a"]), float(est["n_b"]),
+                float(est["n_union"]), float(est["n_intersection"]),
+                int(round(est["jaccard"] * 1_000_000)),
+            ))
+    return df.sparkSession.createDataFrame(
+        out,
+        "group_a string, group_b string, est_a double, est_b double, "
+        "est_union double, est_intersection double, jaccard_e6 long",
+    )

@@ -271,6 +271,33 @@ def test_kmv_from_bytes_rejects_unsorted_blob():
     assert np.array_equal(ok.values, sk.values)
 
 
+def test_overlap_matrix_planted_overlaps(spark):
+    """overlap_matrix: three groups with constructed overlaps — the
+    pairwise KMV jaccard estimates must land within the k=4096 bound
+    of the exact values, all pairs present exactly once, canonical
+    order."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.approx import overlap_matrix
+
+    # A = [0, 100k), B = [50k, 150k) (j=1/3), C = [200k, 300k) (j=0)
+    base = spark.range(0, 100_000)
+    df = (
+        base.selectExpr("'a' AS g", "id AS x")
+        .union(base.selectExpr("'b' AS g", "id + 50000 AS x"))
+        .union(base.selectExpr("'c' AS g", "id + 200000 AS x"))
+    )
+    m = {(r.group_a, r.group_b): r
+         for r in overlap_matrix(df, "g", "x", k=4096, seed=3).collect()}
+    assert set(m) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = m[("a", "b")]
+    assert abs(ab.jaccard_e6 / 1e6 - 1 / 3) < 0.05
+    assert abs(ab.est_intersection - 50_000) / 50_000 < 0.15
+    assert abs(ab.est_union - 150_000) / 150_000 < 0.1
+    assert m[("a", "c")].jaccard_e6 / 1e6 < 0.01
+    assert m[("b", "c")].jaccard_e6 / 1e6 < 0.01
+
+
 def test_grouped_kmv(spark):
     from pyspark.sql import functions as F
 
