@@ -1327,6 +1327,54 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_vocab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-truncated vocabulary (approx.frequent_keys_filter):
+    CMS count gate -> cuckoo filter, composed so a truly-frequent word
+    can NEVER be missing (CMS overshoots only; the filter has zero
+    false negatives). Checks: exact distinct/frequent word counts
+    hash-match the oracle; every word with true count >= T probes
+    true; inclusion overshoot stays within the eps*N + FPR budget."""
+    import math
+
+    from cuckoofilter_spark.operators.approx import frequent_keys_filter
+    from cuckoofilter_spark.operators.build import string_key_expr
+    from cuckoofilter_spark.operators.probe import might_contain_udf
+
+    T, EPS = 50, 2e-6
+    docs = _read(spark, sf_dir, "documents")
+    words_arr = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit("")
+    )
+    wdf = docs.select(F.explode(words_arr).alias("w"))
+    blob = frequent_keys_filter(
+        wdf, "w", T, eps=EPS, cms_seed=5, filter_seed=5,
+    )
+    probe = might_contain_udf(spark, blob)
+    counts = wdf.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_total = wdf.count()
+    overshoot = math.ceil(EPS * n_total) + 1
+    r = counts.withColumn("hit", probe(string_key_expr("w"))).agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum((F.col("c") >= T).cast("long")).alias("n_frequent_exact"),
+        F.min(
+            F.when(F.col("c") >= T, F.col("hit").cast("long"))
+        ).cast("boolean").alias("all_frequent_pass"),
+        F.sum(F.col("hit").cast("long")).alias("__n_pos"),
+        F.sum(
+            (F.col("c") >= T - overshoot).cast("long")
+        ).alias("__n_near"),
+    ).select(
+        "n_distinct_words", "n_frequent_exact", "all_frequent_pass",
+        # inclusion budget: near-threshold words (CMS overshoot zone)
+        # plus an FPR allowance over the probed distinct set
+        (F.col("__n_pos")
+         <= F.col("__n_near")
+         + F.greatest(F.lit(10), F.col("n_distinct_words") * 0.001)
+         ).alias("precision_within_bound"),
+    )
+    return r
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-group overlap matrix (operators/approx.py overlap_matrix):
     pairwise vocabulary jaccard between ALL sources from one corpus
@@ -1755,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_hll_bound": q_streaming_session_hll,
         "vocab_oov_stats": q_vocab_oov_stats,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "frequent_vocab_filter": q_frequent_vocab_filter,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
@@ -2150,6 +2199,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cnt) AS BIGINT) AS total_rows,
                    true AS all_within_bound
             FROM w
+        """,
+        "frequent_vocab_filter": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x != '')) AS w
+              FROM documents),
+            c AS (SELECT w, count(*) AS c FROM w GROUP BY w)
+            SELECT count(*) AS n_distinct_words,
+                   CAST(sum(CASE WHEN c >= 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_frequent_exact,
+                   true AS all_frequent_pass,
+                   true AS precision_within_bound
+            FROM c
         """,
         "source_vocab_overlap": r"""
             WITH w AS (

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from cuckoofilter_spark.operators.build import build_sketch_shards
 from cuckoofilter_spark.operators.merge import collect_merged, tree_merge
@@ -239,6 +240,77 @@ def approx_overlap_kmv(
     a = kmv_sketch(df_a, col_a, k=k, seed=seed)
     b = kmv_sketch(df_b, col_b, k=k, seed=seed)
     return kmv_set_estimates(a, b)
+
+
+def frequent_keys_filter(
+    df: DataFrame, column: str, min_count: int, *,
+    eps: float = 0.0001, delta: float = 0.01, cms_seed: int = 2014,
+    bits_per_item: int = 16, filter_seed: int = 2014,
+    strategy: str = "auto",
+) -> bytes:
+    """Membership filter over the keys whose frequency is ≥
+    ``min_count`` — the frequency-truncated vocabulary builder (keep
+    tokens seen at least T times; drop the noise tail) as a
+    two-sketch composition with a one-sided guarantee:
+
+    1. one pass builds a count-min sketch (exact per-key totals via
+       the ``shuffle_count`` JVM pre-aggregation for array columns);
+    2. the DISTINCT keys stream through a broadcast-CMS gate
+       (``query_many(key) >= min_count``) and the survivors build a
+       cuckoo filter.
+
+    CMS estimates only ever OVERSHOOT, so every key whose TRUE count
+    is ≥ min_count passes the gate — composed with the filter's zero
+    false negatives, a truly-frequent key can never be missing from
+    the result. The only error mode is inclusion of some
+    tail keys within eps·N of the threshold. Plan shape: two scans,
+    both collapsing to ~cardinality rows JVM-side; nothing quadratic,
+    no raw-token shuffle."""
+    import uuid
+
+    from pyspark.sql.types import BooleanType
+    from pyspark.sql.types import ArrayType as _AT
+
+    from cuckoofilter_spark.core.cuckoo import suggest_capacity
+    from cuckoofilter_spark.operators.build import (
+        build_sketch_shards, string_key_expr,
+    )
+    from cuckoofilter_spark.operators.merge import merge_shards_to_blob
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    cms = cms_sketch(
+        df, column, eps=eps, delta=delta, seed=cms_seed, strategy=strategy,
+    )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cms.to_bytes())
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf(BooleanType())
+    def frequent(s: pd.Series) -> pd.Series:
+        from cuckoofilter_spark.operators.probe import _get_filter
+
+        sk = _get_filter(bc, cache_key)
+        keys = s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        return pd.Series(sk.query_many(keys) >= min_count)
+
+    c = F.col(column)
+    if isinstance(df.schema[column].dataType, _AT):
+        keys_df = df.select(F.explode(c).alias("__k"))
+    else:
+        keys_df = df.select(c.alias("__k"))
+    if keys_df.schema["__k"].dataType.simpleString() == "string":
+        # same JVM hash as the CMS build side — both gates must speak
+        # one key space
+        keys_df = keys_df.select(string_key_expr("__k").alias("__k"))
+    survivors = keys_df.distinct().filter(frequent("__k"))
+    n = survivors.count()
+    shards = build_sketch_shards(
+        survivors, "__k", kind="cuckoo", lineage=False,
+        max_num_keys=suggest_capacity(n),
+        bits_per_item=bits_per_item, seed=filter_seed,
+    )
+    return merge_shards_to_blob(shards, dedup=True)
 
 
 def overlap_matrix(

@@ -271,6 +271,34 @@ def test_kmv_from_bytes_rejects_unsorted_blob():
     assert np.array_equal(ok.values, sk.values)
 
 
+def test_frequent_keys_filter_one_sided_guarantee(spark):
+    """frequent_keys_filter: every key whose TRUE count >= min_count
+    must probe true (CMS overshoots only + filter zero-FN); rare keys
+    far below threshold mostly stay out (eps/FPR budget)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.approx import frequent_keys_filter
+
+    # keys 0..99: count 100 each (frequent); keys 1000..9999: count 1
+    freq = spark.range(0, 10_000).selectExpr("id % 100 AS k")
+    rare = spark.range(1000, 10_000).selectExpr("id AS k")
+    df = freq.union(rare)
+    blob = frequent_keys_filter(df, "k", 50, eps=1e-5, cms_seed=3,
+                                filter_seed=3)
+    sk = sketch_from_bytes(blob)
+    hot = np.arange(100, dtype=np.uint64)
+    assert sk.contains_many(hot).all(), "frequent key missing"
+    cold = np.arange(1000, 10_000, dtype=np.uint64)
+    # rare keys admitted only through FPR (16-bit) — a sliver
+    assert sk.contains_many(cold).mean() < 0.01
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        frequent_keys_filter(df, "k", 0)
+
+
 def test_overlap_matrix_planted_overlaps(spark):
     """overlap_matrix: three groups with constructed overlaps — the
     pairwise KMV jaccard estimates must land within the k=4096 bound
