@@ -50,6 +50,14 @@ def main(argv=None) -> int:
     ap.add_argument("--max-top-word-frac-e4", type=int, default=10_000,
                     help="drop docs whose most frequent word exceeds "
                          "this e4 fraction (Gopher-style repetition gate)")
+    ap.add_argument("--max-oov-e6", type=int, default=1_000_000,
+                    help="drop docs whose out-of-vocabulary token rate "
+                         "against the corpus frequent vocabulary "
+                         "exceeds this 1e-6 fraction (mojibake / "
+                         "wrong-language gate); 1000000 disables")
+    ap.add_argument("--vocab-min-count", type=int, default=10,
+                    help="frequency floor for the OOV gate's corpus "
+                         "vocabulary (frequent_keys_filter)")
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--holdout", type=float, default=0.0)
     ap.add_argument("--max-tokens", type=int, default=2048)
@@ -127,6 +135,40 @@ def main(argv=None) -> int:
         ).drop("n_words", "dup_word_frac_e4", "top_word_frac_e4",
                "dup_bigram_frac_e4")
     counts["after_quality"] = df.count()
+
+    # 3b. OOV gate: corpus frequent vocabulary (CMS floor -> cuckoo
+    # filter, one-sided: truly-frequent words always in) scored per
+    # document with the narrow probe counter — docs made mostly of
+    # corpus-rare tokens (mojibake, binary spill, the wrong language)
+    # drop out for the cost of two collapsing scans and a broadcast
+    if args.max_oov_e6 < 1_000_000:
+        from cuckoofilter_spark.operators.approx import (
+            frequent_keys_filter,
+        )
+        from cuckoofilter_spark.operators.build import string_key_expr
+        from cuckoofilter_spark.operators.probe import count_hits_udf
+        from cuckoofilter_spark.operators.text import words_col
+
+        wdf = df.select(
+            F.explode(words_col(args.text_col)).alias("w")
+        )
+        blob = frequent_keys_filter(
+            wdf, "w", args.vocab_min_count,
+            cms_seed=args.seed + 3, filter_seed=args.seed + 3,
+        )
+        hits = count_hits_udf(spark, blob)
+        toks = F.transform(words_col(args.text_col), string_key_expr)
+        df = (
+            df.withColumn("_nt", F.size(toks))
+            .withColumn("_h", hits(toks))
+            .filter(
+                (F.col("_nt") == 0)
+                | ((F.lit(1.0) - F.col("_h") / F.col("_nt")) * 1_000_000
+                   <= args.max_oov_e6)
+            )
+            .drop("_nt", "_h")
+        )
+        counts["after_oov"] = df.count()
 
     # 4. deterministic thinning + holdout tag
     if args.sample_rate < 1.0:

@@ -106,6 +106,53 @@ def test_shape_corpus_job_jsonl_input(spark, tmp_path):
             == stats["rows_out"] > 0)
 
 
+def test_shape_corpus_job_oov_gate(spark, tmp_path):
+    """The OOV gate stage: planted mojibake documents (tokens that
+    appear nowhere else in the corpus) are dropped, ordinary documents
+    survive, and the stage count lands between its neighbors."""
+    import json as _json
+    import sys
+    from io import StringIO
+
+    import jobs.shape_corpus as job
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    junk = spark.createDataFrame(
+        [(900000 + i,
+          " ".join(f"xqzj{i}w{j}" for j in range(40)),
+          "und", "junk")
+         for i in range(5)],
+        "doc_id long, text string, lang string, source string",
+    )
+    src = str(tmp_path / "oov_src")
+    docs.select("doc_id", "text", "lang", "source").unionByName(junk) \
+        .write.parquet(src)
+
+    out = str(tmp_path / "oov_shaped")
+    cap = StringIO()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        rc = job.main([
+            "--input", src,
+            "--max-oov-e6", "500000", "--vocab-min-count", "5",
+            "--max-tokens", "1024", "--streams", "4",
+            "--output", out,
+        ])
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    stats = _json.loads(cap.getvalue().strip().splitlines()[-1])
+    assert stats["after_quality"] >= stats["after_oov"] > 0
+    kept = {r.doc_id for r in
+            spark.read.parquet(f"{out}/data").select("doc_id").collect()}
+    assert not any(d >= 900000 for d in kept), "mojibake doc survived"
+    # the bulk of the real corpus passes the 50% OOV gate
+    assert stats["after_oov"] >= 0.9 * (stats["after_quality"] - 5)
+
+
 def test_shape_corpus_job_is_deterministic(spark, tmp_path):
     """The job's headline claim: identical inputs + seed reproduce the
     identical shaped output (row set, including bin assignments)."""
