@@ -91,6 +91,35 @@ def test_shuffle_distinct_plan_is_partial_agg(spark):
     assert "HashAggregate" in plan and "Exchange" in plan
 
 
+def test_shuffle_count_plan_is_partial_count_agg(spark):
+    """The CMS frequency-build plan: explode feeds a map-side partial
+    COUNT before the exchange (the same collapse shuffle_distinct gets
+    for membership builds), then the user-numbered repartition keeps
+    AQE from coalescing the tiny (key,count) output into one task."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    tokens = synth_tokens_df(spark, 50, seed=1)
+    shards = build_sketch_shards(
+        tokens, "tokens", kind="cms", distinct=False,
+        weight_by_count=True, lineage=False,
+        strategy="shuffle_count", eps=0.001, delta=0.01, seed=7,
+    )
+    plan = explain_str(shards)
+    assert "Generate" in plan or "Explode" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final count
+    assert "Exchange" in plan
+    # strategy='auto' resolution: scalar columns stay narrow/local,
+    # array columns take the JVM pre-distinct plan
+    from cuckoofilter_spark.operators.approx import _distinct_strategy
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    assert _distinct_strategy(li, "l_partkey", "auto") == "local"
+    assert _distinct_strategy(tokens, "tokens", "auto") \
+        == "shuffle_distinct"
+
+
 def test_blocked_near_dup_plan_has_no_cartesian(spark):
     """The exact near-dup plan must be equi-join shaped: no
     CartesianProduct / BroadcastNestedLoopJoin anywhere (the naive
