@@ -985,6 +985,41 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-horizon streaming dedup (pane-ring state): with the
+    horizon wider than the stream, the result must equal all-history
+    dedup — exactly one survivor per distinct normalized text — which
+    is batch-invariant and so SQL-checkable. (The horizon-expiry
+    re-admission semantics are batch-dependent by design and are
+    pinned by tests/test_checkpoint_streaming.py instead.)"""
+    import os
+    import tempfile
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_dedup_sliding,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cfsldd_")
+    src = os.path.join(tmp, "src")
+    docs.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = os.path.join(tmp, "out")
+    run_streaming_dedup_sliding(
+        stream, "doc_id", "text", out_dir=out,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        capacity=200_000, horizon_batches=1000,
+        bits_per_item=32, seed=5,
+    )
+    kept = spark.read.parquet(os.path.join(out, "data", "batch=*"))
+    return docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def q_checkpoint_resume_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed build + tree merge with manifest/lineage; the
     second call resumes from the shard stage instead of rebuilding."""
@@ -1793,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "streaming_filter_build": q_streaming_filter_build,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_dedup_sliding": q_streaming_dedup_sliding,
         "checkpoint_resume_build": q_checkpoint_resume_build,
         "hash_sample_stats": q_hash_sample_stats,
         "stratified_sample_counts": q_stratified_sample_counts,
@@ -2292,6 +2328,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ses
         """,
         "streaming_dedup": r"""
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                     '\s+', ' ', 'g')))
+                       AS n_kept
+            FROM documents
+        """,
+        "streaming_dedup_sliding": r"""
             SELECT count(*) AS n_docs,
                    count(DISTINCT md5(regexp_replace(lower(trim(text)),
                                                      '\s+', ' ', 'g')))

@@ -490,6 +490,172 @@ def run_streaming_dedup(
     q.awaitTermination()
 
 
+def run_streaming_dedup_sliding(
+    stream_df: DataFrame, id_col: str, text_col: str, *, out_dir: str,
+    checkpoint_dir: str, capacity: int, horizon_batches: int,
+    bits_per_item: int = 16, seed: int = 2014, num_shards: int = 32,
+    trigger_available_now: bool = True,
+) -> None:
+    """Streaming dedup against a SLIDING horizon: drop rows whose
+    normalized-text fingerprint was ADMITTED in any of the last
+    ``horizon_batches`` micro-batches — recency-bounded novelty
+    ("dedup today's crawl against the last N days"), where the
+    all-history variant (``run_streaming_dedup``) would keep
+    suppressing a document forever.
+
+    Mechanism — the classic pane ring, sharded like the all-history
+    job: each batch writes one PANE (``_filter/panes/pane=<id>``,
+    per-shard filters of only that batch's admitted fingerprints);
+    probing ORs the live panes per shard inside one cogroup; panes
+    older than the horizon are deleted at batch START (safe under
+    replay: a deleted pane is only ever needed by already-committed
+    batches — the checkpoint never re-delivers those). State size is
+    bounded by horizon x per-batch keys regardless of stream age;
+    eviction is O(1) dir deletes, no rewrite of surviving state.
+
+    Re-admission semantics are fixed-epoch (cache-TTL-like): a
+    suppressed duplicate does NOT refresh its original's recency, so
+    a fingerprint is re-admitted exactly when its admitting batch
+    leaves the horizon. ``capacity`` sizes the PER-BATCH expected
+    distinct fingerprints (each pane is one batch's keys).
+
+    Same exactness caveat as the all-history job: filter FPR
+    (~2·4/2^f) can wrongly drop a novel row; zero false negatives
+    means a true duplicate inside the horizon is never admitted."""
+    import numpy as _np
+
+    from cuckoofilter_spark.core.cuckoo import CuckooFilter, suggest_capacity
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.build import (
+        check_add_statuses, shard_id_expr, string_key_expr,
+    )
+    from cuckoofilter_spark.operators.dedup import dedup_exact
+    from cuckoofilter_spark.operators.text import normalize_text
+    from cuckoofilter_spark.plans.fsutil import (
+        delete_path, list_dir_names,
+    )
+
+    if horizon_batches < 1:
+        raise ValueError(
+            f"horizon_batches must be >= 1, got {horizon_batches}"
+        )
+    panes_dir = os.path.join(out_dir, "_filter", "panes")
+    per_shard_cap = max(
+        4096, suggest_capacity(capacity, num_shards=num_shards)
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # evict panes that no batch >= batch_id can ever need
+        live_lo = batch_id - horizon_batches
+        live = []
+        for name in list_dir_names(spark, panes_dir):
+            if not name.startswith("pane="):
+                continue
+            b = int(name[len("pane="):])
+            if b < live_lo:
+                delete_path(spark, os.path.join(panes_dir, name))
+            elif b < batch_id:  # replay: ignore our own overwritten pane
+                live.append(os.path.join(panes_dir, name))
+        state = (
+            spark.read.schema(STATE_SHARD_SCHEMA).parquet(*live)
+            .select("shard_id", "sketch").persist()
+            if live else None
+        )
+
+        batch_df = dedup_exact(batch_df, id_col, text_col)
+        fp = string_key_expr(normalize_text(text_col))
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        keys = batch_df.select(
+            F.col(id_col).alias("__id"), fp.alias("__fp"),
+            shard_id_expr(fp, num_shards).alias("shard_id"),
+        )
+
+        if state is None:
+            kept = batch_df
+        else:
+            def probe_group(key_pdf: pd.DataFrame,
+                            state_pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(key_pdf) == 0:
+                    return key_pdf[["__id"]]
+                if len(state_pdf) == 0:
+                    return key_pdf[["__id"]]
+                ks = key_pdf["__fp"].to_numpy(
+                    dtype=np.int64).view(np.uint64)
+                seen = np.zeros(len(ks), dtype=bool)
+                for blob in state_pdf["sketch"]:  # OR over live panes
+                    sk = sketch_from_bytes(bytes(blob))
+                    seen |= sk.contains_many(ks)
+                    if seen.all():
+                        break
+                return key_pdf.loc[~seen, ["__id"]]
+
+            kept_ids = (
+                keys.groupBy("shard_id")
+                .cogroup(state.groupBy("shard_id"))
+                .applyInPandas(probe_group, f"__id {id_type}")
+            )
+            kept = batch_df.join(
+                kept_ids.withColumnRenamed("__id", id_col), id_col,
+                "left_semi",
+            )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "data", f"batch={batch_id}")
+        )
+        kept_back = spark.read.parquet(
+            os.path.join(out_dir, "data", f"batch={batch_id}")
+        )
+        new_fps = kept_back.select(fp.alias("__fp")).distinct().select(
+            "__fp", shard_id_expr("__fp", num_shards).alias("shard_id")
+        )
+
+        def build_pane(fp_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(fp_pdf) == 0:
+                return pd.DataFrame({
+                    "shard_id": pd.Series(dtype="int32"),
+                    "state_batch": pd.Series(dtype="int64"),
+                    "num_shards": pd.Series(dtype="int32"),
+                    "sketch": pd.Series(dtype=object),
+                    "n_keys": pd.Series(dtype="int64"),
+                })
+            sk = CuckooFilter(per_shard_cap, bits_per_item, seed=seed)
+            ks = _np.unique(
+                fp_pdf["__fp"].to_numpy(dtype=np.int64).view(np.uint64)
+            )
+            shard = int(fp_pdf["shard_id"].iloc[0])
+            check_add_statuses(
+                sk.add_many(ks),
+                f"run_streaming_dedup_sliding shard={shard} "
+                f"batch={batch_id}",
+            )
+            return pd.DataFrame({
+                "shard_id": [shard],
+                "state_batch": [int(batch_id)],
+                "num_shards": [int(num_shards)],
+                "sketch": [sk.to_bytes()],
+                "n_keys": [int(sk.size)],
+            })
+
+        (
+            new_fps.groupBy("shard_id")
+            .applyInPandas(build_pane, STATE_SHARD_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(os.path.join(panes_dir, f"pane={batch_id}"))
+        )
+        if state is not None:
+            state.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        q = writer.trigger(availableNow=True).start()
+    else:
+        q = writer.trigger(processingTime="10 seconds").start()
+    q.awaitTermination()
+
+
 def run_streaming_decontam(
     stream_df: DataFrame, eval_df: DataFrame, id_col: str, text_col: str,
     *, out_dir: str, checkpoint_dir: str, n: int = 3,

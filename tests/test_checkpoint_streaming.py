@@ -474,6 +474,61 @@ def test_streaming_dedup_state_compaction(spark, tmp_path):
     assert compact_dedup_state(spark, out, upto_batch=1) == 0
 
 
+def test_streaming_dedup_sliding_horizon(spark, tmp_path):
+    """Sliding-horizon dedup: a duplicate inside the horizon is
+    dropped; once its ADMITTING batch leaves the horizon the
+    fingerprint is re-admitted (fixed-epoch semantics — suppressed
+    duplicates do not refresh recency); panes older than the horizon
+    are deleted from disk."""
+    from cuckoofilter_spark.plans.fsutil import list_dir_names
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_dedup_sliding,
+    )
+
+    src = tmp_path / "sl_src"
+    src.mkdir()
+    out = str(tmp_path / "sl_out")
+    ckpt = str(tmp_path / "sl_ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_streaming_dedup_sliding(
+            stream, "doc_id", "text", out_dir=out, checkpoint_dir=ckpt,
+            capacity=10_000, horizon_batches=2, seed=11, num_shards=8,
+        )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src), mode="append")
+        run()
+
+    def kept(b):
+        return {r["doc_id"] for r in
+                spark.read.parquet(f"{out}/data/batch={b}").collect()}
+
+    # batch 0: "x" admitted (and an intra-batch dup dropped)
+    feed([(1, "x marks the spot"), (2, "x marks the spot"),
+          (3, "unique zero")])
+    assert kept(0) == {1, 3}
+    # batch 1: "x" still inside horizon (panes {0}) -> dropped
+    feed([(10, "x marks the spot"), (11, "unique one")])
+    assert kept(1) == {11}
+    # batch 2: live panes {0,1}; "x" admitted at pane 0 -> dropped
+    feed([(20, "x marks the spot"), (21, "unique two")])
+    assert kept(2) == {21}
+    # batch 3: live panes {1,2}; pane 0 expired and the batch-1/2
+    # duplicates never wrote "x" -> RE-ADMITTED
+    feed([(30, "x marks the spot")])
+    assert kept(3) == {30}
+    # batch 4: "x" admitted at pane 3 -> inside horizon again
+    feed([(40, "x marks the spot"), (41, "unique four")])
+    assert kept(4) == {41}
+    # eviction happens at batch START: batch 4 deleted panes < 2
+    panes = sorted(list_dir_names(spark, f"{out}/_filter/panes"))
+    assert panes == ["pane=2", "pane=3", "pane=4"]
+
+
 def test_streaming_dedup_compaction_crash_retry(spark, tmp_path):
     """Compaction retries are idempotent across both crash windows:
 
