@@ -24,7 +24,9 @@ from cuckoofilter_spark.operators.approx import (  # noqa: F401
     approx_overlap,
     approx_overlap_kmv,
     approx_quantiles,
+    frequent_keys_filter,
     heavy_hitters,
+    overlap_matrix,
 )
 from cuckoofilter_spark.operators.grouped import grouped_sketch_agg  # noqa: F401
 from cuckoofilter_spark.operators.merge import (  # noqa: F401
@@ -49,6 +51,7 @@ from cuckoofilter_spark.operators.packing import (  # noqa: F401
 from cuckoofilter_spark.operators.probe import (  # noqa: F401
     count_hits_udf,
     might_contain_udf,
+    vocab_coverage,
 )
 from cuckoofilter_spark.operators.rollup import (  # noqa: F401
     rollup_sketch_table,
