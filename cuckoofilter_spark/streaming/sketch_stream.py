@@ -858,6 +858,25 @@ def streaming_windowed_sketch_by_key(
     )
 
 
+def _merge_session_spans(spans: list, gap_ms: int) -> list:
+    """Interval-union of (start, end, sketch, n) with the gap rule:
+    spans merge when one starts within the other's end+gap. The
+    algebra the session operator rests on: because sketch merge is a
+    commutative monoid and interval union with a fixed gap is
+    confluent, folding spans in ANY batching/arrival order yields the
+    same session set (pinned by the property test)."""
+    spans.sort(key=lambda s: s[0])
+    out = [spans[0]]
+    for start, end, sk, n in spans[1:]:
+        pstart, pend, psk, pn = out[-1]
+        if start <= pend + gap_ms:
+            psk.merge(sk)
+            out[-1] = (pstart, max(pend, end), psk, pn + n)
+        else:
+            out.append((start, end, sk, n))
+    return out
+
+
 def streaming_session_sketch_by_key(
     stream_df: DataFrame, ts_col: str, key_col: str, value_col: str, *,
     gap: str = "30 minutes", watermark: str = "1 hour",
@@ -905,18 +924,7 @@ def streaming_session_sketch_by_key(
         raise ValueError(f"gap must be positive, got {gap!r}")
 
     def _merge_spans(spans: list) -> list:
-        """Interval-union of (start, end, sketch, n) with the gap rule:
-        spans merge when one starts within the other's end+gap."""
-        spans.sort(key=lambda s: s[0])
-        out = [spans[0]]
-        for start, end, sk, n in spans[1:]:
-            pstart, pend, psk, pn = out[-1]
-            if start <= pend + gap_ms:
-                psk.merge(sk)
-                out[-1] = (pstart, max(pend, end), psk, pn + n)
-            else:
-                out.append((start, end, sk, n))
-        return out
+        return _merge_session_spans(spans, gap_ms)
 
     def _rows(key, spans, final):
         return pd.DataFrame({

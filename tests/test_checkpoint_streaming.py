@@ -474,6 +474,64 @@ def test_streaming_dedup_state_compaction(spark, tmp_path):
     assert compact_dedup_state(spark, out, upto_batch=1) == 0
 
 
+def test_merge_session_spans_order_invariant():
+    """The session-merge algebra: folding event spans in ANY
+    batching/arrival order yields the gap-partition of the sorted
+    event set, with exact per-session row counts and distinct values
+    (sketch merge = commutative monoid + confluent interval union)."""
+    import random
+
+    from cuckoofilter_spark.core.hll import HyperLogLog
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        _merge_session_spans,
+    )
+
+    def span(ts_list):
+        sk = HyperLogLog(p=14, seed=1)
+        sk.add_many(np.array(ts_list, dtype=np.uint64))
+        return (min(ts_list), max(ts_list), sk, len(ts_list))
+
+    gap = 10
+    for trial in range(25):
+        rng = random.Random(trial)
+        n = rng.randint(1, 40)
+        events = sorted(rng.sample(range(0, 400), n))
+        # ground truth: gap partition of the sorted events
+        truth, cur = [], [events[0]]
+        for t in events[1:]:
+            if t - cur[-1] > gap:
+                truth.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        truth.append(cur)
+
+        # arrival simulation: shuffle events into batches; each batch
+        # contributes its own gap-runs as fragments; fold incrementally
+        shuffled = events[:]
+        rng.shuffle(shuffled)
+        spans = []
+        i = 0
+        while i < len(shuffled):
+            take = rng.randint(1, 5)
+            batch = sorted(shuffled[i:i + take])
+            i += take
+            run = [batch[0]]
+            for t in batch[1:]:
+                if t - run[-1] > gap:
+                    spans.append(span(run))
+                    run = [t]
+                else:
+                    run.append(t)
+            spans.append(span(run))
+            spans = _merge_session_spans(spans, gap)
+
+        got = [(s[0], s[1], s[3], round(s[2].estimate()))
+               for s in spans]
+        want = [(g[0], g[-1], len(g), len(set(g))) for g in truth]
+        assert got == want, (trial, got, want)
+
+
 def test_streaming_dedup_sliding_horizon(spark, tmp_path):
     """Sliding-horizon dedup: a duplicate inside the horizon is
     dropped; once its ADMITTING batch leaves the horizon the
