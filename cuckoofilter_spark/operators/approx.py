@@ -29,23 +29,45 @@ def _merged_sketch(shards: DataFrame, tree: bool, dedup: bool = False):
     return collect_merged(shards, dedup=dedup)
 
 
+# auto-strategy size cutover: below this estimated input size the
+# fixed cost of the extra JVM exchange (~0.3-0.5 s of stages) exceeds
+# what it saves; above it the every-occurrence Arrow transfer loses
+# (measured: parity-to-worse at 0.1-1 GB inputs, decisive wins at the
+# 10 GB step, no contest at north-rule duplication).
+_AUTO_SHUFFLE_MIN_BYTES = 2 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate — free (no job); for a
+    parquet scan it is the file-size sum after pruning."""
+    try:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:
+        return 0  # unknown: prefer the narrow plan
+
+
 def _distinct_strategy(df: DataFrame, column: str, strategy: str) -> str:
     """Resolve strategy='auto' for DISTINCT-INSENSITIVE sketches (HLL,
-    KMV: duplicate inserts cannot change the state). For an array
-    column (token streams: ~10^3 occurrences per distinct key) the
+    KMV: duplicate inserts cannot change the state). For a LARGE array
+    column (token streams: many occurrences per distinct key) the
     'shuffle_distinct' plan lets Catalyst's map-side partial distinct
     collapse the stream JVM-side, so Arrow ships ~cardinality keys
     instead of every occurrence — at the 10^9-token scale step that is
     the difference between a 23 GB and an 8 MB python-boundary
-    transfer. Scalar columns keep the narrow zero-shuffle build: their
-    Arrow volume equals the shuffle volume, so the extra exchange buys
-    nothing."""
+    transfer. Scalar columns, and small inputs where the extra
+    exchange's fixed cost dominates (Catalyst size estimate below
+    ``_AUTO_SHUFFLE_MIN_BYTES``), keep the narrow zero-shuffle
+    build."""
     if strategy != "auto":
         return strategy
     from pyspark.sql.types import ArrayType
 
+    if not isinstance(df.schema[column].dataType, ArrayType):
+        return "local"
     return ("shuffle_distinct"
-            if isinstance(df.schema[column].dataType, ArrayType)
+            if _plan_size_bytes(df) >= _AUTO_SHUFFLE_MIN_BYTES
             else "local")
 
 
@@ -78,17 +100,21 @@ def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
     """Merged count-min over ``column``; point estimates upper-bound the
     true frequency, overshoot ≤ eps·N with prob ≥ 1-delta.
 
-    ``strategy='auto'`` picks ``shuffle_count`` for array columns —
-    Catalyst's map-side partial COUNT collapses the token stream
-    JVM-side and the python boundary carries exact (key, count) pairs
-    at ~cardinality rows; counters are identical to the per-occurrence
-    build, only the data movement changes."""
+    ``strategy='auto'`` picks ``shuffle_count`` for LARGE array
+    columns (same size cutover as ``_distinct_strategy``) — Catalyst's
+    map-side partial COUNT collapses the token stream JVM-side and the
+    python boundary carries exact (key, count) pairs at ~cardinality
+    rows; counters are identical to the per-occurrence build, only the
+    data movement changes."""
     if strategy == "auto":
         from pyspark.sql.types import ArrayType
 
-        strategy = ("shuffle_count"
-                    if isinstance(df.schema[column].dataType, ArrayType)
-                    else "local")
+        strategy = (
+            "shuffle_count"
+            if isinstance(df.schema[column].dataType, ArrayType)
+            and _plan_size_bytes(df) >= _AUTO_SHUFFLE_MIN_BYTES
+            else "local"
+        )
     shards = build_sketch_shards(
         df, column, kind="cms", distinct=False, weight_by_count=True,
         lineage=False, strategy=strategy, eps=eps, delta=delta, seed=seed,

@@ -111,13 +111,24 @@ def test_shuffle_count_plan_is_partial_count_agg(spark):
     assert "Exchange" in plan
     # strategy='auto' resolution: scalar columns stay narrow/local,
     # array columns take the JVM pre-distinct plan
+    from cuckoofilter_spark.operators import approx as approx_mod
     from cuckoofilter_spark.operators.approx import _distinct_strategy
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
 
+    # scalar columns and SMALL inputs stay narrow/local; large array
+    # columns cut over to the JVM pre-distinct plan (Catalyst's free
+    # size estimate drives the decision — no job)
     assert _distinct_strategy(li, "l_partkey", "auto") == "local"
-    assert _distinct_strategy(tokens, "tokens", "auto") \
-        == "shuffle_distinct"
+    assert _distinct_strategy(tokens, "tokens", "auto") == "local"
+    old = approx_mod._AUTO_SHUFFLE_MIN_BYTES
+    approx_mod._AUTO_SHUFFLE_MIN_BYTES = 1
+    try:
+        assert _distinct_strategy(tokens, "tokens", "auto") \
+            == "shuffle_distinct"
+        assert _distinct_strategy(li, "l_partkey", "auto") == "local"
+    finally:
+        approx_mod._AUTO_SHUFFLE_MIN_BYTES = old
 
 
 def test_blocked_near_dup_plan_has_no_cartesian(spark):

@@ -365,15 +365,18 @@ def test_shuffle_count_and_distinct_strategies_bit_identical(spark, tokens_df):
 
     c_lo = cms_sketch(tokens_df, "tokens", eps=0.001, seed=7,
                       strategy="local")
-    c_sc = cms_sketch(tokens_df, "tokens", eps=0.001, seed=7)  # auto
+    c_sc = cms_sketch(tokens_df, "tokens", eps=0.001, seed=7,
+                      strategy="shuffle_count")
     assert np.array_equal(c_lo.counts, c_sc.counts)
 
     h_lo = hll_sketch(tokens_df, "tokens", p=12, seed=7, strategy="local")
-    h_sd = hll_sketch(tokens_df, "tokens", p=12, seed=7)  # auto
+    h_sd = hll_sketch(tokens_df, "tokens", p=12, seed=7,
+                      strategy="shuffle_distinct")
     assert np.array_equal(h_lo.registers, h_sd.registers)
 
     k_lo = kmv_sketch(tokens_df, "tokens", k=512, seed=7, strategy="local")
-    k_sd = kmv_sketch(tokens_df, "tokens", k=512, seed=7)  # auto
+    k_sd = kmv_sketch(tokens_df, "tokens", k=512, seed=7,
+                      strategy="shuffle_distinct")
     assert np.array_equal(k_lo.values, k_sd.values)
 
     # guard: shuffle_count is a frequency-build strategy only
