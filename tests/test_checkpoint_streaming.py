@@ -474,6 +474,61 @@ def test_streaming_dedup_state_compaction(spark, tmp_path):
     assert compact_dedup_state(spark, out, upto_batch=1) == 0
 
 
+def test_streaming_session_sketch_value_kind(spark, tmp_path):
+    """Session sketches with a VALUE-based kind (tdigest): the
+    readout is the session's p50 over its values — exercises the
+    _keys_array value path and cross-session sketch merge on
+    bridging."""
+    import datetime as dt
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_session_sketch_by_key,
+    )
+
+    src = tmp_path / "sv_src"
+    src.mkdir()
+    res = tmp_path / "sv_res"
+    schema = "ts timestamp, k string, v double"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = streaming_session_sketch_by_key(
+            stream, "ts", "k", "v", gap="30 minutes",
+            watermark="1 hour", kind="tdigest", delta=100.0,
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(str(res / f"batch={bid}"))
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "sv_ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def ts(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm, 0)
+
+    spark.createDataFrame(
+        [(ts(10, 0), "A", 10.0), (ts(10, 10), "A", 20.0),
+         (ts(10, 20), "A", 30.0), (ts(14, 0), "Z", 9.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    spark.createDataFrame(
+        [(ts(14, 30), "Z", 9.0)], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run()
+    finals = [r for d in sorted(os.listdir(res))
+              for r in spark.read.parquet(str(res / d)).collect()
+              if r["key"] == "A" and r["final"]]
+    assert len(finals) == 1
+    r = finals[0]
+    assert r["n_rows"] == 3
+    assert abs(r["readout"] - 20.0) < 1e-6  # exact p50 of 3 values
+
+
 def test_merge_session_spans_order_invariant():
     """The session-merge algebra: folding event spans in ANY
     batching/arrival order yields the gap-partition of the sorted
