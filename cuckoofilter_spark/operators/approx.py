@@ -329,14 +329,19 @@ def frequent_keys_filter(
         # same JVM hash as the CMS build side — both gates must speak
         # one key space
         keys_df = keys_df.select(string_key_expr("__k").alias("__k"))
-    survivors = keys_df.distinct().filter(frequent("__k"))
-    n = survivors.count()
-    shards = build_sketch_shards(
-        survivors, "__k", kind="cuckoo", lineage=False,
-        max_num_keys=suggest_capacity(n),
-        bits_per_item=bits_per_item, seed=filter_seed,
-    )
-    return merge_shards_to_blob(shards, dedup=True)
+    # persist: the capacity count and the build would otherwise each
+    # re-run the distinct + broadcast-CMS gate
+    survivors = keys_df.distinct().filter(frequent("__k")).persist()
+    try:
+        n = survivors.count()
+        shards = build_sketch_shards(
+            survivors, "__k", kind="cuckoo", lineage=False,
+            max_num_keys=suggest_capacity(n),
+            bits_per_item=bits_per_item, seed=filter_seed,
+        )
+        return merge_shards_to_blob(shards, dedup=True)
+    finally:
+        survivors.unpersist()
 
 
 def overlap_matrix(
