@@ -1783,57 +1783,14 @@ def q_pack_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING POLICY (round-4 verdict item 2): the driver's oracle
+    # gate snapshots the FIRST 50 entries, so the newest /
+    # least-driver-proven operators lead and long-stable rows (the
+    # near-identical cf_*_zero_fn variants, classic relational
+    # queries) sit at the back; everything past 50 is still verified
+    # locally by scripts/check_queries.py each round.
     return {
-        "cf_semijoin_agg": q_cf_semijoin_agg,
-        "cf_antijoin_agg": q_cf_antijoin_agg,
-        "bloom_semijoin_agg": q_bloom_semijoin_agg,
-        "cf_zero_false_negatives": q_cf_zero_false_negatives,
-        "cf_delete_then_lookup": q_cf_delete_then_lookup,
-        "cf_merge_associativity": q_cf_merge_associativity,
-        "cf_string_keys": q_cf_string_keys,
-        "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
-        "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
-        "tokens_array_zero_fn": q_tokens_array_zero_fn,
-        "hll_distinct_bound": q_hll_distinct_bound,
-        "cms_frequency_bound": q_cms_frequency_bound,
-        "hll_overlap_bound": q_hll_overlap_bound,
-        "kmv_overlap_bound": q_kmv_overlap_bound,
-        "hll_by_group_bound": q_hll_by_group_bound,
-        "hll_rollup_day_bound": q_hll_rollup_day_bound,
-        "heavy_hitters_exact": q_heavy_hitters_exact,
-        "tdigest_by_group_bound": q_tdigest_by_group_bound,
-        "tdigest_quantile_bound": q_tdigest_quantile_bound,
-        "kll_quantile_bound": q_kll_quantile_bound,
-        "pricing_summary": q_pricing_summary,
-        "semisort_zero_false_negatives": q_semisort_zero_false_negatives,
-        "text_stats_by_source": q_text_stats_by_source,
-        "lang_id_counts": q_lang_id_counts,
-        "exact_dedup_stats": q_exact_dedup_stats,
-        "rolling_fingerprints": q_rolling_fingerprints,
-        "minhash_near_dups": q_minhash_near_dups,
-        "ngram_near_dups": q_ngram_near_dups,
-        "dup_cluster_stats": q_dup_cluster_stats,
-        "simhash_near_dups": q_simhash_near_dups,
-        "cosine_topk": q_cosine_topk,
-        "ann_recall_bound": q_ann_recall_bound,
-        "ann_multiprobe_recall_bound": q_ann_multiprobe_recall_bound,
-        "ivf_recall_bound": q_ivf_recall_bound,
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_byte_stats": q_media_byte_stats,
-        "media_frame_stats": q_media_frame_stats,
-        "events_hourly_window": q_events_hourly_window,
-        "rollup_lineitem": q_rollup_lineitem,
-        "cube_orders": q_cube_orders,
-        "top3_parts_per_brand": q_top3_parts_per_brand,
-        "events_sessionization": q_events_sessionization,
-        "streaming_filter_build": q_streaming_filter_build,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_dedup_sliding": q_streaming_dedup_sliding,
-        "checkpoint_resume_build": q_checkpoint_resume_build,
-        "hash_sample_stats": q_hash_sample_stats,
-        "stratified_sample_counts": q_stratified_sample_counts,
-        "bottomk_sample": q_bottomk_sample,
-        "decontaminate_docs": q_decontaminate_docs,
+        # --- round-4 operators the r4 driver gate never saw ---------
         "streaming_decontam": q_streaming_decontam,
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
         "streaming_session_hll_bound": q_streaming_session_hll,
@@ -1845,6 +1802,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_firstfit_stats": q_pack_firstfit_stats,
         "pii_stats": q_pii_stats,
         "pack_documents_stats": q_pack_documents_stats,
+        "streaming_dedup_sliding": q_streaming_dedup_sliding,
+        # --- core / companion-sketch contract rows ------------------
+        "cf_semijoin_agg": q_cf_semijoin_agg,
+        "cf_antijoin_agg": q_cf_antijoin_agg,
+        "bloom_semijoin_agg": q_bloom_semijoin_agg,
+        "cf_delete_then_lookup": q_cf_delete_then_lookup,
+        "cf_merge_associativity": q_cf_merge_associativity,
+        "cf_string_keys": q_cf_string_keys,
+        "hll_distinct_bound": q_hll_distinct_bound,
+        "cms_frequency_bound": q_cms_frequency_bound,
+        "hll_overlap_bound": q_hll_overlap_bound,
+        "kmv_overlap_bound": q_kmv_overlap_bound,
+        "hll_by_group_bound": q_hll_by_group_bound,
+        "hll_rollup_day_bound": q_hll_rollup_day_bound,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
+        "tdigest_by_group_bound": q_tdigest_by_group_bound,
+        "tdigest_quantile_bound": q_tdigest_quantile_bound,
+        "kll_quantile_bound": q_kll_quantile_bound,
+        # --- dedup / similarity / media -----------------------------
+        "minhash_near_dups": q_minhash_near_dups,
+        "ngram_near_dups": q_ngram_near_dups,
+        "dup_cluster_stats": q_dup_cluster_stats,
+        "simhash_near_dups": q_simhash_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "ann_recall_bound": q_ann_recall_bound,
+        "ann_multiprobe_recall_bound": q_ann_multiprobe_recall_bound,
+        "ivf_recall_bound": q_ivf_recall_bound,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_byte_stats": q_media_byte_stats,
+        "media_frame_stats": q_media_frame_stats,
+        # --- streaming / pipeline -----------------------------------
+        "streaming_filter_build": q_streaming_filter_build,
+        "streaming_dedup": q_streaming_dedup,
+        "checkpoint_resume_build": q_checkpoint_resume_build,
+        "hash_sample_stats": q_hash_sample_stats,
+        "stratified_sample_counts": q_stratified_sample_counts,
+        "bottomk_sample": q_bottomk_sample,
+        "decontaminate_docs": q_decontaminate_docs,
+        # --- long-stable rows (driver-green since r1-r3; verified
+        # locally every round past the 50-row window) ----------------
+        "cf_zero_false_negatives": q_cf_zero_false_negatives,
+        "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
+        "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
+        "tokens_array_zero_fn": q_tokens_array_zero_fn,
+        "semisort_zero_false_negatives": q_semisort_zero_false_negatives,
+        "pricing_summary": q_pricing_summary,
+        "text_stats_by_source": q_text_stats_by_source,
+        "lang_id_counts": q_lang_id_counts,
+        "exact_dedup_stats": q_exact_dedup_stats,
+        "rolling_fingerprints": q_rolling_fingerprints,
+        "events_hourly_window": q_events_hourly_window,
+        "rollup_lineitem": q_rollup_lineitem,
+        "cube_orders": q_cube_orders,
+        "top3_parts_per_brand": q_top3_parts_per_brand,
+        "events_sessionization": q_events_sessionization,
     }
 
 

@@ -67,7 +67,12 @@ def main() -> None:
     # Arrow-UDF stages keep a JVM feeder thread AND a python worker hot
     # per task slot; task.cpus=2 keeps total hot threads ≈ physical
     # cores instead of 2x-oversubscribing (measured ~2x slowdown).
-    extra = {"spark.task.cpus": "2"} if CPUS >= 16 else None
+    # showConsoleProgress off: the \r-rewritten stage lines interleave
+    # the final JSON metric line on stdout and broke the driver's parse
+    # in round 4 (BENCH_r04.json "parsed": null).
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if CPUS >= 16:
+        extra["spark.task.cpus"] = "2"
     spark = get_spark(app="cuckoofilter-bench", cores=CPUS, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark)  # exclude worker spawn/numpy cold-start
@@ -366,7 +371,7 @@ def main() -> None:
 
     extra["spread"] = spread
     total = sum(queries.values())
-    print(json.dumps({
+    payload = {
         "metric": "sketch_bench_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -374,8 +379,23 @@ def main() -> None:
         "sf": sf,
         "extra": {k: (round(v, 3) if isinstance(v, float) else v)
                   for k, v in extra.items()},
-    }))
+    }
+    # Durable machine-readable record (round-4 verdict: the driver's
+    # stdout tail-grep is fragile; this file is the authoritative copy).
+    here = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+    with open(os.path.join(here, "BENCH", "last_run.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
     spark.stop()
+    # Sole final stdout line: emit AFTER spark.stop() so no executor
+    # output can trail it, with a leading newline to clear any
+    # half-written \r progress line.
+    import sys
+
+    sys.stderr.flush()
+    sys.stdout.write("\n" + json.dumps(payload) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

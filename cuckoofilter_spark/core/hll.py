@@ -47,6 +47,13 @@ class HyperLogLog:
     # measured 13x faster than the same math un-chunked.
     _CHUNK = 1 << 20
 
+    # Histogram path cap: the per-chunk bincount temp is m*64 int64
+    # bins (8 B each) — 32 MB at p=16, but 134 MB at p=18, and that
+    # multiplies across concurrent python workers. Above this p the
+    # sort path below does the same reduction in O(n log n) with no
+    # m-sized temporaries at all.
+    _HIST_MAX_P = 16
+
     def add_many(self, keys: np.ndarray) -> None:
         n = len(keys)
         if n == 0:
@@ -54,11 +61,20 @@ class HyperLogLog:
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         shift_idx = np.uint64(64 - self.p)
         maxrank = 64 - self.p + 1
-        # (register, rank) occupancy histogram: one O(n) C-speed
-        # bincount per chunk into m*64 bins, then each register's
+        use_hist = self.p <= self._HIST_MAX_P
+        # (register, rank) occupancy: for small p, one O(n) C-speed
+        # bincount per chunk into m*64 bins, reduced to a BOOL
+        # occupancy accumulator (m*64 bytes, not int64 counts — the
+        # counts were never used beyond >0), then each register's
         # 64-lane slice reduces to its highest occupied rank with a
-        # vectorized argmax. Bit-identical to the scatter-max.
-        counts: np.ndarray | None = None
+        # vectorized argmax. For large p, sort the packed (idx<<6|rank)
+        # chunk instead: the last element of each idx-group IS the
+        # group's max rank (rank sits in the low bits), and the group
+        # representatives have unique idx, so a fancy-indexed
+        # np.maximum folds them into the registers with no scatter
+        # conflicts and no m-sized temp. Both paths are bit-identical
+        # to the naive np.maximum.at scatter-max.
+        occ: np.ndarray | None = None
         for i in range(0, n, self._CHUNK):
             k = keys[i:i + self._CHUNK]
             hv = mix64(k, self.seed)
@@ -67,13 +83,29 @@ class HyperLogLog:
             rest = hv << np.uint64(self.p)  # wraps: low bits shifted up
             rank = np.minimum(clz64(rest) + 1, maxrank).astype(np.int64)
             packed = (idx << np.int64(6)) | rank  # rank <= 61 < 64
-            c = np.bincount(packed, minlength=self.m << 6)
-            counts = c if counts is None else counts + c
-        occ = counts.reshape(self.m, 64) > 0
-        # highest set lane per register: 63 - argmax over reversed lanes
-        hi = np.int64(63) - np.argmax(occ[:, ::-1], axis=1)
-        hi[~occ.any(axis=1)] = 0
-        np.maximum(self.registers, hi.astype(np.uint8), out=self.registers)
+            if use_hist:
+                c = np.bincount(packed, minlength=self.m << 6) > 0
+                occ = c if occ is None else (occ | c)
+            else:
+                pk = np.sort(packed)
+                last = np.flatnonzero(np.diff(pk >> np.int64(6)) != 0)
+                sel = np.concatenate([pk[last], pk[-1:]])
+                u_idx = (sel >> np.int64(6)).astype(np.int64)
+                u_rank = (sel & np.int64(63)).astype(np.uint8)
+                np.maximum(
+                    self.registers[u_idx], u_rank,
+                    out=u_rank,
+                )
+                self.registers[u_idx] = u_rank
+        if use_hist:
+            occ2 = occ.reshape(self.m, 64)
+            # highest set lane per register: 63 - argmax over reversed
+            # lanes
+            hi = np.int64(63) - np.argmax(occ2[:, ::-1], axis=1)
+            hi[~occ2.any(axis=1)] = 0
+            np.maximum(
+                self.registers, hi.astype(np.uint8), out=self.registers
+            )
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if other.p != self.p or other.seed != self.seed:

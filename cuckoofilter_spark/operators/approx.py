@@ -41,11 +41,16 @@ def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's optimized-plan size estimate — free (no job); for a
     parquet scan it is the file-size sum after pruning."""
     try:
-        return int(str(
+        size = int(str(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         ))
     except Exception:
         return 0  # unknown: prefer the narrow plan
+    # Relations without real statistics report
+    # spark.sql.defaultSizeInBytes (~Long.MaxValue); treat implausibly
+    # large estimates as unknown too, so auto keeps the narrow local
+    # build for tiny non-file inputs instead of the opposite.
+    return 0 if size >= 2**60 else size
 
 
 def _distinct_strategy(df: DataFrame, column: str, strategy: str) -> str:

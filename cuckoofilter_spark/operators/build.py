@@ -243,6 +243,11 @@ def build_sketch_shards(
             src = src.select(F.explode("__v").alias("__v"))
         if isinstance(src.schema["__v"].dataType, StringType):
             src = src.select(string_key_expr("__v").alias("__v"))
+        # drop null keys JVM-side to match the local path's semantics
+        # (_to_uint64 drops nulls): a null array element or null scalar
+        # would otherwise become a groupBy row whose key _to_uint64
+        # removes while its count survives — misaligned add_many arrays
+        src = src.filter(F.col("__v").isNotNull())
         n_parts = shuffle_partitions or df.sparkSession.sparkContext \
             .defaultParallelism
         # groupBy carries its own ENSURE_REQUIREMENTS exchange; the
@@ -266,6 +271,8 @@ def build_sketch_shards(
             # hash BEFORE distinct: the shuffle then moves 8-byte
             # hashes, never the strings themselves
             src = src.select(string_key_expr("__v").alias("__v"))
+        # null-key parity with the local path (see shuffle_count above)
+        src = src.filter(F.col("__v").isNotNull())
         # distinct() first so Catalyst's map-side partial aggregate
         # shrinks the big shuffle to ≈cardinality rows per partition;
         # then an explicit user-numbered repartition of the survivors.

@@ -880,7 +880,8 @@ def _merge_session_spans(spans: list, gap_ms: int) -> list:
 def streaming_session_sketch_by_key(
     stream_df: DataFrame, ts_col: str, key_col: str, value_col: str, *,
     gap: str = "30 minutes", watermark: str = "1 hour",
-    kind: str = "hll", emit_updates: bool = False, **params,
+    kind: str = "hll", emit_updates: bool = False,
+    max_open_sessions: int = 4096, **params,
 ) -> DataFrame:
     """Per-(key, SESSION) sketch maintenance — the built-in
     ``session_window`` aggregation re-expressed for ANY registry
@@ -980,8 +981,21 @@ def streaming_session_sketch_by_key(
             return
         spans = _merge_spans(spans)
         wm = state.getCurrentWatermarkMs()
-        closed = [s for s in spans if s[1] + gap_ms <= wm]
-        open_ = [s for s in spans if s[1] + gap_ms > wm]
+        # STRICT close test: Spark still admits events with ts ==
+        # watermark, so a session is immutable only once end + gap < wm
+        # — an event at exactly end+gap can otherwise extend a span
+        # already emitted as final (duplicate/split final row).
+        closed = [s for s in spans if s[1] + gap_ms < wm]
+        open_ = [s for s in spans if s[1] + gap_ms >= wm]
+        if max_open_sessions and len(open_) > max_open_sessions:
+            raise RuntimeError(
+                f"streaming_session_sketch_by_key[{kind}]: key {k!r} "
+                f"holds {len(open_)} open sessions "
+                f"(> max_open_sessions={max_open_sessions}); state for "
+                "this key is growing unboundedly — likely clock-skewed "
+                "or far-out-of-order events. Raise max_open_sessions, "
+                "widen gap, or tighten the watermark."
+            )
         if closed:
             yield _rows(k, closed, True)
         if open_:

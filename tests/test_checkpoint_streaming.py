@@ -875,6 +875,59 @@ def test_streaming_session_sketch_separate_sessions(spark, tmp_path):
     ]
 
 
+def test_streaming_session_sketch_state_guard(spark, tmp_path):
+    """A pathological (clock-skewed) key whose gap-separated runs pile
+    up faster than the watermark can close them must trip the
+    ``max_open_sessions`` guard LOUDLY instead of growing state
+    unboundedly — and the same workload passes when the guard is
+    sized for it."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        streaming_session_sketch_by_key,
+    )
+
+    schema = "ts timestamp, k string, v long"
+
+    def ts(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm, 0)
+
+    # six 1-event sessions for key "A", 1h apart with a 10m gap; the
+    # 100h watermark means NONE can close -> six open sessions
+    rows = [(ts(h, 0), "A", h) for h in range(6, 12)]
+
+    def run(tag, max_open):
+        src = tmp_path / f"guard_src_{tag}"
+        src.mkdir()
+        res = tmp_path / f"guard_res_{tag}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src), mode="append"
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = streaming_session_sketch_by_key(
+            stream, "ts", "k", "v", gap="10 minutes",
+            watermark="100 hours", kind="hll", p=14, seed=4,
+            max_open_sessions=max_open,
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(str(res / f"batch={bid}"))
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"guard_ck_{tag}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException, match="max_open_sessions"):
+        run("trip", 3)
+    run("ok", 6)  # guard sized for the workload: state bounded, no trip
+
+
 def test_streaming_windowed_sketch_session_timezone(spark, tmp_path):
     """Event-time timeouts must be computed in the SESSION timezone:
     the grouped-state key's window_start is a tz-naive datetime

@@ -385,6 +385,36 @@ def test_shuffle_count_and_distinct_strategies_bit_identical(spark, tokens_df):
                             strategy="shuffle_count", p=12, seed=7)
 
 
+def test_shuffle_strategies_drop_null_keys(spark):
+    """Null keys (null array elements, null scalars) must be dropped
+    JVM-side in the shuffle strategies exactly as _to_uint64 drops
+    them in the local path — previously a null token made the keys and
+    counts arrays different lengths and crashed add_many at scale."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    from cuckoofilter_spark.operators.approx import (
+        cms_sketch, hll_sketch,
+    )
+
+    rows = [([1, 2, None, 3],), ([4, None, 1],), (None,), ([],)]
+    df = spark.createDataFrame(
+        rows,
+        StructType([StructField(
+            "tokens", ArrayType(LongType(), containsNull=True), True
+        )]),
+    )
+    c_lo = cms_sketch(df, "tokens", eps=0.01, seed=7, strategy="local")
+    c_sc = cms_sketch(df, "tokens", eps=0.01, seed=7,
+                      strategy="shuffle_count")
+    assert np.array_equal(c_lo.counts, c_sc.counts)
+    h_lo = hll_sketch(df, "tokens", p=12, seed=7, strategy="local")
+    h_sd = hll_sketch(df, "tokens", p=12, seed=7,
+                      strategy="shuffle_distinct")
+    assert np.array_equal(h_lo.registers, h_sd.registers)
+
+
 def test_distributed_delete_routing(spark):
     """Distributed delete over hash-disjoint (shuffle_distinct) shards:
     deleted keys drop out, survivors keep zero false negatives."""
