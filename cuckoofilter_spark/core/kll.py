@@ -41,6 +41,28 @@ class KLL:
         self.levels[0] = np.concatenate([self.levels[0], v])
         self._compact()
 
+    def add_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Insert ``values[i]`` with multiplicity ``weights[i]`` by
+        binary weight decomposition (the DataSketches weighted-update
+        scheme): a weight w lands one copy at each level i where bit i
+        of w is set — level i items carry weight 2^i by construction,
+        so the weighted rank contribution is exact at insert time and
+        subsequent compactions apply the normal KLL guarantee."""
+        v = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.int64)
+        keep = ~np.isnan(v) & (w > 0)
+        v, w = v[keep], w[keep]
+        if len(v) == 0:
+            return
+        self.n += int(w.sum())
+        for i in range(int(w.max()).bit_length()):
+            sel = (w >> i) & 1 == 1
+            if sel.any():
+                while len(self.levels) <= i:
+                    self.levels.append(np.zeros(0, dtype=np.float64))
+                self.levels[i] = np.concatenate([self.levels[i], v[sel]])
+        self._compact()
+
     def _compact(self) -> None:
         i = 0
         while i < len(self.levels):

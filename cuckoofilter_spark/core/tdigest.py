@@ -29,6 +29,7 @@ class TDigest:
         self.means = np.zeros(0, dtype=np.float64)
         self.weights = np.zeros(0, dtype=np.float64)
         self._buf: list[np.ndarray] = []
+        self._wbuf: list[np.ndarray | None] = []
         self._buf_n = 0
         self.count = 0.0
         self.min = np.inf
@@ -43,6 +44,28 @@ class TDigest:
         self.max = max(self.max, float(v.max()))
         self.count += len(v)
         self._buf.append(v)
+        self._wbuf.append(None)  # unit weights, materialized at compress
+        self._buf_n += len(v)
+        if self._buf_n > 10 * self.delta:
+            self._compress()
+
+    def add_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Insert ``values[i]`` with multiplicity ``weights[i]`` — the
+        pre-aggregated form a JVM ``groupBy(value).count()`` produces.
+        Because ``_compress`` collapses exact ties before the merge
+        pass, a weighted insert of (v, c) is state-identical to a
+        single-batch unit insert of c copies of v."""
+        v = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        keep = ~np.isnan(v) & (w > 0)
+        v, w = v[keep], w[keep]
+        if len(v) == 0:
+            return
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self.count += float(w.sum())
+        self._buf.append(v)
+        self._wbuf.append(w)
         self._buf_n += len(v)
         if self._buf_n > 10 * self.delta:
             self._compress()
@@ -54,13 +77,29 @@ class TDigest:
             return
         vals = np.concatenate([self.means] + self._buf) if self._buf else self.means
         wts = np.concatenate(
-            [self.weights] + [np.ones(len(b)) for b in self._buf]
+            [self.weights] + [
+                np.ones(len(b)) if w is None else w
+                for b, w in zip(self._buf, self._wbuf)
+            ]
         ) if self._buf else self.weights
-        self._buf, self._buf_n = [], 0
+        self._buf, self._wbuf, self._buf_n = [], [], 0
         if len(vals) == 0:
             return
         order = np.argsort(vals, kind="stable")
         vals, wts = vals[order], wts[order]
+        # Collapse exact ties before the greedy pass: the weighted mean
+        # of equal values is the value itself, so this is lossless —
+        # and it makes the state a pure function of the weighted value
+        # MULTISET (unit and weighted inserts agree), while turning
+        # discrete domains (cardinality ≲ delta) into an exact
+        # fixed-point histogram.
+        if len(vals) > 1:
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(vals) != 0) + 1]
+            )
+            if len(starts) < len(vals):
+                wts = np.add.reduceat(wts, starts)
+                vals = vals[starts]
         total = wts.sum()
         # single merge pass under the k1 scale function
         out_m, out_w = [], []

@@ -53,6 +53,37 @@ def _plan_size_bytes(df: DataFrame) -> int:
     return 0 if size >= 2**60 else size
 
 
+# duplication-ratio cutover (round-4 verdict item 4): size alone
+# mis-picks at mid-scale — a multi-GB input of NEAR-UNIQUE keys gains
+# nothing from the collapsing exchange (the distinct output is as big
+# as the input), while a high-duplication stream wins at any size
+# above the fixed-cost floor. 4x means the collapse shrinks the
+# python-boundary transfer by >= 4x — comfortably past the extra
+# exchange's cost at every scale we measured.
+_AUTO_MIN_DUPLICATION = 4.0
+_AUTO_SAMPLE_ROWS = 20_000
+
+
+def _sampled_duplication(df: DataFrame, column: str) -> float:
+    """Duplication ratio (values per distinct value) of ``column``
+    from a bounded head sample — one tiny job (``limit`` short-
+    circuits the scan), only run when the input is already past the
+    size cutover, where ~0.3 s of sampling steers a minutes-long
+    build. Head-of-table bias is acceptable for a plan choice:
+    token-stream duplication is driven by the global vocab shape, not
+    row order."""
+    from pyspark.sql.types import ArrayType
+
+    src = df.select(F.col(column).alias("__v")).limit(_AUTO_SAMPLE_ROWS)
+    if isinstance(df.schema[column].dataType, ArrayType):
+        src = src.select(F.explode("__v").alias("__v"))
+    row = src.agg(
+        F.count("__v").alias("n"),
+        F.approx_count_distinct("__v").alias("d"),
+    ).collect()[0]
+    return (row["n"] / row["d"]) if row["d"] else 1.0
+
+
 def _distinct_strategy(df: DataFrame, column: str, strategy: str) -> str:
     """Resolve strategy='auto' for DISTINCT-INSENSITIVE sketches (HLL,
     KMV: duplicate inserts cannot change the state). For a LARGE array
@@ -61,18 +92,38 @@ def _distinct_strategy(df: DataFrame, column: str, strategy: str) -> str:
     collapse the stream JVM-side, so Arrow ships ~cardinality keys
     instead of every occurrence — at the 10^9-token scale step that is
     the difference between a 23 GB and an 8 MB python-boundary
-    transfer. Scalar columns, and small inputs where the extra
-    exchange's fixed cost dominates (Catalyst size estimate below
-    ``_AUTO_SHUFFLE_MIN_BYTES``), keep the narrow zero-shuffle
-    build."""
+    transfer. The cutover requires BOTH size (above
+    ``_AUTO_SHUFFLE_MIN_BYTES`` — below it the extra exchange's fixed
+    cost dominates) and a sampled duplication ratio >=
+    ``_AUTO_MIN_DUPLICATION`` (a large but near-unique key column
+    gains nothing from collapsing). Scalar columns keep the narrow
+    zero-shuffle build."""
     if strategy != "auto":
         return strategy
     from pyspark.sql.types import ArrayType
 
     if not isinstance(df.schema[column].dataType, ArrayType):
         return "local"
+    if _plan_size_bytes(df) < _AUTO_SHUFFLE_MIN_BYTES:
+        return "local"
     return ("shuffle_distinct"
-            if _plan_size_bytes(df) >= _AUTO_SHUFFLE_MIN_BYTES
+            if _sampled_duplication(df, column) >= _AUTO_MIN_DUPLICATION
+            else "local")
+
+
+def _value_strategy(df: DataFrame, column: str, strategy: str) -> str:
+    """Resolve strategy='auto' for VALUE sketches (tdigest, KLL).
+    Discrete value columns (n_tok: thousands of distinct values over
+    billions of rows) collapse to exact (value, count) pairs JVM-side
+    — same size + duplication gates as ``_distinct_strategy``, but
+    scalar columns qualify too (quantile columns are usually
+    scalar)."""
+    if strategy != "auto":
+        return strategy
+    if _plan_size_bytes(df) < _AUTO_SHUFFLE_MIN_BYTES:
+        return "local"
+    return ("shuffle_value_count"
+            if _sampled_duplication(df, column) >= _AUTO_MIN_DUPLICATION
             else "local")
 
 
@@ -105,12 +156,13 @@ def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
     """Merged count-min over ``column``; point estimates upper-bound the
     true frequency, overshoot ≤ eps·N with prob ≥ 1-delta.
 
-    ``strategy='auto'`` picks ``shuffle_count`` for LARGE array
-    columns (same size cutover as ``_distinct_strategy``) — Catalyst's
-    map-side partial COUNT collapses the token stream JVM-side and the
-    python boundary carries exact (key, count) pairs at ~cardinality
-    rows; counters are identical to the per-occurrence build, only the
-    data movement changes."""
+    ``strategy='auto'`` picks ``shuffle_count`` for LARGE,
+    HIGH-DUPLICATION array columns (same size + sampled-duplication
+    cutover as ``_distinct_strategy``) — Catalyst's map-side partial
+    COUNT collapses the token stream JVM-side and the python boundary
+    carries exact (key, count) pairs at ~cardinality rows; counters
+    are identical to the per-occurrence build, only the data movement
+    changes."""
     if strategy == "auto":
         from pyspark.sql.types import ArrayType
 
@@ -118,6 +170,7 @@ def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
             "shuffle_count"
             if isinstance(df.schema[column].dataType, ArrayType)
             and _plan_size_bytes(df) >= _AUTO_SHUFFLE_MIN_BYTES
+            and _sampled_duplication(df, column) >= _AUTO_MIN_DUPLICATION
             else "local"
         )
     shards = build_sketch_shards(
@@ -128,17 +181,28 @@ def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
 
 
 def tdigest_sketch(df: DataFrame, column: str, delta: float = 200.0,
-                   seed: int = 2014, tree: bool = False):
+                   seed: int = 2014, tree: bool = False,
+                   strategy: str = "auto"):
+    """``strategy='auto'`` picks the JVM-side (value, count) collapse
+    (``shuffle_value_count``) for large discrete value columns — see
+    ``_value_strategy``; on low-cardinality domains the digest state is
+    identical to the per-occurrence build (tie-collapsing compress)."""
     shards = build_sketch_shards(
-        df, column, kind="tdigest", lineage=False, delta=delta, seed=seed
+        df, column, kind="tdigest", lineage=False,
+        strategy=_value_strategy(df, column, strategy),
+        delta=delta, seed=seed,
     )
     return _merged_sketch(shards, tree)
 
 
 def kll_sketch(df: DataFrame, column: str, k: int = 200, seed: int = 2014,
-               tree: bool = False):
+               tree: bool = False, strategy: str = "auto"):
+    """``strategy='auto'`` as in ``tdigest_sketch``; KLL inserts
+    weighted values by binary weight decomposition."""
     shards = build_sketch_shards(
-        df, column, kind="kll", lineage=False, k=k, seed=seed
+        df, column, kind="kll", lineage=False,
+        strategy=_value_strategy(df, column, strategy),
+        k=k, seed=seed,
     )
     return _merged_sketch(shards, tree)
 

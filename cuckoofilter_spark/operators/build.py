@@ -223,9 +223,37 @@ def build_sketch_shards(
     """
     cls = SKETCH_KINDS[kind]
     value_based = kind in ("tdigest", "kll")
-    if strategy not in ("local", "shuffle_distinct", "shuffle_count"):
+    if strategy not in ("local", "shuffle_distinct", "shuffle_count",
+                        "shuffle_value_count"):
         raise ValueError(f"unknown build strategy {strategy!r}")
-    if strategy == "shuffle_count":
+    if strategy == "shuffle_value_count":
+        # Value-sketch analog of shuffle_count: Catalyst's map-side
+        # partial COUNT collapses a DISCRETE value column (n_tok:
+        # thousands of distinct values across billions of rows)
+        # JVM-side, so the python boundary carries (value, count)
+        # pairs at ~cardinality rows and the digest does one
+        # add_weighted insert per distinct value. For t-digest the
+        # tie-collapsing compress makes this state-identical to the
+        # per-occurrence build on low-cardinality domains; KLL uses
+        # binary weight decomposition (same rank guarantee).
+        if not value_based:
+            raise ValueError(
+                "shuffle_value_count requires a value-based sketch "
+                "(tdigest, kll)"
+            )
+        lineage = False
+        src = df.select(F.col(column).alias("__v"))
+        if isinstance(src.schema["__v"].dataType, _ARRAY_TYPES):
+            src = src.select(F.explode("__v").alias("__v"))
+        # null parity with _to_float64's null-dropping
+        src = src.filter(F.col("__v").isNotNull())
+        n_parts = shuffle_partitions or df.sparkSession.sparkContext \
+            .defaultParallelism
+        projected = (
+            src.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+            .repartition(n_parts, shard_key_expr("__v"))
+        )
+    elif strategy == "shuffle_count":
         # Frequency-sketch analog of shuffle_distinct: Catalyst's
         # map-side partial COUNT collapses the token stream JVM-side,
         # so the python boundary carries (key, count) pairs at
@@ -313,7 +341,8 @@ def build_sketch_shards(
     # (delete_from_shards) can validate routing assumptions; num_shards
     # is the shuffle partition count for shuffle_distinct (-1 = n/a)
     n_shards_meta = -1
-    if strategy in ("shuffle_distinct", "shuffle_count"):
+    if strategy in ("shuffle_distinct", "shuffle_count",
+                    "shuffle_value_count"):
         n_shards_meta = int(
             shuffle_partitions
             or df.sparkSession.sparkContext.defaultParallelism
@@ -331,7 +360,16 @@ def build_sketch_shards(
             if value_based:
                 vals = _to_float64(col)
                 if len(vals):
-                    sk.add_many(vals)  # streaming: digests self-compress
+                    if strategy == "shuffle_value_count":
+                        # (value, count) pairs — no nulls survive the
+                        # JVM-side filter, so columns stay aligned
+                        sk.add_weighted(
+                            vals,
+                            b.column(1).to_numpy(zero_copy_only=False)
+                            .astype(np.int64),
+                        )
+                    else:
+                        sk.add_many(vals)  # digests self-compress
             else:
                 keys = _to_uint64(col)
                 if len(keys):

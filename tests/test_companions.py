@@ -130,6 +130,58 @@ def test_tdigest_merge_and_roundtrip():
     assert m2.quantile(0.5) == pytest.approx(merged.quantile(0.5))
 
 
+def test_tdigest_weighted_state_identity_discrete():
+    """``add_weighted`` on a discrete domain is STATE-identical to the
+    per-occurrence build — the tie-collapsing compress turns a
+    low-cardinality domain into an exact per-value histogram fixed
+    point, regardless of batching, arrival order, or which insert
+    form delivered the weight. No-merge regime: every adjacent pair's
+    weight fraction must exceed ~pi/(2*delta) (k1' >= delta/pi, so a
+    pair step of >1.57% of total weight always breaks the <=1 bound) —
+    60 values with counts in [4000, 5000) gives min pair fraction
+    8000/300000 = 2.7%."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    values = np.arange(60, dtype=np.float64) * 3.0
+    counts = rng.integers(4000, 5000, size=60)
+    expanded = np.repeat(values, counts)
+    rng.shuffle(expanded)
+
+    unit = TDigest(delta=200)
+    for chunk in np.array_split(expanded, 13):  # forces mid-compressions
+        unit.add_many(chunk)
+    weighted = TDigest(delta=200)
+    weighted.add_weighted(values, counts)
+
+    unit._compress(force=True)
+    weighted._compress(force=True)
+    assert np.array_equal(unit.means, weighted.means)
+    assert np.array_equal(unit.weights, weighted.weights)
+    assert unit.count == weighted.count == counts.sum()
+    # the fixed point IS the exact histogram -> exact quantiles
+    srt = np.sort(expanded)
+    for q in (0.01, 0.5, 0.99):
+        est = weighted.quantile(q)
+        lo, hi = srt[int(q * (len(srt) - 1))], srt[
+            min(int(q * (len(srt) - 1)) + 1, len(srt) - 1)
+        ]
+        assert lo - 3.0 <= est <= hi + 3.0
+
+
+def test_tdigest_weighted_high_cardinality_accuracy():
+    """Above the exact-histogram regime the weighted build still meets
+    the same rank-error bound as the unit build."""
+    rng = np.random.Generator(np.random.PCG64(12))
+    values = np.unique(rng.lognormal(5.5, 0.6, size=30_000).round(1))
+    counts = rng.integers(1, 50, size=len(values))
+    expanded = np.repeat(values, counts)
+    td = TDigest(delta=200)
+    td.add_weighted(values, counts)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = td.quantile(q)
+        exact_rank = (expanded <= est).mean()
+        assert abs(exact_rank - q) < 0.015, (q, est, exact_rank)
+
+
 # ---------------------------------------------------------------------- kll
 def test_kll_rank_error():
     rng = np.random.Generator(np.random.PCG64(8))
@@ -142,6 +194,23 @@ def test_kll_rank_error():
         est = k.quantile(q)
         exact_rank = (data <= est).mean()
         assert abs(exact_rank - q) < 0.025, (q, exact_rank)
+
+
+def test_kll_weighted_rank_error():
+    """Binary weight decomposition: quantiles of a weighted insert
+    match the expanded multiset within the sketch's rank-error band,
+    and ``n`` counts total weight."""
+    rng = np.random.Generator(np.random.PCG64(13))
+    values = np.sort(rng.uniform(0, 1000, size=500))
+    counts = rng.integers(1, 700, size=500)
+    expanded = np.repeat(values, counts)
+    k = KLL(k=200, seed=1)
+    k.add_weighted(values, counts)
+    assert k.n == counts.sum()
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = k.quantile(q)
+        exact_rank = (expanded <= est).mean()
+        assert abs(exact_rank - q) < 0.03, (q, exact_rank)
 
 
 def test_kll_merge_and_roundtrip():

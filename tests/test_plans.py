@@ -109,24 +109,49 @@ def test_shuffle_count_plan_is_partial_count_agg(spark):
     assert "Generate" in plan or "Explode" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final count
     assert "Exchange" in plan
-    # strategy='auto' resolution: scalar columns stay narrow/local,
-    # array columns take the JVM pre-distinct plan
+    # strategy='auto' resolution — TWO gates (round-4 verdict item 4):
+    # size (Catalyst estimate, free) AND sampled duplication ratio.
+    # Small inputs and scalar membership columns stay narrow/local; a
+    # large HIGH-duplication array column cuts over to the JVM
+    # collapsing plan, while an equally large NEAR-UNIQUE array column
+    # stays local (the collapse wouldn't shrink the transfer).
     from cuckoofilter_spark.operators import approx as approx_mod
-    from cuckoofilter_spark.operators.approx import _distinct_strategy
+    from cuckoofilter_spark.operators.approx import (
+        _distinct_strategy, _sampled_duplication, _value_strategy,
+    )
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
 
-    # scalar columns and SMALL inputs stay narrow/local; large array
-    # columns cut over to the JVM pre-distinct plan (Catalyst's free
-    # size estimate drives the decision — no job)
     assert _distinct_strategy(li, "l_partkey", "auto") == "local"
     assert _distinct_strategy(tokens, "tokens", "auto") == "local"
+
+    # known-duplication fixtures: a hot-vocab array column (40k
+    # elements over 200 distinct -> dup 200) vs a near-unique one
+    # (dup 1), plus the matching scalar value columns
+    hot = spark.range(5000).select(
+        F.array(*[(F.col("id") * (i + 1)) % 200 for i in range(8)])
+        .alias("toks"),
+        (F.col("id") % 100).alias("v"),
+    )
+    uniq = spark.range(5000).select(
+        F.array(*[F.col("id") * 8 + i for i in range(8)]).alias("toks"),
+        F.col("id").alias("v"),
+    )
+    assert _sampled_duplication(hot, "toks") >= 4
+    assert _sampled_duplication(uniq, "toks") < 4
+
     old = approx_mod._AUTO_SHUFFLE_MIN_BYTES
-    approx_mod._AUTO_SHUFFLE_MIN_BYTES = 1
+    approx_mod._AUTO_SHUFFLE_MIN_BYTES = 0  # force the size gate open
     try:
-        assert _distinct_strategy(tokens, "tokens", "auto") \
+        assert _distinct_strategy(hot, "toks", "auto") \
             == "shuffle_distinct"
+        assert _distinct_strategy(uniq, "toks", "auto") == "local"
+        # scalar membership columns never take the collapsing plan
         assert _distinct_strategy(li, "l_partkey", "auto") == "local"
+        # value sketches: a discrete scalar (50 rows per distinct
+        # value) collapses; near-unique values stay local
+        assert _value_strategy(hot, "v", "auto") == "shuffle_value_count"
+        assert _value_strategy(uniq, "v", "auto") == "local"
     finally:
         approx_mod._AUTO_SHUFFLE_MIN_BYTES = old
 

@@ -385,6 +385,45 @@ def test_shuffle_count_and_distinct_strategies_bit_identical(spark, tokens_df):
                             strategy="shuffle_count", p=12, seed=7)
 
 
+def test_shuffle_value_count_state_identity_discrete(spark):
+    """The value-sketch collapsing plan (JVM groupBy value -> weighted
+    digest insert) is STATE-identical to the per-occurrence build on a
+    discrete domain: 60 distinct values x 1000 rows each is below the
+    k1 no-merge bound, so both plans converge to the exact per-value
+    histogram. KLL (randomized compaction) is checked on quantile
+    agreement instead of raw state."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.operators.approx import (
+        kll_sketch, tdigest_sketch,
+    )
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+
+    df = spark.range(60_000).select((F.col("id") % 60).alias("v"))
+    t_lo = tdigest_sketch(df, "v", delta=200.0, strategy="local")
+    t_sc = tdigest_sketch(df, "v", delta=200.0,
+                          strategy="shuffle_value_count")
+    t_lo._compress(force=True)
+    t_sc._compress(force=True)
+    assert np.array_equal(t_lo.means, t_sc.means)
+    assert np.array_equal(t_lo.weights, t_sc.weights)
+    assert t_lo.count == t_sc.count == 60_000
+
+    k_lo = kll_sketch(df, "v", k=200, seed=7, strategy="local")
+    k_sc = kll_sketch(df, "v", k=200, seed=7,
+                      strategy="shuffle_value_count")
+    assert k_sc.n == 60_000
+    for q in (0.1, 0.5, 0.9):
+        # 60 equally-weighted values: both must land within one value
+        # step of the exact quantile
+        assert abs(k_lo.quantile(q) - k_sc.quantile(q)) <= 2.0
+
+    # guard: shuffle_value_count is a value-build strategy only
+    with _pt.raises(ValueError, match="shuffle_value_count"):
+        build_sketch_shards(df, "v", kind="hll",
+                            strategy="shuffle_value_count", p=12, seed=7)
+
+
 def test_shuffle_strategies_drop_null_keys(spark):
     """Null keys (null array elements, null scalars) must be dropped
     JVM-side in the shuffle strategies exactly as _to_uint64 drops
