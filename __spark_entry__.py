@@ -1215,6 +1215,53 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scoring vs a reference snapshot
+    (operators/decontam.py novelty_report): reference = every 97th
+    document; EXACT (n_total, n_seen, novelty_milli) for every other
+    document, aggregated per novelty decile so the contract row is
+    compact. The probe gate only prunes the verify join — zero false
+    negatives both directions (0 hits ⇒ exactly 0 overlaps)."""
+    from cuckoofilter_spark.operators.decontam import novelty_report
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    rep = novelty_report(corpus, ref, "doc_id", "text", n=3)
+    return (
+        rep.groupBy((F.col("novelty_milli") / 100).cast("long")
+                    .alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_total").alias("sum_total"),
+            F.sum("n_seen").alias("sum_seen"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/holdout split (operators/sampling.py
+    split_leakage_safe): side = pure function of the exact-dedup
+    fingerprint, so duplicates cannot straddle the split. Contract row:
+    (source, side) doc and distinct-fingerprint counts."""
+    from cuckoofilter_spark.operators.sampling import split_leakage_safe
+    from cuckoofilter_spark.operators.text import fingerprint_md5
+
+    docs = _read(spark, sf_dir, "documents")
+    out = split_leakage_safe(docs, "text", 0.2, seed=11)
+    return (
+        out.groupBy(
+            "source", F.col("is_holdout").cast("long").alias("holdout")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fingerprint_md5("text")).alias("n_fp"),
+        )
+        .orderBy("source", "holdout")
+    )
+
+
 def q_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality features
     (operators/text.py with_repetition_stats), aggregated per source.
@@ -1790,6 +1837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries) sit at the back; everything past 50 is still verified
     # locally by scripts/check_queries.py each round.
     return {
+        # --- round-5 operators ---------------------------------------
+        "novelty_stats": q_novelty_stats,
+        "leakage_safe_split": q_leakage_safe_split,
         # --- round-4 operators the r4 driver gate never saw ---------
         "streaming_decontam": q_streaming_decontam,
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
@@ -2528,6 +2578,57 @@ def oracle_sql() -> dict[str, str]:
             FROM cand JOIN ev USING (ngram)
             GROUP BY doc_id HAVING count(*) >= 1
             ORDER BY doc_id
+        """,
+        "novelty_stats": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w != '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct([w[i] || ' ' || w[i+1] || ' '
+                                      || w[i+2]
+                                      for i in range(1, len(w) - 1)])
+                     ELSE [] END AS s
+              FROM words),
+            ref AS (SELECT DISTINCT unnest(s) AS ngram FROM sh
+                    WHERE doc_id % 97 = 0),
+            corp AS (SELECT doc_id, len(s) AS n_total, s FROM sh
+                     WHERE doc_id % 97 <> 0),
+            seen AS (
+              SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_seen
+              FROM (SELECT doc_id, unnest(s) AS ngram FROM corp) c
+              JOIN ref USING (ngram)
+              GROUP BY c.doc_id),
+            rep AS (
+              SELECT corp.doc_id, corp.n_total,
+                     COALESCE(seen.n_seen, 0) AS n_seen,
+                     CASE WHEN corp.n_total > 0
+                          THEN (1000 * (corp.n_total
+                                - COALESCE(seen.n_seen, 0)))
+                               // corp.n_total
+                          ELSE 1000 END AS novelty_milli
+              FROM corp LEFT JOIN seen USING (doc_id))
+            SELECT CAST(novelty_milli // 100 AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_total) AS BIGINT) AS sum_total,
+                   CAST(sum(n_seen) AS BIGINT) AS sum_seen
+            FROM rep GROUP BY 1 ORDER BY decile
+        """,
+        "leakage_safe_split": r"""
+            WITH fp AS (
+              SELECT source,
+                     md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS f
+              FROM documents)
+            SELECT source,
+                   CAST(substring(md5(f || '#11'), 1, 15)
+                        < '333333333333340' AS BIGINT) AS holdout,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT f) AS BIGINT) AS n_fp
+            FROM fp GROUP BY 1, 2 ORDER BY source, holdout
         """,
         "repetition_by_source": r"""
             WITH words AS (

@@ -110,6 +110,120 @@ def contamination_count_udf(spark, blob: bytes, *, n: int, seed: int):
     return apply
 
 
+def ngram_stats_udf(spark, blob: bytes, *, n: int, seed: int):
+    """Column-function ``f(text) -> struct<n_total int, n_hits int>``:
+    the document's distinct word-n-gram count and how many of them the
+    broadcast filter contains — the one-pass gate ``novelty_report``
+    needs (same tokenize → shingle → hash → batch probe pipeline as
+    ``contamination_count_udf``, plus the free total)."""
+    import uuid
+
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType,
+    )
+
+    from cuckoofilter_spark.operators.dedup import _shingle_hashes
+    from cuckoofilter_spark.operators.probe import _get_filter
+
+    bc = spark.sparkContext.broadcast(bytes(blob))
+    cache_key = uuid.uuid4().hex
+    out_type = StructType([
+        StructField("n_total", IntegerType()),
+        StructField("n_hits", IntegerType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def stats(s: pd.Series) -> pd.DataFrame:
+        sk = _get_filter(bc, cache_key)
+        arrs = [
+            _shingle_hashes(t, n, seed) if t is not None
+            else np.empty(0, dtype=np.uint64)
+            for t in s
+        ]
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        if len(arrs) == 0 or int(lens.sum()) == 0:
+            z = np.zeros(len(arrs), dtype=np.int32)
+            return pd.DataFrame({"n_total": z, "n_hits": z})
+        flat = np.concatenate(arrs)
+        hv = sk.contains_many(flat).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(hv)))
+        ends = np.cumsum(lens)
+        hits = (csum[ends] - csum[ends - lens]).astype(np.int32)
+        return pd.DataFrame(
+            {"n_total": lens.astype(np.int32), "n_hits": hits}
+        )
+
+    def apply(col):
+        return stats(F.col(col) if isinstance(col, str) else col)
+
+    return apply
+
+
+def novelty_report(
+    corpus: DataFrame, ref_df: DataFrame, id_col: str, text_col: str, *,
+    n: int = 3, bits_per_item: int = 16, seed: int = 7,
+) -> DataFrame:
+    """EXACT per-document novelty vs a reference corpus — the scoring
+    complement of ``decontaminate``: for EVERY corpus document,
+    ``(id_col, n_total, n_seen, novelty_milli)`` where ``n_total`` is
+    its distinct word-``n``-gram count, ``n_seen`` how many of those
+    appear anywhere in ``ref_df``, and ``novelty_milli =
+    floor(1000 * (n_total - n_seen) / n_total)`` (integer arithmetic —
+    engine-portable; 1000 = fully novel). Data curation uses this to
+    down-weight or drop low-novelty documents against an existing
+    training snapshot.
+
+    Plan shape: one narrow probe pass computes (n_total, gate hits)
+    per document inside a single Arrow UDF — no shuffle, no explode.
+    Zero false negatives make the gate exact-preserving BOTH ways:
+    a document with 0 filter hits has exactly 0 true overlaps (its
+    ``n_seen`` is 0 without any join), so only documents with ≥1 hit
+    — the overlapping sliver plus the FPR trickle — pay the
+    explode + broadcast-join verification. Documents with an empty
+    n-gram set (< n words) report n_total=0, novelty_milli=1000."""
+    blob, ref_ngrams = eval_ngram_filter(
+        ref_df, text_col, n=n, bits_per_item=bits_per_item, seed=seed
+    )
+    spark = corpus.sparkSession
+    stats = ngram_stats_udf(spark, blob, n=n, seed=seed)
+
+    base = corpus.select(
+        F.col(id_col), F.col(text_col).alias("__text"),
+        stats(text_col).alias("__st"),
+    ).select(
+        id_col, "__text",
+        F.col("__st.n_total").alias("n_total"),
+        F.col("__st.n_hits").alias("__hits"),
+    )
+    base.persist()
+
+    exact = (
+        base.filter(F.col("__hits") >= 1)
+        .select(id_col, F.explode(shingles_col("__text", n)).alias("ngram"))
+        .join(F.broadcast(ref_ngrams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_seen"))
+    )
+    out = (
+        base.drop("__text")
+        .join(exact, id_col, "left")
+        .select(
+            id_col,
+            "n_total",
+            F.coalesce(F.col("__n_seen"), F.lit(0)).cast("long")
+            .alias("n_seen"),
+            F.when(F.col("n_total") > 0,
+                   F.floor(F.lit(1000) * (F.col("n_total") - F.coalesce(
+                       F.col("__n_seen"), F.lit(0)))
+                           / F.col("n_total")))
+            .otherwise(F.lit(1000)).alias("novelty_milli"),
+        )
+    )
+    return out
+
+
 def eval_ngram_filter(
     eval_df: DataFrame, text_col: str, *, n: int = 3,
     bits_per_item: int = 16, seed: int = 7, capacity: int | None = None,

@@ -87,6 +87,27 @@ def split_train_holdout(
     )
 
 
+def split_leakage_safe(
+    df: DataFrame, text_col: str, holdout_frac: float, *, seed: int = 0,
+    flag_col: str = "is_holdout",
+) -> DataFrame:
+    """``split_train_holdout`` keyed on the exact-dedup FINGERPRINT
+    (md5 of normalized text) instead of the document id: byte-identical
+    duplicate documents always land on the SAME side, so a holdout
+    example can never leak into train through a copy that got a
+    different id — the contamination mode an id-keyed split cannot
+    prevent on a crawled corpus. Same hash-deterministic, shuffle-free
+    filter discipline as the id split; extendable corpora keep sides
+    stable because the side is a pure function of (content, seed)."""
+    from cuckoofilter_spark.operators.text import fingerprint_md5
+
+    return df.withColumn(
+        flag_col,
+        sample_hex_key(fingerprint_md5(text_col), seed)
+        < rate_threshold_hex(holdout_frac),
+    )
+
+
 def sample_stratified(
     df: DataFrame, strata_col: str, rates: dict[str, float],
     key_col: str, *, seed: int = 0, default_rate: float = 0.0,

@@ -147,6 +147,71 @@ def test_decontaminate_planted_overlap(spark):
     assert got2 == {(100, 2)}
 
 
+def test_split_leakage_safe_duplicates_never_straddle(spark):
+    """Content-keyed split: byte-identical (after normalization)
+    duplicates with different ids must land on the SAME side, for any
+    seed; the id-keyed split demonstrably splits them (the leak this
+    operator exists to close)."""
+    from cuckoofilter_spark.operators.sampling import (
+        split_leakage_safe, split_train_holdout,
+    )
+
+    texts = [f"document body number {i % 20}" for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, "  " + t.upper() if i % 2 else t)  # normalization-equal
+         for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    for seed in (0, 7):
+        out = split_leakage_safe(df, "text", 0.5, seed=seed)
+        sides = (
+            out.groupBy(F.lower(F.trim("text")).alias("k"))
+            .agg(F.count_distinct("is_holdout").alias("ns"))
+            .agg(F.max("ns")).collect()[0][0]
+        )
+        assert sides == 1, f"duplicate straddled the split (seed {seed})"
+        n_hold = out.filter("is_holdout").count()
+        assert 0 < n_hold < 200  # both sides populated
+    # contrast: the id-keyed split DOES split at least one dup family
+    idsplit = split_train_holdout(df, "doc_id", 0.5, seed=0)
+    straddled = (
+        idsplit.groupBy(F.lower(F.trim("text")).alias("k"))
+        .agg(F.count_distinct("is_holdout").alias("ns"))
+        .filter("ns > 1").count()
+    )
+    assert straddled > 0
+
+
+def test_novelty_report_exact_and_edges(spark):
+    """novelty_report: exact (n_total, n_seen) per document including
+    zero-hit docs (no join needed — zero false negatives), short docs
+    (< n words -> n_total=0, novelty 1000), and floor-integer
+    novelty_milli."""
+    from cuckoofilter_spark.operators.decontam import novelty_report
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "x y alpha beta gamma delta q r"),  # 6 total, 2 seen
+            (101, "one two three four five six"),     # 4 total, 0 seen
+            (102, "alpha beta gamma"),                # 1 total, 1 seen
+            (103, "too short"),                       # n_total = 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_total, r.n_seen, r.novelty_milli) for r in
+            novelty_report(corpus, ref, "doc_id", "text", n=3).collect()}
+    assert rows == {
+        100: (6, 2, 666),   # floor(1000*4/6)
+        101: (4, 0, 1000),
+        102: (1, 1, 0),
+        103: (0, 0, 1000),
+    }
+
+
 def test_decontaminate_unicode_whitespace_parity(spark):
     """Tokenizer parity between the Python probe gate and the
     JVM-built filter: a contaminated phrase containing NBSP (which
