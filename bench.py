@@ -236,6 +236,19 @@ def main() -> None:
         ).count()
     )
 
+    # -- q7b3: novelty scoring (round 5) — same gate shape as decontam
+    # but every doc gets an exact (n_total, n_seen) row
+    from cuckoofilter_spark.operators.decontam import novelty_report
+
+    queries["novelty"], extra["novelty_docs"] = timed2("novelty",
+        lambda: novelty_report(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            "doc_id", "text", n=3,
+        ).count()
+    )
+    spark.catalog.clearCache()  # novelty/eval persists are per-run
+
     from cuckoofilter_spark.operators.packing import (
         pack_documents, packing_stats,
     )

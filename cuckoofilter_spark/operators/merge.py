@@ -118,8 +118,16 @@ def merge_shards_to_blob(
     one collect — distributed tree rounds only pay off once the blob
     fan-in would swamp a single process (10^3+ shards). The tree path
     is the 10^5-shard story; the threshold just skips it where it is
-    pure overhead."""
-    n = num_shards if num_shards is not None else shards.count()
+    pure overhead.
+
+    The shard count comes from the PARTITION count, not
+    ``shards.count()`` — a count would execute the whole build job a
+    second time (the build emits exactly one row per partition, so
+    the two are equal by construction; round-5 finding: the count was
+    silently doubling every blob build, +0.43 s on the sf0.1
+    semi-join and ~2x the build cost of every bench row)."""
+    n = (num_shards if num_shards is not None
+         else shards.rdd.getNumPartitions())
     if n <= driver_threshold:
         return collect_merged(shards, dedup=dedup).to_bytes()
     row = tree_merge(shards, fanout=fanout, dedup=dedup,
