@@ -60,6 +60,12 @@ def main(argv=None) -> int:
                          "vocabulary (frequent_keys_filter)")
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--holdout", type=float, default=0.0)
+    ap.add_argument("--holdout-by", default="id",
+                    choices=["id", "content"],
+                    help="holdout keying: 'id' hashes the doc id; "
+                         "'content' hashes the exact-dedup fingerprint "
+                         "so duplicate texts never straddle the split "
+                         "(split_leakage_safe)")
     ap.add_argument("--max-tokens", type=int, default=2048)
     ap.add_argument("--streams", type=int, default=32)
     ap.add_argument("--seed", type=int, default=2014)
@@ -175,8 +181,16 @@ def main(argv=None) -> int:
         df = sample_hash(df, args.id_col, args.sample_rate,
                          seed=args.seed)
     if args.holdout > 0.0:
-        df = split_train_holdout(df, args.id_col, args.holdout,
-                                 seed=args.seed + 1)
+        if args.holdout_by == "content":
+            from cuckoofilter_spark.operators.sampling import (
+                split_leakage_safe,
+            )
+
+            df = split_leakage_safe(df, args.text_col, args.holdout,
+                                    seed=args.seed + 1)
+        else:
+            df = split_train_holdout(df, args.id_col, args.holdout,
+                                     seed=args.seed + 1)
     counts["after_sample"] = df.count()
 
     # 5. packing

@@ -93,6 +93,7 @@ def test_shape_corpus_job_jsonl_input(spark, tmp_path):
         rc = job.main([
             "--input", src, "--format", "jsonl",
             "--min-quality", "100", "--sample-rate", "0.9",
+            "--holdout", "0.2", "--holdout-by", "content",
             "--max-tokens", "1024", "--streams", "4",
             "--output", out,
         ])
@@ -104,6 +105,10 @@ def test_shape_corpus_job_jsonl_input(spark, tmp_path):
     assert (stats["rows_in"] >= stats["after_dedup"]
             >= stats["after_quality"] >= stats["after_sample"]
             == stats["rows_out"] > 0)
+    # content-keyed holdout flag present and both sides populated
+    shaped = spark.read.parquet(f"{out}/data")
+    flags = {r[0] for r in shaped.select("is_holdout").distinct().collect()}
+    assert flags == {True, False}
 
 
 def test_shape_corpus_job_oov_gate(spark, tmp_path):
