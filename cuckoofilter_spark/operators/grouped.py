@@ -72,7 +72,7 @@ def _keys_array(series: pd.Series, value_based: bool) -> np.ndarray:
 def grouped_sketch_agg(
     df: DataFrame, group_col: str, column: str, *, kind: str = "hll",
     repartition_by_group: bool = False, num_partitions: int | None = None,
-    **params,
+    strategy: str = "local", **params,
 ) -> DataFrame:
     """One mergeable sketch per group: returns
     ``(group_col, sketch binary, <readout> double)``.
@@ -96,6 +96,15 @@ def grouped_sketch_agg(
     the task raises instead of silently producing a filter with false
     negatives — size ``max_num_keys`` for the largest group.
 
+    ``strategy='shuffle_value_count'`` (value kinds only; ``'auto'``
+    picks it via the same size+duplication gates as the global build)
+    pre-aggregates ``(group, value) -> count`` JVM-side so the pandas
+    boundary carries groups × value-cardinality rows instead of every
+    occurrence — for a discrete value column (n_tok) at billions of
+    rows this is the difference between shipping 2.9 G doubles and
+    ~20 k pairs; digests insert via ``add_weighted`` (t-digest state
+    identical on low-cardinality domains, KLL same rank guarantee).
+
     The group column keeps its input type. Caveat (Arrow→pandas): an
     integer group column that contains NULLs arrives in the partial as
     float64, so int group ids above 2^53 mixed with NULL groups would
@@ -109,7 +118,31 @@ def grouped_sketch_agg(
         raise ValueError(f"unknown sketch kind {kind!r}")
     readout_name, readout = _READOUTS[kind]
     value_based = kind in _VALUE_KINDS
+    if strategy not in ("local", "shuffle_value_count", "auto"):
+        raise ValueError(f"unknown grouped strategy {strategy!r}")
+    if strategy == "auto":
+        from cuckoofilter_spark.operators.approx import _value_strategy
+
+        strategy = ("shuffle_value_count" if value_based
+                    and _value_strategy(df, column, "auto")
+                    == "shuffle_value_count" else "local")
+    if strategy == "shuffle_value_count" and not value_based:
+        raise ValueError(
+            "shuffle_value_count requires a value-based sketch "
+            "(tdigest, kll)"
+        )
     src = df.select(F.col(group_col).alias("g"), F.col(column).alias("v"))
+    weighted = strategy == "shuffle_value_count"
+    if weighted:
+        # JVM-side (group, value) partial COUNT: for discrete value
+        # domains the pandas boundary carries groups x cardinality
+        # rows instead of every occurrence — the grouped analog of
+        # build.py's shuffle_value_count. Null values are dropped to
+        # match _keys_array's dropna.
+        src = (
+            src.filter(F.col("v").isNotNull())
+            .groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+        )
     g_type = df.schema[group_col].dataType.simpleString()  # type-preserving
     partial_schema = f"g {g_type}, blob binary"
     out_schema = (
@@ -121,7 +154,8 @@ def grouped_sketch_agg(
         # silently drops it by default, which would lose rows
         sketches: dict = {}
         for pdf in batches:
-            for g, vals in pdf.groupby("g", sort=False, dropna=False)["v"]:
+            for g, sub in pdf.groupby("g", sort=False, dropna=False):
+                vals = sub["v"]
                 keys = _keys_array(vals, value_based)
                 if not len(keys):
                     continue
@@ -129,10 +163,17 @@ def grouped_sketch_agg(
                 sk = sketches.get(g)
                 if sk is None:
                     sk = sketches[g] = make_sketch(kind, **params)
-                check_add_statuses(
-                    sk.add_many(keys),
-                    f"grouped_sketch_agg[{kind}] group={g!r}",
-                )
+                if weighted:
+                    # no nulls survive the JVM filter, so v and c
+                    # stay aligned
+                    sk.add_weighted(
+                        keys, sub["c"].to_numpy(dtype=np.int64)
+                    )
+                else:
+                    check_add_statuses(
+                        sk.add_many(keys),
+                        f"grouped_sketch_agg[{kind}] group={g!r}",
+                    )
         if sketches:
             yield pd.DataFrame(
                 {

@@ -410,6 +410,41 @@ def test_grouped_kmv(spark):
         assert abs(est - 20_000) / 20_000 <= 5 / (1024 - 2) ** 0.5
 
 
+def test_grouped_value_count_strategy_state_identity(spark):
+    """grouped_sketch_agg(strategy='shuffle_value_count'): per-group
+    t-digest state equals the local per-occurrence build on a discrete
+    domain (the JVM (group,value)->count collapse + add_weighted),
+    and the guard refuses non-value kinds."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 40).cast("double").alias("v"),
+    )
+    lo = {r["g"]: bytes(r["sketch"]) for r in grouped_sketch_agg(
+        df, "g", "v", kind="tdigest", delta=200.0,
+        strategy="local").collect()}
+    sc = {r["g"]: bytes(r["sketch"]) for r in grouped_sketch_agg(
+        df, "g", "v", kind="tdigest", delta=200.0,
+        strategy="shuffle_value_count").collect()}
+    assert set(lo) == set(sc) == {"0", "1", "2"}
+    for g in lo:
+        a, b = sketch_from_bytes(lo[g]), sketch_from_bytes(sc[g])
+        a._compress(force=True)
+        b._compress(force=True)
+        assert np.array_equal(a.means, b.means), g
+        assert np.array_equal(a.weights, b.weights), g
+        assert a.count == b.count == 10_000
+
+    with _pt.raises(ValueError, match="value-based"):
+        grouped_sketch_agg(df, "g", "v", kind="hll",
+                           strategy="shuffle_value_count", p=12)
+
+
 def test_kmv_merge_order_independence_property():
     """Hypothesis: for ANY partition of a key set into batches and any
     merge order, the KMV state (value array) is identical — the
