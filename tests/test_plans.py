@@ -156,6 +156,80 @@ def test_shuffle_count_plan_is_partial_count_agg(spark):
         approx_mod._AUTO_SHUFFLE_MIN_BYTES = old
 
 
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Co-located joins via table bucketing: two tables bucketed by
+    the join key into the same bucket count sort-merge-join with ZERO
+    Exchange on either side (broadcast disabled to force the SMJ),
+    and the result equals the plain join. This is the write-once,
+    join-many layout the repeated exact-verify joins amortize to at
+    corpus scale."""
+    from cuckoofilter_spark.sources.bucketed import (
+        bucketed_join_ready, write_bucketed,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+    )
+    write_bucketed(li, "li_bkt", "l_orderkey", 8,
+                   path=str(tmp_path / "li_bkt"))
+    write_bucketed(orders, "ord_bkt", "o_orderkey", 8,
+                   path=str(tmp_path / "ord_bkt"))
+    assert bucketed_join_ready(spark, "li_bkt", "ord_bkt")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bkt").join(
+            spark.table("ord_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = explain_str(j)
+        assert "Exchange" not in plan, \
+            "bucketed equi-join must not shuffle either side"
+        assert j.count() == li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_bucketed_register_roundtrip(spark, tmp_path):
+    """register_bucketed re-attaches an existing bucketed dataset in a
+    fresh catalog (the session-restart story) with bucketing metadata
+    intact — the re-registered table still joins shuffle-free."""
+    from cuckoofilter_spark.sources.bucketed import (
+        register_bucketed, write_bucketed,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    p = str(tmp_path / "bkt_rt")
+    write_bucketed(df, "bkt_rt", "k", 4, path=p)
+    spark.sql("DROP TABLE bkt_rt")  # simulate a fresh session catalog
+    back = register_bucketed(spark, "bkt_rt", p, "k", 4)
+    assert back.count() == 1000
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = back.alias("a").join(
+            spark.table("bkt_rt").alias("b"),
+            F.col("a.k") == F.col("b.k"),
+        )
+        assert "Exchange" not in explain_str(j)
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_rt")
+
+
 def test_blocked_near_dup_plan_has_no_cartesian(spark):
     """The exact near-dup plan must be equi-join shaped: no
     CartesianProduct / BroadcastNestedLoopJoin anywhere (the naive
