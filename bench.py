@@ -165,10 +165,17 @@ def main() -> None:
     extra["semisort_blob_bytes"] = len(ss_blob)
 
     # -- q3: bloom build over the same stream ---------------------------
+    # bloom is distinct-insensitive (OR-idempotent inserts), so the
+    # size+duplication-gated auto rule applies: local at sf0.1,
+    # JVM pre-distinct at the sf10 step (same cutover as HLL/KMV)
+    from cuckoofilter_spark.operators.approx import _distinct_strategy
+
+    bloom_strategy = _distinct_strategy(tokens, "tokens", "auto")
+
     def _q3():
         bshards = build_sketch_shards(
             tokens, "tokens", kind="bloom", lineage=False,
-            log_num_buckets=16, seed=7,
+            log_num_buckets=16, seed=7, strategy=bloom_strategy,
         )
         return merge_shards_to_blob(bshards, dedup=False, fanout=16)
 

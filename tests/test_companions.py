@@ -196,6 +196,37 @@ def test_kll_rank_error():
         assert abs(exact_rank - q) < 0.025, (q, exact_rank)
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_tdigest_weighted_equals_expanded_property(seed):
+    """Property (randomized domains/weights/batchings): a weighted
+    t-digest build and the expanded per-occurrence build agree on
+    every quantile to within one distinct-value step — even when the
+    greedy pass merges centroids (where raw state identity may not
+    hold), the collapsed-tie multiset semantics pin the quantiles."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_vals = int(rng.integers(3, 400))
+    values = np.unique(rng.normal(0, 1000, n_vals).round(2))
+    counts = rng.integers(1, 200, size=len(values))
+    expanded = np.repeat(values, counts)
+    rng.shuffle(expanded)
+
+    w = TDigest(delta=100)
+    # weighted insert in random split order
+    split = rng.integers(1, len(values) + 1)
+    w.add_weighted(values[:split], counts[:split])
+    w.add_weighted(values[split:], counts[split:])
+    u = TDigest(delta=100)
+    for chunk in np.array_split(expanded, int(rng.integers(1, 9))):
+        u.add_many(chunk)
+
+    assert w.count == u.count == counts.sum()
+    gaps = np.diff(np.sort(values))
+    step = float(gaps.max()) if len(gaps) else 1.0
+    for q in (0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0):
+        assert abs(w.quantile(q) - u.quantile(q)) <= step + 1e-9, (
+            seed, q, w.quantile(q), u.quantile(q))
+
+
 def test_kll_weighted_rank_error():
     """Binary weight decomposition: quantiles of a weighted insert
     match the expanded multiset within the sketch's rank-error band,

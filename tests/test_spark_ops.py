@@ -385,6 +385,25 @@ def test_shuffle_count_and_distinct_strategies_bit_identical(spark, tokens_df):
                             strategy="shuffle_count", p=12, seed=7)
 
 
+def test_bloom_shuffle_distinct_bit_identical(spark, tokens_df):
+    """Bloom under shuffle_distinct == local bit for bit: inserts are
+    OR-idempotent, so the JVM pre-distinct changes only data movement
+    — the same auto cutover HLL/KMV get applies to bloom membership
+    builds."""
+    from cuckoofilter_spark.operators.build import build_sketch_shards
+    from cuckoofilter_spark.operators.merge import collect_merged
+
+    params = dict(kind="bloom", lineage=False, log_num_buckets=14, seed=7)
+    a = collect_merged(
+        build_sketch_shards(tokens_df, "tokens", strategy="local",
+                            **params), dedup=False)
+    b = collect_merged(
+        build_sketch_shards(tokens_df, "tokens",
+                            strategy="shuffle_distinct", **params),
+        dedup=False)
+    assert np.array_equal(a.directory, b.directory)
+
+
 def test_shuffle_value_count_state_identity_discrete(spark):
     """The value-sketch collapsing plan (JVM groupBy value -> weighted
     digest insert) is STATE-identical to the per-occurrence build on a
