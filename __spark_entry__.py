@@ -1240,6 +1240,21 @@ def q_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries-gated EXACT heavy hitters (operators/approx.py
+    heavy_hitters_mg): the MG summary's presence guarantee (every key
+    with true count > err is stored) makes the ≤k candidate set a
+    provable superset of the true hitters, so the broadcast-semi-join
+    verify returns exactly the DuckDB HAVING answer — the lower-bound
+    complement of q:heavy_hitters_exact's CMS gate."""
+    from cuckoofilter_spark.operators.approx import heavy_hitters_mg
+
+    events = _read(spark, sf_dir, "events")
+    return heavy_hitters_mg(
+        events, "user_id", 60, k=4096, seed=7
+    ).orderBy("user_id")
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-keyed train/holdout split (operators/sampling.py
     split_leakage_safe): side = pure function of the exact-dedup
@@ -1840,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 operators ---------------------------------------
         "novelty_stats": q_novelty_stats,
         "leakage_safe_split": q_leakage_safe_split,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
         # --- round-4 operators the r4 driver gate never saw ---------
         "streaming_decontam": q_streaming_decontam,
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
@@ -2616,6 +2632,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_total) AS BIGINT) AS sum_total,
                    CAST(sum(n_seen) AS BIGINT) AS sum_seen
             FROM rep GROUP BY 1 ORDER BY decile
+        """,
+        "heavy_hitters_mg": """
+            SELECT user_id, count(*) AS n
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) >= 60
+            ORDER BY user_id
         """,
         "leakage_safe_split": r"""
             WITH fp AS (

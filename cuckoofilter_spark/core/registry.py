@@ -14,6 +14,7 @@ from cuckoofilter_spark.core.semisort import SemiSortCuckooFilter
 from cuckoofilter_spark.core.hll import HyperLogLog
 from cuckoofilter_spark.core.kll import KLL
 from cuckoofilter_spark.core.kmv import KMVSketch
+from cuckoofilter_spark.core.mg import MisraGries
 from cuckoofilter_spark.core.tdigest import TDigest
 
 SKETCH_KINDS = {
@@ -25,6 +26,7 @@ SKETCH_KINDS = {
     "tdigest": TDigest,
     "kll": KLL,
     "kmv": KMVSketch,
+    "mg": MisraGries,
 }
 
 _MAGIC_TO_CLS = {
@@ -36,6 +38,7 @@ _MAGIC_TO_CLS = {
     b"TDG1": TDigest,
     b"KLL1": KLL,
     b"KMV1": KMVSketch,
+    b"MGS1": MisraGries,
 }
 
 

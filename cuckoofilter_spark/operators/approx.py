@@ -180,6 +180,75 @@ def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
     return _merged_sketch(shards, tree)
 
 
+def mg_sketch(df: DataFrame, column: str, k: int = 4096,
+              seed: int = 2014, tree: bool = False,
+              strategy: str = "auto"):
+    """Merged Misra-Gries heavy-hitters summary over ``column``
+    (scalar int or array<int>) — the one-sided COMPLEMENT of
+    ``cms_sketch``: stored counts are lower bounds (true ≤ stored +
+    err) and every key with true count > err is guaranteed present.
+    ``strategy='auto'`` collapses large high-duplication arrays
+    JVM-side exactly like CMS (``shuffle_count`` — the MG state is
+    insert-order-dependent in its intermediate decrements but its
+    guarantees are not, so the collapsed build carries the same
+    bounds)."""
+    if strategy == "auto":
+        from pyspark.sql.types import ArrayType
+
+        strategy = (
+            "shuffle_count"
+            if isinstance(df.schema[column].dataType, ArrayType)
+            and _plan_size_bytes(df) >= _AUTO_SHUFFLE_MIN_BYTES
+            and _sampled_duplication(df, column) >= _AUTO_MIN_DUPLICATION
+            else "local"
+        )
+    shards = build_sketch_shards(
+        df, column, kind="mg", distinct=False, weight_by_count=True,
+        lineage=False, strategy=strategy, k=k, seed=seed,
+    )
+    return _merged_sketch(shards, tree)
+
+
+def heavy_hitters_mg(df: DataFrame, column: str, threshold: int, *,
+                     k: int = 4096, seed: int = 2014) -> DataFrame:
+    """Exact heavy hitters through the Misra-Gries gate: keys occurring
+    ``>= threshold`` times as (key, n) — EXACT, like ``heavy_hitters``
+    (the CMS variant), but the candidate set is the ≤k stored summary
+    keys, so the verification pass is a broadcast semi-join against at
+    most k values instead of a per-row estimate UDF.
+
+    Soundness needs ``threshold > err`` (every true hitter is then
+    guaranteed stored); the summary's err is known after the build, so
+    an under-sized ``k`` fails LOUDLY here with the measured err
+    instead of silently missing hitters — raise ``k`` (err shrinks as
+    ~N/(k+1)). NULL keys are excluded, matching ``heavy_hitters``."""
+    from pyspark.sql import functions as F
+
+    sk = mg_sketch(df, column, k=k, seed=seed)
+    if int(threshold) <= sk.err:
+        raise ValueError(
+            f"heavy_hitters_mg: threshold {threshold} <= summary err "
+            f"{sk.err}; the presence guarantee needs threshold > err — "
+            f"raise k (currently {k}, err ~ N/(k+1))"
+        )
+    cand_keys, _ = sk.heavy_hitters(int(threshold))
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(int(np.int64(x)),) for x in cand_keys.view(np.int64)],
+        f"__cand long",
+    )
+    return (
+        df.join(
+            F.broadcast(cand),
+            on=F.col(column).cast("long") == F.col("__cand"),
+            how="left_semi",
+        )
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(threshold))
+    )
+
+
 def tdigest_sketch(df: DataFrame, column: str, delta: float = 200.0,
                    seed: int = 2014, tree: bool = False,
                    strategy: str = "auto"):

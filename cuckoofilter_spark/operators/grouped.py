@@ -42,6 +42,7 @@ _READOUTS = {
     "tdigest": ("p50", lambda sk: float(sk.quantile(0.5))),
     "kll": ("p50", lambda sk: float(sk.quantile(0.5))),
     "kmv": ("estimate", lambda sk: float(sk.estimate())),
+    "mg": ("n_tracked", lambda sk: float(len(sk.keys))),
 }
 _VALUE_KINDS = ("tdigest", "kll")
 

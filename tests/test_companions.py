@@ -182,6 +182,91 @@ def test_tdigest_weighted_high_cardinality_accuracy():
         assert abs(exact_rank - q) < 0.015, (q, est, exact_rank)
 
 
+# ----------------------------------------------------------------------- mg
+def test_mg_bounds_and_presence():
+    """Misra-Gries invariants on a Zipf-ish stream: stored counts
+    lower-bound the truth, true <= stored + err, err <= N/(k+1), and
+    every key with true count > err is present."""
+    from cuckoofilter_spark.core.mg import MisraGries
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    zipf = rng.zipf(1.3, size=300_000)
+    keys = np.minimum(zipf, 100_000).astype(np.uint64)
+    mg = MisraGries(k=256)
+    for chunk in np.array_split(keys, 9):
+        mg.add_many(chunk)
+    assert mg.total == len(keys)
+    assert mg.err <= len(keys) // (256 + 1)
+    truth_keys, truth_counts = np.unique(keys, return_counts=True)
+    est = mg.query_many(truth_keys)
+    assert (est <= truth_counts).all()                 # lower bound
+    assert (truth_counts <= est + mg.err).all()        # bounded under
+    hot = truth_keys[truth_counts > mg.err]
+    assert (mg.query_many(hot) > 0).all(), "presence guarantee broken"
+    assert len(mg.keys) <= 256
+
+
+def test_mg_merge_guarantees_and_roundtrip():
+    """Merging per-shard summaries (any split) preserves the
+    invariants with summed err; blob round-trips; mismatched k
+    refuses; weighted insert equals repeated insert's guarantees."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.core.mg import MisraGries
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    keys = np.minimum(rng.zipf(1.5, size=200_000), 50_000).astype(np.uint64)
+    parts = np.array_split(keys, 7)
+    merged = MisraGries(k=128)
+    for p in parts:
+        s = MisraGries(k=128)
+        s.add_many(p)
+        merged.merge(s)
+    assert merged.total == len(keys)
+    truth_keys, truth_counts = np.unique(keys, return_counts=True)
+    est = merged.query_many(truth_keys)
+    assert (est <= truth_counts).all()
+    assert (truth_counts <= est + merged.err).all()
+    assert merged.err <= len(keys) // (128 + 1) * 7  # summed bound
+
+    back = sketch_from_bytes(merged.to_bytes())
+    assert np.array_equal(back.keys, merged.keys)
+    assert np.array_equal(back.counts, merged.counts)
+    assert (back.total, back.err) == (merged.total, merged.err)
+
+    with _pt.raises(ValueError, match="identical k"):
+        MisraGries(k=64).merge(MisraGries(k=128))
+
+    # weighted == unique+counts path carries the same bounds
+    w = MisraGries(k=128)
+    u, c = np.unique(keys, return_counts=True)
+    w.add_many(u, c)
+    est_w = w.query_many(truth_keys)
+    assert (est_w <= truth_counts).all()
+    assert (truth_counts <= est_w + w.err).all()
+
+
+def test_mg_blob_rejects_corruption():
+    from cuckoofilter_spark.core.mg import MisraGries
+
+    mg = MisraGries(k=8)
+    mg.add_many(np.arange(20, dtype=np.uint64),
+                np.arange(1, 21, dtype=np.int64))
+    assert len(mg.keys) >= 2  # survivors to corrupt
+    blob = bytearray(mg.to_bytes())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        MisraGries.from_bytes(bytes(blob[:-3]))  # truncated
+    # unsorted keys rejected
+    hs = len(blob) - 16 * len(mg.keys)
+    k0 = blob[hs:hs + 8]
+    k1 = blob[hs + 8:hs + 16]
+    blob[hs:hs + 8], blob[hs + 8:hs + 16] = k1, k0
+    with _pt.raises(ValueError, match="sorted"):
+        MisraGries.from_bytes(bytes(blob))
+
+
 # ---------------------------------------------------------------------- kll
 def test_kll_rank_error():
     rng = np.random.Generator(np.random.PCG64(8))

@@ -385,6 +385,50 @@ def test_shuffle_count_and_distinct_strategies_bit_identical(spark, tokens_df):
                             strategy="shuffle_count", p=12, seed=7)
 
 
+def test_heavy_hitters_mg_exact_and_guard(spark):
+    """Misra-Gries-gated heavy hitters: exact vs plain groupBy; the
+    undersized-k case refuses loudly instead of missing hitters."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.operators.approx import heavy_hitters_mg
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {(r["user_id"], r["n"]) for r in heavy_hitters_mg(
+        events, "user_id", 60, k=4096, seed=7).collect()}
+    want = {(r["user_id"], r["n"]) for r in (
+        events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .filter("n >= 60").collect())}
+    assert got == want and len(want) > 0
+
+    with _pt.raises(ValueError, match="threshold .* <= summary err"):
+        heavy_hitters_mg(events, "user_id", 2, k=4, seed=7)
+
+
+def test_mg_array_build_bounds_both_strategies(spark, tokens_df):
+    """Distributed MG over the token arrays: the one-sided bounds and
+    presence guarantee hold under both the local and the JVM
+    shuffle_count plan (state may differ — the decrement schedule is
+    order-dependent — but the guarantees may not)."""
+    from cuckoofilter_spark.operators.approx import mg_sketch
+
+    truth = {
+        r["t"]: r["c"] for r in
+        tokens_df.select(F.explode("tokens").alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    tk = np.array(sorted(truth), dtype=np.int64)
+    tc = np.array([truth[int(k)] for k in tk], dtype=np.int64)
+    for strategy in ("local", "shuffle_count"):
+        sk = mg_sketch(tokens_df, "tokens", k=2048, seed=7,
+                       strategy=strategy)
+        assert sk.total == int(tc.sum())
+        est = sk.query_many(tk.view(np.uint64))
+        assert (est <= tc).all(), strategy
+        assert (tc <= est + sk.err).all(), strategy
+        hot = tk[tc > sk.err]
+        assert (sk.query_many(hot.view(np.uint64)) > 0).all(), strategy
+
+
 def test_bloom_shuffle_distinct_bit_identical(spark, tokens_df):
     """Bloom under shuffle_distinct == local bit for bit: inserts are
     OR-idempotent, so the JVM pre-distinct changes only data movement
