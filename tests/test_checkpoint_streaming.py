@@ -1228,6 +1228,12 @@ def test_streaming_sketch_by_key_generic_kinds(spark, tmp_path):
     for k in exact:
         assert abs(got[k] - exact[k]) / max(abs(exact[k]), 1e-9) < 0.1
 
+    # Misra-Gries per event_type: n_tracked readout bounded by k and
+    # the merged per-key summary keeps the frequent-user guarantee
+    got_mg = run("mg", "user_id", k=64, seed=3)
+    assert set(got_mg) == set(exact)
+    assert all(0 < v <= 64 for v in got_mg.values())
+
     # KMV distinct user_id per event_type vs exact
     got2 = run("kmv", "user_id", k=1024, seed=3)
     exact2 = {
