@@ -201,6 +201,16 @@ def main() -> None:
 
     queries["cms_build"], extra["cms_hot_token_max"] = timed2("cms_build", _q5)
 
+    # -- q5b: Misra-Gries top vocab (round 5) — lower-bound complement
+    # of the CMS row; same auto collapse on the token arrays
+    from cuckoofilter_spark.operators.approx import mg_sketch
+
+    def _q5b():
+        sk = mg_sketch(tokens, "tokens", k=4096, seed=7)
+        return int(len(sk.keys))
+
+    queries["mg_topvocab"], extra["mg_tracked"] = timed2("mg_topvocab", _q5b)
+
     # -- q6: t-digest quantiles of n_tok ---------------------------------
     queries["tdigest_quantiles"], qs = timed2("tdigest_quantiles", lambda: approx_quantiles(
         tokens, "n_tok", [0.01, 0.5, 0.99], kind="tdigest", seed=7
