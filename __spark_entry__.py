@@ -1255,6 +1255,18 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_top_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-pruned EXACT top-k (operators/approx.py top_k_exact):
+    the Misra-Gries candidate set pays the only exact count, and the
+    result self-certifies (k-th count > summary err proves no
+    non-candidate key can reach the top-k). Ties break by ascending
+    key in both engines."""
+    from cuckoofilter_spark.operators.approx import top_k_exact
+
+    events = _read(spark, sf_dir, "events")
+    return top_k_exact(events, "user_id", 20, seed=7)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-keyed train/holdout split (operators/sampling.py
     split_leakage_safe): side = pure function of the exact-dedup
@@ -1856,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_stats": q_novelty_stats,
         "leakage_safe_split": q_leakage_safe_split,
         "heavy_hitters_mg": q_heavy_hitters_mg,
+        "top_users_exact": q_top_users_exact,
         # --- round-4 operators the r4 driver gate never saw ---------
         "streaming_decontam": q_streaming_decontam,
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
@@ -2639,6 +2652,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING count(*) >= 60
             ORDER BY user_id
+        """,
+        "top_users_exact": """
+            SELECT user_id, count(*) AS n
+            FROM events
+            GROUP BY user_id
+            ORDER BY n DESC, user_id
+            LIMIT 20
         """,
         "leakage_safe_split": r"""
             WITH fp AS (

@@ -249,6 +249,68 @@ def heavy_hitters_mg(df: DataFrame, column: str, threshold: int, *,
     )
 
 
+def top_k_exact(df: DataFrame, column: str, k: int, *,
+                summary_k: int | None = None, seed: int = 2014) -> DataFrame:
+    """EXACT top-``k`` most frequent keys as (key, n), ordered
+    (n DESC, key ASC) — without ever shuffling the full key space: the
+    Misra-Gries summary's ≤``summary_k`` stored keys are the only
+    candidates that pay the exact count, and soundness is VERIFIED
+    after the fact: if the k-th exact candidate count exceeds the
+    summary's err, every key outside the candidate set has true count
+    ≤ err < c_k, so no true top-k key was missed. When the check fails
+    (heavy tail too flat for this summary size) it raises loudly with
+    the measured numbers instead of returning a silently-wrong top-k —
+    raise ``summary_k`` (err shrinks as ~N/(summary_k+1)).
+
+    Ties at the boundary resolve by ascending key in BOTH this
+    operator and any ORDER BY n DESC, key LIMIT k oracle."""
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    summary_k = summary_k or max(64 * k, 1024)
+    sk = mg_sketch(df, column, k=summary_k, seed=seed)
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(int(np.int64(x)),) for x in sk.keys.view(np.int64)],
+        "__cand long",
+    )
+    top = (
+        df.join(
+            F.broadcast(cand),
+            on=F.col(column).cast("long") == F.col("__cand"),
+            how="left_semi",
+        )
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col(column))
+        .limit(int(k))
+    )
+    rows = top.collect()
+    # Certification: err == 0 means the summary stored EVERY key seen
+    # (no decrement ever fired) — candidates are the full key set and
+    # the answer is exact even with < k rows. Otherwise we need k
+    # candidates whose k-th exact count beats err; fewer candidates
+    # than k (decrements zeroed the flat tail) certifies nothing.
+    if sk.err > 0:
+        if len(rows) < k:
+            raise ValueError(
+                f"top_k_exact: only {len(rows)} candidates survived a "
+                f"summary with err {sk.err} — the flat tail was "
+                f"decremented away and the true top-{k} cannot be "
+                f"certified; raise summary_k (currently {summary_k})"
+            )
+        c_k = rows[-1]["n"]
+        if c_k <= sk.err:
+            raise ValueError(
+                f"top_k_exact: k-th candidate count {c_k} <= summary "
+                f"err {sk.err} — a non-candidate key could belong to "
+                f"the true top-{k}; raise summary_k (currently "
+                f"{summary_k})"
+            )
+    return spark.createDataFrame(rows, top.schema)
+
+
 def tdigest_sketch(df: DataFrame, column: str, delta: float = 200.0,
                    seed: int = 2014, tree: bool = False,
                    strategy: str = "auto"):

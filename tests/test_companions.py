@@ -247,6 +247,51 @@ def test_mg_merge_guarantees_and_roundtrip():
     assert (truth_counts <= est_w + w.err).all()
 
 
+def test_mg_invariants_property():
+    """Property (hypothesis): for ANY key stream, k, batch split, and
+    merge tree shape, the MG invariants hold — lower bound, bounded
+    undercount, presence of every key with true count > err, ≤k
+    stored counters, exact total."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cuckoofilter_spark.core.mg import MisraGries
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        data=st.lists(st.integers(0, 30), min_size=1, max_size=400),
+        k=st.integers(1, 12),
+        n_parts=st.integers(1, 5),
+        pairwise=st.booleans(),
+    )
+    def check(data, k, n_parts, pairwise):
+        keys = np.array(data, dtype=np.uint64)
+        parts = np.array_split(keys, n_parts)
+        summaries = []
+        for p in parts:
+            s = MisraGries(k=k)
+            s.add_many(p)
+            summaries.append(s)
+        if pairwise:  # fold left
+            acc = summaries[0]
+            for s in summaries[1:]:
+                acc.merge(s)
+        else:  # tree-ish: merge into a fresh root
+            acc = MisraGries(k=k)
+            for s in summaries:
+                acc.merge(s)
+        tk, tc = np.unique(keys, return_counts=True)
+        est = acc.query_many(tk)
+        assert acc.total == len(keys)
+        assert len(acc.keys) <= k
+        assert (est <= tc).all()
+        assert (tc <= est + acc.err).all()
+        hot = tk[tc > acc.err]
+        assert (acc.query_many(hot) > 0).all()
+
+    check()
+
+
 def test_mg_blob_rejects_corruption():
     from cuckoofilter_spark.core.mg import MisraGries
 

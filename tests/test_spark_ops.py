@@ -404,6 +404,29 @@ def test_heavy_hitters_mg_exact_and_guard(spark):
         heavy_hitters_mg(events, "user_id", 2, k=4, seed=7)
 
 
+def test_top_k_exact_matches_full_groupby(spark):
+    """Sketch-pruned exact top-k equals the full-shuffle answer
+    (n DESC, key tiebreak), and the soundness check trips when the
+    summary is undersized."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.operators.approx import top_k_exact
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = [(r["user_id"], r["n"]) for r in top_k_exact(
+        events, "user_id", 25, seed=7).collect()]
+    want = [(r["user_id"], r["n"]) for r in (
+        events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("user_id")).limit(25).collect())]
+    assert got == want and len(got) == 25
+
+    # flat tail (every key count=2): no candidate can clear the err
+    # bar, so the guard must refuse rather than return a wrong top-k
+    flat = spark.range(10_000).select((F.col("id") % 5000).alias("v"))
+    with _pt.raises(ValueError, match="raise summary_k"):
+        top_k_exact(flat, "v", 25, summary_k=26, seed=7)
+
+
 def test_mg_array_build_bounds_both_strategies(spark, tokens_df):
     """Distributed MG over the token arrays: the one-sided bounds and
     presence guarantee hold under both the local and the JVM
