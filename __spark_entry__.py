@@ -1267,6 +1267,17 @@ def q_top_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_exact(events, "user_id", 20, seed=7)
 
 
+def q_top_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sketch-pruned EXACT top-k (operators/approx.py
+    grouped_top_k_exact): per-event-type Misra-Gries summaries supply
+    the only candidates that pay an exact count; each group
+    self-certifies (k-th count > err_g or err_g == 0)."""
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    events = _read(spark, sf_dir, "events")
+    return grouped_top_k_exact(events, "event_type", "user_id", 5, seed=7)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-keyed train/holdout split (operators/sampling.py
     split_leakage_safe): side = pure function of the exact-dedup
@@ -1869,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "top_users_exact": q_top_users_exact,
+        "top_users_by_type": q_top_users_by_type,
         # --- round-4 operators the r4 driver gate never saw ---------
         "streaming_decontam": q_streaming_decontam,
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
@@ -1915,10 +1927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_filter_build": q_streaming_filter_build,
         "streaming_dedup": q_streaming_dedup,
         "checkpoint_resume_build": q_checkpoint_resume_build,
+        "decontaminate_docs": q_decontaminate_docs,
         "hash_sample_stats": q_hash_sample_stats,
         "stratified_sample_counts": q_stratified_sample_counts,
         "bottomk_sample": q_bottomk_sample,
-        "decontaminate_docs": q_decontaminate_docs,
         # --- long-stable rows (driver-green since r1-r3; verified
         # locally every round past the 50-row window) ----------------
         "cf_zero_false_negatives": q_cf_zero_false_negatives,
@@ -2659,6 +2671,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY n DESC, user_id
             LIMIT 20
+        """,
+        "top_users_by_type": """
+            WITH c AS (
+              SELECT event_type, user_id, count(*) AS n
+              FROM events GROUP BY event_type, user_id),
+            r AS (
+              SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+                     CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY n DESC, user_id) AS INT) AS rank
+              FROM c)
+            SELECT * FROM r WHERE rank <= 5
+            ORDER BY event_type, rank
         """,
         "leakage_safe_split": r"""
             WITH fp AS (

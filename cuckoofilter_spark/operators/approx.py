@@ -311,6 +311,77 @@ def top_k_exact(df: DataFrame, column: str, k: int, *,
     return spark.createDataFrame(rows, top.schema)
 
 
+def grouped_top_k_exact(
+    df: DataFrame, group_col: str, column: str, k: int, *,
+    summary_k: int | None = None, seed: int = 2014,
+) -> DataFrame:
+    """EXACT per-group top-``k`` keys as (group, key, n, rank) — the
+    grouped form of ``top_k_exact``: one pass builds a mergeable
+    Misra-Gries summary PER GROUP (``grouped_sketch_agg``: map-side
+    combine, blob-only shuffle), the union of all groups' ≤summary_k
+    candidates pays the only exact count (broadcast semi-join on
+    (group, key)), and every group self-certifies exactly like the global
+    operator: err_g == 0 (summary exact) or k-th exact count > err_g.
+    Any uncertifiable group fails LOUDLY with its measured numbers.
+    Ties break by ascending key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    summary_k = summary_k or max(64 * k, 1024)
+    spark = df.sparkSession
+    summaries = grouped_sketch_agg(
+        df, group_col, column, kind="mg", k=summary_k, seed=seed,
+    ).collect()
+    errs: dict = {}
+    cand_rows = []
+    for r in summaries:
+        sk = sketch_from_bytes(bytes(r["sketch"]))
+        g = r[group_col]
+        errs[g] = sk.err
+        cand_rows.extend(
+            (g, int(np.int64(x))) for x in sk.keys.view(np.int64)
+        )
+    g_type = df.schema[group_col].dataType.simpleString()
+    cand = spark.createDataFrame(cand_rows, f"__g {g_type}, __cand long")
+    counted = (
+        df.join(
+            F.broadcast(cand),
+            on=(F.col(group_col) == F.col("__g"))
+            & (F.col(column).cast("long") == F.col("__cand")),
+            how="left_semi",
+        )
+        .groupBy(group_col, column)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.col(column))
+    top = (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .orderBy(group_col, "rank")
+    )
+    rows = top.collect()
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(r[group_col], []).append(r["n"])
+    for g, err in errs.items():
+        if err == 0:
+            continue
+        ns = per_group.get(g, [])
+        if len(ns) < k or ns[-1] <= err:
+            raise ValueError(
+                f"grouped_top_k_exact: group {g!r} cannot be certified "
+                f"(candidates={len(ns)}, k-th count="
+                f"{ns[-1] if ns else 0}, err={err}); raise summary_k "
+                f"(currently {summary_k})"
+            )
+    return spark.createDataFrame(rows, top.schema)
+
+
 def tdigest_sketch(df: DataFrame, column: str, delta: float = 200.0,
                    seed: int = 2014, tree: bool = False,
                    strategy: str = "auto"):

@@ -427,6 +427,27 @@ def test_top_k_exact_matches_full_groupby(spark):
         top_k_exact(flat, "v", 25, summary_k=26, seed=7)
 
 
+def test_grouped_top_k_exact_matches_window(spark):
+    """Per-group sketch-pruned exact top-k equals the full
+    groupBy+window answer, including rank and tiebreaks."""
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = [(r["event_type"], r["user_id"], r["n"], r["rank"])
+           for r in grouped_top_k_exact(
+               events, "event_type", "user_id", 5, seed=7).collect()]
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.col("user_id"))
+    want = [(r["event_type"], r["user_id"], r["n"], r["rank"])
+            for r in (
+        events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5").orderBy("event_type", "rank").collect())]
+    assert got == want and len(got) > 0
+
+
 def test_mg_array_build_bounds_both_strategies(spark, tokens_df):
     """Distributed MG over the token arrays: the one-sided bounds and
     presence guarantee hold under both the local and the JVM
