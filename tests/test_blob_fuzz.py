@@ -39,6 +39,12 @@ def _all_blobs():
     for sk in (TDigest(seed=3), KLL(k=128, seed=3)):
         sk.add_many(vals)
         out.append(sk.to_bytes())
+    from cuckoofilter_spark.core.kmv import KMVSketch
+    from cuckoofilter_spark.core.mg import MisraGries
+
+    for sk in (KMVSketch(k=256, seed=3), MisraGries(k=64, seed=3)):
+        sk.add_many(keys)
+        out.append(sk.to_bytes())
     return out
 
 
