@@ -111,6 +111,52 @@ def test_shape_corpus_job_jsonl_input(spark, tmp_path):
     assert flags == {True, False}
 
 
+def test_vocab_report_job(spark, tmp_path):
+    """jobs/vocab_report.py in-process: top-words per group are the
+    EXACT window answer, overlap pairs cover all group pairs, vocab
+    sizes exist per group."""
+    import json as _json
+    import sys
+    from io import StringIO
+
+    import jobs.vocab_report as job
+
+    out = str(tmp_path / "vocab_rep")
+    cap = StringIO()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        rc = job.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--group", "source", "--top-k", "5", "--output", out,
+        ])
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    stats = _json.loads(cap.getvalue().strip().splitlines()[-1])
+    n_groups = stats["groups"]
+    assert n_groups >= 2
+    assert stats["top_words"] == 5 * n_groups
+    assert stats["overlap_pairs"] == n_groups * (n_groups - 1) // 2
+
+    # exactness spot-check: group-1's top word by full count
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from cuckoofilter_spark.operators.text import words_col
+    g0 = docs.select("source").orderBy("source").first()["source"]
+    want = (
+        docs.filter(F.col("source") == g0)
+        .select(F.explode(words_col("text")).alias("w"))
+        .groupBy("w").count().orderBy(F.desc("count"), "w")
+        .first()
+    )
+    got = (
+        spark.read.parquet(f"{out}/top_words")
+        .filter((F.col("source") == g0) & (F.col("rank") == 1))
+        .first()
+    )
+    assert got["n"] == want["count"]
+
+
 def test_shape_corpus_job_oov_gate(spark, tmp_path):
     """The OOV gate stage: planted mojibake documents (tokens that
     appear nowhere else in the corpus) are dropped, ordinary documents
