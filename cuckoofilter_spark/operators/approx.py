@@ -180,6 +180,25 @@ def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
     return _merged_sketch(shards, tree)
 
 
+def _require_integral_key(df: DataFrame, column: str, where: str) -> None:
+    """The exact-verify semi-joins compare the raw column cast to
+    long against the summary's stored uint64 keys — meaningful for
+    integral columns only. A string column would cast to NULL and
+    silently produce an empty candidate set; pre-hash it JVM-side
+    (``build.string_key_expr``) and verify against the hash column
+    instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(df.schema[column].dataType,
+                      (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{where}: column {column!r} has type "
+            f"{df.schema[column].dataType.simpleString()} — the exact "
+            "verify join needs an integral key column; pre-hash "
+            "strings with build.string_key_expr and pass that column"
+        )
+
+
 def mg_sketch(df: DataFrame, column: str, k: int = 4096,
               seed: int = 2014, tree: bool = False,
               strategy: str = "auto"):
@@ -224,6 +243,7 @@ def heavy_hitters_mg(df: DataFrame, column: str, threshold: int, *,
     ~N/(k+1)). NULL keys are excluded, matching ``heavy_hitters``."""
     from pyspark.sql import functions as F
 
+    _require_integral_key(df, column, "heavy_hitters_mg")
     sk = mg_sketch(df, column, k=k, seed=seed)
     if int(threshold) <= sk.err:
         raise ValueError(
@@ -268,6 +288,7 @@ def top_k_exact(df: DataFrame, column: str, k: int, *,
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    _require_integral_key(df, column, "top_k_exact")
     summary_k = summary_k or max(64 * k, 1024)
     sk = mg_sketch(df, column, k=summary_k, seed=seed)
     spark = df.sparkSession
@@ -332,6 +353,7 @@ def grouped_top_k_exact(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    _require_integral_key(df, column, "grouped_top_k_exact")
     summary_k = summary_k or max(64 * k, 1024)
     spark = df.sparkSession
     summaries = grouped_sketch_agg(

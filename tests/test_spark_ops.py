@@ -426,6 +426,12 @@ def test_top_k_exact_matches_full_groupby(spark):
     with _pt.raises(ValueError, match="raise summary_k"):
         top_k_exact(flat, "v", 25, summary_k=26, seed=7)
 
+    # string keys refuse loudly (the cast-to-long verify would
+    # silently produce an empty candidate set)
+    s = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    with _pt.raises(ValueError, match="integral key"):
+        top_k_exact(s, "k", 1)
+
 
 def test_grouped_top_k_exact_matches_window(spark):
     """Per-group sketch-pruned exact top-k equals the full
