@@ -373,7 +373,11 @@ def grouped_top_k_exact(
     counted = (
         df.join(
             F.broadcast(cand),
-            on=(F.col(group_col) == F.col("__g"))
+            # eqNullSafe: SQL GROUP BY keeps the NULL group, so the
+            # candidate join must too (NULL == NULL is NULL and would
+            # silently drop the whole null group, then fail its
+            # certification)
+            on=F.col(group_col).eqNullSafe(F.col("__g"))
             & (F.col(column).cast("long") == F.col("__cand")),
             how="left_semi",
         )

@@ -454,6 +454,21 @@ def test_grouped_top_k_exact_matches_window(spark):
     assert got == want and len(got) > 0
 
 
+def test_grouped_top_k_exact_null_group(spark):
+    """SQL GROUP BY keeps the NULL group; the candidate join must be
+    null-safe or the whole null group silently vanishes and then
+    fails certification."""
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    df = spark.createDataFrame(
+        [(None, 1)] * 5 + [(None, 2)] * 3 + [("a", 1)] * 4,
+        "g string, v long",
+    )
+    rows = {(r["g"], r["v"], r["n"]) for r in
+            grouped_top_k_exact(df, "g", "v", 2, seed=7).collect()}
+    assert rows == {(None, 1, 5), (None, 2, 3), ("a", 1, 4)}
+
+
 def test_mg_array_build_bounds_both_strategies(spark, tokens_df):
     """Distributed MG over the token arrays: the one-sided bounds and
     presence guarantee hold under both the local and the JVM
