@@ -276,10 +276,11 @@ def q_tokens_array_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cf_hash_families_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining reference hash kernels as filter families: BobHash
-    (lookup3 hashlittle2, src/hashutil.cc:319-593) and SuperFastHash
-    (src/hashutil.cc:646-693) — bit-exact kernels (tests/
-    test_hash_parity.py) driving the same distributed build/merge/probe
-    pipeline with zero false negatives each."""
+    (lookup3 hashlittle2, src/hashutil.cc:319-593), SuperFastHash
+    (src/hashutil.cc:646-693), and the MD5/SHA-1 digest wrappers
+    (src/hashutil.h:39-41; hashlib-bit-exact batch kernels) — each
+    driving the same distributed build/merge/probe pipeline with zero
+    false negatives."""
     from cuckoofilter_spark.operators.build import build_sketch_shards
     from cuckoofilter_spark.operators.merge import merge_shards_to_blob
     from cuckoofilter_spark.operators.probe import might_contain_udf
@@ -288,7 +289,7 @@ def q_cf_hash_families_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = supplier.select("s_suppkey").distinct()
     n = keys.count()
     agg_cols = [F.count(F.lit(1)).alias("n_probed")]
-    for family in ("bob", "superfast"):
+    for family in ("bob", "superfast", "md5", "sha1"):
         shards = build_sketch_shards(
             supplier, "s_suppkey", kind="cuckoo", lineage=False,
             max_num_keys=suggest_capacity(n), bits_per_item=12, seed=2014,
@@ -2008,7 +2009,9 @@ def oracle_sql() -> dict[str, str]:
         "cf_hash_families_zero_fn": """
             SELECT count(DISTINCT s_suppkey) AS n_probed,
                    count(DISTINCT s_suppkey) AS hits_bob,
-                   count(DISTINCT s_suppkey) AS hits_superfast
+                   count(DISTINCT s_suppkey) AS hits_superfast,
+                   count(DISTINCT s_suppkey) AS hits_md5,
+                   count(DISTINCT s_suppkey) AS hits_sha1
             FROM supplier
         """,
         "tokens_array_zero_fn": r"""

@@ -353,15 +353,181 @@ class NullHash:
 # tabulation hashing because multiply-shift has known pathological key
 # sets (benchmarks/random.h:16-20). Family ids are serialized in the
 # filter blob header so merges can refuse cross-family unions.
+class MD5Hash:
+    """Cryptographic-digest family: 64-bit hash = first 8 MD5 digest
+    bytes of (key ⊕ seed-mix) — the filter-family form of the
+    reference's EVP MD5 wrapper (src/hashutil.h:39-41; its filter
+    template never binds it, so this is API-parity surface). Slow by
+    construction (~1 M keys/s) — for verification against pathological
+    key sets, not hot paths."""
+
+    __slots__ = ("mask", "seed")
+
+    def __init__(self, seed: int):
+        self.seed = int(seed)
+        rng = np.random.Generator(np.random.PCG64(seed ^ 0x3D5D5))
+        self.mask = np.uint64(rng.integers(0, 2**64, dtype=np.uint64))
+
+    def hash64(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        return md5_hash64(keys ^ self.mask)
+
+
+class SHA1Hash:
+    """As ``MD5Hash`` but SHA-1 (src/hashutil.h:41)."""
+
+    __slots__ = ("mask", "seed")
+
+    def __init__(self, seed: int):
+        self.seed = int(seed)
+        rng = np.random.Generator(np.random.PCG64(seed ^ 0x51A15))
+        self.mask = np.uint64(rng.integers(0, 2**64, dtype=np.uint64))
+
+    def hash64(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        return sha1_hash64(keys ^ self.mask)
+
+
 HASH_FAMILIES = {
     "multiply_shift": MultiplyShift,
     "tabulation": SimpleTabulation,
     "bob": BobHash,
     "superfast": SuperFastHash,
     "null": NullHash,
+    "md5": MD5Hash,
+    "sha1": SHA1Hash,
 }
 FAMILY_IDS = {
     "multiply_shift": 0, "tabulation": 1, "bob": 2, "superfast": 3,
-    "null": 4,
+    "null": 4, "md5": 5, "sha1": 6,
 }
 FAMILY_NAMES = {v: k for k, v in FAMILY_IDS.items()}
+
+
+# ---------------------------------------------------------------- digests
+# Batch MD5/SHA1 of the 8 little-endian key bytes — the numpy
+# re-expression of the reference's EVP digest wrappers
+# (src/hashutil.h:39-41, src/hashutil.cc MD5Hash/SHA1Hash). The
+# filter template never calls them (src/cuckoofilter.h uses the
+# multiply-shift family); they exist for API parity and as an extra
+# hash family. One 64-byte block per key (8-byte message + padding),
+# all 64/80 rounds vectorized over the batch; bit-exact vs hashlib
+# (tests/test_hash_parity.py).
+
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+    + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4, dtype=np.uint32)
+_MD5_K = np.array(
+    [int(abs(np.sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)],
+    dtype=np.uint32)
+
+
+def _rol32(x: np.ndarray, r) -> np.ndarray:
+    r = np.uint32(r)
+    return (x << r) | (x >> (np.uint32(32) - r))
+
+
+def md5_digest_u64(keys: np.ndarray) -> np.ndarray:
+    """MD5 digests of each key's 8 LE bytes -> (n, 16) uint8."""
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    n = len(keys)
+    M = np.zeros((16, n), dtype=np.uint32)
+    M[0] = (keys & _MASK32).astype(np.uint32)
+    M[1] = (keys >> _U32).astype(np.uint32)
+    M[2] = np.uint32(0x80)        # padding byte right after the message
+    M[14] = np.uint32(64)         # message bit length (LE low word)
+    a = np.full(n, 0x67452301, dtype=np.uint32)
+    b = np.full(n, 0xEFCDAB89, dtype=np.uint32)
+    c = np.full(n, 0x98BADCFE, dtype=np.uint32)
+    d = np.full(n, 0x10325476, dtype=np.uint32)
+    A, B, C, D = a.copy(), b.copy(), c.copy(), d.copy()
+    for i in range(64):
+        if i < 16:
+            f = (B & C) | (~B & D)
+            g = i
+        elif i < 32:
+            f = (D & B) | (~D & C)
+            g = (5 * i + 1) % 16
+        elif i < 48:
+            f = B ^ C ^ D
+            g = (3 * i + 5) % 16
+        else:
+            f = C ^ (B | ~D)
+            g = (7 * i) % 16
+        f = f + A + _MD5_K[i] + M[g]
+        A = D
+        D = C
+        C = B
+        B = B + _rol32(f, _MD5_S[i])
+    a += A
+    b += B
+    c += C
+    d += D
+    out = np.empty((len(keys), 16), dtype=np.uint8)
+    for j, w in enumerate((a, b, c, d)):
+        out[:, 4 * j:4 * j + 4] = (
+            w[:, None] >> np.uint32(8 * np.arange(4))
+        ).astype(np.uint8)
+    return out
+
+
+def sha1_digest_u64(keys: np.ndarray) -> np.ndarray:
+    """SHA-1 digests of each key's 8 LE bytes -> (n, 20) uint8."""
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    n = len(keys)
+    W = [np.zeros(n, dtype=np.uint32) for _ in range(80)]
+    # message words are BIG-endian reads of the LE key buffer
+    W[0] = (keys & _MASK32).astype(np.uint32).byteswap()
+    W[1] = (keys >> _U32).astype(np.uint32).byteswap()
+    W[2] = np.full(n, 0x80000000, dtype=np.uint32)
+    W[15] = np.full(n, 64, dtype=np.uint32)
+    for t in range(16, 80):
+        W[t] = _rol32(W[t - 3] ^ W[t - 8] ^ W[t - 14] ^ W[t - 16], 1)
+    h0 = np.full(n, 0x67452301, dtype=np.uint32)
+    h1 = np.full(n, 0xEFCDAB89, dtype=np.uint32)
+    h2 = np.full(n, 0x98BADCFE, dtype=np.uint32)
+    h3 = np.full(n, 0x10325476, dtype=np.uint32)
+    h4 = np.full(n, 0xC3D2E1F0, dtype=np.uint32)
+    a, b, c, d, e = (h0.copy(), h1.copy(), h2.copy(), h3.copy(),
+                     h4.copy())
+    for t in range(80):
+        if t < 20:
+            f = (b & c) | (~b & d)
+            k = np.uint32(0x5A827999)
+        elif t < 40:
+            f = b ^ c ^ d
+            k = np.uint32(0x6ED9EBA1)
+        elif t < 60:
+            f = (b & c) | (b & d) | (c & d)
+            k = np.uint32(0x8F1BBCDC)
+        else:
+            f = b ^ c ^ d
+            k = np.uint32(0xCA62C1D6)
+        tmp = _rol32(a, 5) + f + e + k + W[t]
+        e = d
+        d = c
+        c = _rol32(b, 30)
+        b = a
+        a = tmp
+    h0 += a
+    h1 += b
+    h2 += c
+    h3 += d
+    h4 += e
+    out = np.empty((n, 20), dtype=np.uint8)
+    for j, w in enumerate((h0, h1, h2, h3, h4)):
+        out[:, 4 * j:4 * j + 4] = (
+            w.byteswap()[:, None].view(np.uint8)
+        )
+    return out
+
+
+def md5_hash64(keys: np.ndarray) -> np.ndarray:
+    """First 8 digest bytes as uint64 (LE) — MD5 as a 64-bit hash
+    family member."""
+    return md5_digest_u64(keys)[:, :8].copy().view(np.uint64).ravel()
+
+
+def sha1_hash64(keys: np.ndarray) -> np.ndarray:
+    """First 8 digest bytes as uint64 (LE)."""
+    return sha1_digest_u64(keys)[:, :8].copy().view(np.uint64).ravel()

@@ -68,7 +68,7 @@ def test_murmur2_parity():
     assert (got == want).all(), (got, want)
 
 
-@pytest.mark.parametrize("family", ["bob", "superfast", "null"])
+@pytest.mark.parametrize("family", ["bob", "superfast", "null", "md5", "sha1"])
 def test_new_families_filter_roundtrip(family):
     """Each family plugs into the filter ctor: zero false negatives,
     sane FPR, and blob round-trip preserves the family byte."""
@@ -93,8 +93,34 @@ def test_new_families_filter_roundtrip(family):
         m.merge(g)
 
 
+def test_md5_sha1_digest_parity():
+    """Batch MD5/SHA-1 of the 8 LE key bytes are bit-exact vs hashlib
+    over random keys (the reference's EVP wrapper semantics,
+    src/hashutil.h:39-41, on the filter's fixed-width item type)."""
+    import hashlib
+
+    from cuckoofilter_spark.core.hashing import (
+        md5_digest_u64, md5_hash64, sha1_digest_u64, sha1_hash64,
+    )
+
+    rng = np.random.default_rng(77)
+    keys = rng.integers(0, 2**64, 500, dtype=np.uint64)
+    md = md5_digest_u64(keys)
+    sh = sha1_digest_u64(keys)
+    h64m = md5_hash64(keys)
+    h64s = sha1_hash64(keys)
+    for i, k in enumerate(keys):
+        b = int(k).to_bytes(8, "little")
+        want_md = hashlib.md5(b).digest()
+        want_sh = hashlib.sha1(b).digest()
+        assert md[i].tobytes() == want_md, i
+        assert sh[i].tobytes() == want_sh, i
+        assert int(h64m[i]) == int.from_bytes(want_md[:8], "little")
+        assert int(h64s[i]) == int.from_bytes(want_sh[:8], "little")
+
+
 def test_seeded_families_differ_by_seed():
-    for family in ("bob", "superfast"):
+    for family in ("bob", "superfast", "md5", "sha1"):
         from cuckoofilter_spark.core.hashing import HASH_FAMILIES
 
         h1 = HASH_FAMILIES[family](1).hash64(KEYS)
