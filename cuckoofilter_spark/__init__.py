@@ -36,4 +36,6 @@ from cuckoofilter_spark.core.hll import HyperLogLog  # noqa: F401
 from cuckoofilter_spark.core.cms import CountMinSketch  # noqa: F401
 from cuckoofilter_spark.core.tdigest import TDigest  # noqa: F401
 from cuckoofilter_spark.core.kll import KLL  # noqa: F401
+from cuckoofilter_spark.core.kmv import KMVSketch  # noqa: F401
+from cuckoofilter_spark.core.mg import MisraGries  # noqa: F401
 from cuckoofilter_spark.core.registry import sketch_from_bytes  # noqa: F401

@@ -25,8 +25,12 @@ from cuckoofilter_spark.operators.approx import (  # noqa: F401
     approx_overlap_kmv,
     approx_quantiles,
     frequent_keys_filter,
+    grouped_top_k_exact,
     heavy_hitters,
+    heavy_hitters_mg,
+    mg_sketch,
     overlap_matrix,
+    top_k_exact,
 )
 from cuckoofilter_spark.operators.grouped import grouped_sketch_agg  # noqa: F401
 from cuckoofilter_spark.operators.merge import (  # noqa: F401
@@ -41,6 +45,7 @@ from cuckoofilter_spark.operators.multimodal import (  # noqa: F401
 from cuckoofilter_spark.operators.decontam import (  # noqa: F401
     decontaminate,
     eval_ngram_filter,
+    novelty_report,
     overlap_report,
 )
 from cuckoofilter_spark.operators.packing import (  # noqa: F401
@@ -63,6 +68,7 @@ from cuckoofilter_spark.operators.sampling import (  # noqa: F401
     sample_stratified,
     sample_weighted,
     sample_weighted_bottom_k,
+    split_leakage_safe,
     split_train_holdout,
 )
 from cuckoofilter_spark.operators.semijoin import (  # noqa: F401
