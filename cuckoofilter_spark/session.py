@@ -49,6 +49,54 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def scale_conf(
+    input_bytes: int,
+    *,
+    executor_mem_bytes: int = 8 << 30,
+    cores_per_executor: int = 4,
+    target_partition_bytes: int = 256 << 20,
+    mem_safety: float = 4.0,
+) -> dict[str, str]:
+    """Spill-aware shuffle/scan sizing for a target input volume — the
+    config a ``spark-submit`` of these jobs should carry at a given
+    scale factor (brief: "size ``spark.sql.shuffle.partitions`` and
+    ``spark.sql.files.maxPartitionBytes`` so partitions fit in
+    executor memory at the target SF").
+
+    Rules, each load-bearing:
+
+    - a shuffle partition should hold ~``target_partition_bytes``
+      (default 256 MB: big enough to amortize task overhead, small
+      enough that a few concurrent tasks' working sets — decompressed,
+      ~2-4x on-wire — fit an executor core's memory share);
+    - the per-core memory share caps the partition size from above:
+      ``executor_mem_bytes / cores_per_executor / mem_safety``
+      (``mem_safety`` covers decompression + sort/agg buffers); the
+      effective partition target is the min of the two;
+    - ``maxPartitionBytes`` (scan split size) gets the same effective
+      target so scan tasks and shuffle tasks see similar volumes;
+    - AQE stays on: these are the STARTING sizes AQE coalesces/splits
+      from at runtime — deliberately slightly over-partitioned, which
+      AQE can fix cheaply (the reverse, under-partitioning, it cannot).
+
+    Returns a plain dict usable as ``--conf`` pairs or
+    ``get_spark(extra_conf=...)``. At 100 TB with the defaults:
+    ~400k shuffle partitions — within Spark's comfortable range and
+    far under the 2^31 shuffle-id ceiling."""
+    if input_bytes <= 0:
+        raise ValueError(f"input_bytes must be positive, got {input_bytes}")
+    per_core = int(executor_mem_bytes / cores_per_executor / mem_safety)
+    eff_target = max(16 << 20, min(target_partition_bytes, per_core))
+    n_parts = max(32, -(-input_bytes // eff_target))  # ceil div
+    return {
+        "spark.sql.shuffle.partitions": str(n_parts),
+        "spark.sql.files.maxPartitionBytes": str(eff_target),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(eff_target),
+    }
+
+
 def warm_python_workers(spark: SparkSession, n_workers: int | None = None) -> None:
     """Pre-spawn and warm the Arrow python workers.
 

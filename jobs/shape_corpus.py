@@ -69,6 +69,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-tokens", type=int, default=2048)
     ap.add_argument("--streams", type=int, default=32)
     ap.add_argument("--seed", type=int, default=2014)
+    ap.add_argument("--auto-scale-conf", action="store_true",
+                    help="size shuffle partitions / scan splits from "
+                         "the input's Catalyst size estimate "
+                         "(session.scale_conf) instead of cluster "
+                         "defaults")
     ap.add_argument("--output", required=True)
     args = ap.parse_args(argv)
 
@@ -114,6 +119,18 @@ def main(argv=None) -> int:
     else:
         df = spark.read.parquet(args.input)
         counts = {"rows_in": df.count()}
+
+    if args.auto_scale_conf:
+        from cuckoofilter_spark.operators.approx import _plan_size_bytes
+        from cuckoofilter_spark.session import scale_conf
+
+        size = _plan_size_bytes(df)
+        if size > 0:
+            for k, v in scale_conf(size).items():
+                spark.conf.set(k, v)
+            counts["scale_conf_partitions"] = int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
 
     # 1. exact dedup
     df = dedup_exact(df, args.id_col, args.text_col)

@@ -43,3 +43,35 @@ def test_pyfiles_zip_is_importable(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "zipimport OK" in r.stdout
+
+
+def test_scale_conf_sizing_rules():
+    """scale_conf: partition count ~ input/target, memory cap engages
+    for small executors, floors respected, 100 TB lands in a sane
+    range."""
+    import pytest
+
+    from cuckoofilter_spark.session import scale_conf
+
+    c = scale_conf(100 << 30)  # 100 GB, default 256 MB target
+    assert int(c["spark.sql.shuffle.partitions"]) == 400
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 256 << 20
+
+    # small executors: per-core share (2g/4/4 = 128 MB) caps the size
+    c2 = scale_conf(100 << 30, executor_mem_bytes=2 << 30)
+    assert int(c2["spark.sql.files.maxPartitionBytes"]) == 128 << 20
+    assert int(c2["spark.sql.shuffle.partitions"]) == 800
+
+    # 100 TB: ~400k partitions, AQE advisories aligned
+    c3 = scale_conf(100 << 40)
+    assert 300_000 < int(c3["spark.sql.shuffle.partitions"]) < 500_000
+    assert c3["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == \
+        c3["spark.sql.files.maxPartitionBytes"]
+
+    # tiny input floors at 32 partitions / 16 MB target
+    c4 = scale_conf(1 << 20, executor_mem_bytes=1 << 26)
+    assert int(c4["spark.sql.shuffle.partitions"]) == 32
+    assert int(c4["spark.sql.files.maxPartitionBytes"]) >= 16 << 20
+
+    with pytest.raises(ValueError):
+        scale_conf(0)
