@@ -82,7 +82,11 @@ def main() -> None:
     # otherwise pays the entire cold OS page cache for the input alone
     # (measured: build_cuckoo 157 s vs the identical-plan semisort's
     # 67 s in the same process); n_tokens doubles as the warm scan
-    n_tokens = tokens.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    # coalesce: F.size(NULL) is -1 under the legacy default and would
+    # silently skew the tokens/s denominator
+    n_tokens = tokens.agg(
+        F.sum(F.coalesce(F.size("tokens"), F.lit(0)))
+    ).collect()[0][0]
 
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}

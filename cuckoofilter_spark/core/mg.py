@@ -160,8 +160,10 @@ class MisraGries:
             raise ValueError("bad mg blob length")
         obj.keys = np.frombuffer(body[: 8 * n], dtype=np.uint64).copy()
         obj.counts = np.frombuffer(body[8 * n:], dtype=np.int64).copy()
-        if n > 1 and not bool(np.all(np.diff(obj.keys.astype(np.uint64))
-                                     .astype(np.int64) > 0)):
+        # direct elementwise uint64 comparison — np.diff wraps mod
+        # 2^64, so a valid adjacent-key gap >= 2^63 would look
+        # negative after an int64 cast and falsely reject the blob
+        if n > 1 and not bool(np.all(obj.keys[1:] > obj.keys[:-1])):
             raise ValueError("bad mg blob: keys not strictly sorted")
         obj.total, obj.err = int(total), int(err)
         return obj

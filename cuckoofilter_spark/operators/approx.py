@@ -111,6 +111,24 @@ def _distinct_strategy(df: DataFrame, column: str, strategy: str) -> str:
             else "local")
 
 
+def _count_strategy(df: DataFrame, column: str, strategy: str) -> str:
+    """Resolve strategy='auto' for FREQUENCY sketches (CMS, MG) —
+    ``shuffle_count`` for large, high-duplication array columns (the
+    JVM partial COUNT collapses the stream to (key, count) pairs);
+    same size + duplication gates as ``_distinct_strategy``."""
+    if strategy != "auto":
+        return strategy
+    from pyspark.sql.types import ArrayType
+
+    if not isinstance(df.schema[column].dataType, ArrayType):
+        return "local"
+    if _plan_size_bytes(df) < _AUTO_SHUFFLE_MIN_BYTES:
+        return "local"
+    return ("shuffle_count"
+            if _sampled_duplication(df, column) >= _AUTO_MIN_DUPLICATION
+            else "local")
+
+
 def _value_strategy(df: DataFrame, column: str, strategy: str) -> str:
     """Resolve strategy='auto' for VALUE sketches (tdigest, KLL).
     Discrete value columns (n_tok: thousands of distinct values over
@@ -163,19 +181,10 @@ def cms_sketch(df: DataFrame, column: str, eps: float = 0.0005,
     carries exact (key, count) pairs at ~cardinality rows; counters
     are identical to the per-occurrence build, only the data movement
     changes."""
-    if strategy == "auto":
-        from pyspark.sql.types import ArrayType
-
-        strategy = (
-            "shuffle_count"
-            if isinstance(df.schema[column].dataType, ArrayType)
-            and _plan_size_bytes(df) >= _AUTO_SHUFFLE_MIN_BYTES
-            and _sampled_duplication(df, column) >= _AUTO_MIN_DUPLICATION
-            else "local"
-        )
     shards = build_sketch_shards(
         df, column, kind="cms", distinct=False, weight_by_count=True,
-        lineage=False, strategy=strategy, eps=eps, delta=delta, seed=seed,
+        lineage=False, strategy=_count_strategy(df, column, strategy),
+        eps=eps, delta=delta, seed=seed,
     )
     return _merged_sketch(shards, tree)
 
@@ -211,19 +220,10 @@ def mg_sketch(df: DataFrame, column: str, k: int = 4096,
     insert-order-dependent in its intermediate decrements but its
     guarantees are not, so the collapsed build carries the same
     bounds)."""
-    if strategy == "auto":
-        from pyspark.sql.types import ArrayType
-
-        strategy = (
-            "shuffle_count"
-            if isinstance(df.schema[column].dataType, ArrayType)
-            and _plan_size_bytes(df) >= _AUTO_SHUFFLE_MIN_BYTES
-            and _sampled_duplication(df, column) >= _AUTO_MIN_DUPLICATION
-            else "local"
-        )
     shards = build_sketch_shards(
         df, column, kind="mg", distinct=False, weight_by_count=True,
-        lineage=False, strategy=strategy, k=k, seed=seed,
+        lineage=False, strategy=_count_strategy(df, column, strategy),
+        k=k, seed=seed,
     )
     return _merged_sketch(shards, tree)
 
@@ -241,8 +241,6 @@ def heavy_hitters_mg(df: DataFrame, column: str, threshold: int, *,
     an under-sized ``k`` fails LOUDLY here with the measured err
     instead of silently missing hitters — raise ``k`` (err shrinks as
     ~N/(k+1)). NULL keys are excluded, matching ``heavy_hitters``."""
-    from pyspark.sql import functions as F
-
     _require_integral_key(df, column, "heavy_hitters_mg")
     sk = mg_sketch(df, column, k=k, seed=seed)
     if int(threshold) <= sk.err:
@@ -252,10 +250,22 @@ def heavy_hitters_mg(df: DataFrame, column: str, threshold: int, *,
             f"raise k (currently {k}, err ~ N/(k+1))"
         )
     cand_keys, _ = sk.heavy_hitters(int(threshold))
+    return _exact_count_candidates(df, column, cand_keys).filter(
+        F.col("n") >= int(threshold)
+    )
+
+
+def _exact_count_candidates(
+    df: DataFrame, column: str, cand_keys: np.ndarray
+) -> DataFrame:
+    """Exact per-key counts restricted to a bounded candidate set —
+    the broadcast-semi-join + groupBy scaffold the MG-gated exact
+    operators share. Returns (column, n)."""
     spark = df.sparkSession
     cand = spark.createDataFrame(
-        [(int(np.int64(x)),) for x in cand_keys.view(np.int64)],
-        f"__cand long",
+        [(int(np.int64(x)),)
+         for x in np.asarray(cand_keys, dtype=np.uint64).view(np.int64)],
+        "__cand long",
     )
     return (
         df.join(
@@ -265,7 +275,6 @@ def heavy_hitters_mg(df: DataFrame, column: str, threshold: int, *,
         )
         .groupBy(column)
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= int(threshold))
     )
 
 
@@ -283,27 +292,20 @@ def top_k_exact(df: DataFrame, column: str, k: int, *,
     raise ``summary_k`` (err shrinks as ~N/(summary_k+1)).
 
     Ties at the boundary resolve by ascending key in BOTH this
-    operator and any ORDER BY n DESC, key LIMIT k oracle."""
-    from pyspark.sql import functions as F
+    operator and any ORDER BY n DESC, key LIMIT k oracle.
 
+    NULL keys are EXCLUDED (the summary never sees them and the
+    verify join drops them) — unlike SQL ``GROUP BY``, which counts a
+    NULL group; filter or fill NULLs upstream if they matter, exactly
+    as for ``heavy_hitters``/``heavy_hitters_mg``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     _require_integral_key(df, column, "top_k_exact")
     summary_k = summary_k or max(64 * k, 1024)
     sk = mg_sketch(df, column, k=summary_k, seed=seed)
     spark = df.sparkSession
-    cand = spark.createDataFrame(
-        [(int(np.int64(x)),) for x in sk.keys.view(np.int64)],
-        "__cand long",
-    )
     top = (
-        df.join(
-            F.broadcast(cand),
-            on=F.col(column).cast("long") == F.col("__cand"),
-            how="left_semi",
-        )
-        .groupBy(column)
-        .agg(F.count(F.lit(1)).alias("n"))
+        _exact_count_candidates(df, column, sk.keys)
         .orderBy(F.desc("n"), F.col(column))
         .limit(int(k))
     )
@@ -344,7 +346,8 @@ def grouped_top_k_exact(
     (group, key)), and every group self-certifies exactly like the global
     operator: err_g == 0 (summary exact) or k-th exact count > err_g.
     Any uncertifiable group fails LOUDLY with its measured numbers.
-    Ties break by ascending key."""
+    Ties break by ascending key. NULL KEYS are excluded (as in
+    ``top_k_exact``); NULL GROUPS are kept (null-safe join)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -355,28 +358,51 @@ def grouped_top_k_exact(
         raise ValueError(f"k must be >= 1, got {k}")
     _require_integral_key(df, column, "grouped_top_k_exact")
     summary_k = summary_k or max(64 * k, 1024)
-    spark = df.sparkSession
     summaries = grouped_sketch_agg(
         df, group_col, column, kind="mg", k=summary_k, seed=seed,
-    ).collect()
-    errs: dict = {}
-    cand_rows = []
-    for r in summaries:
-        sk = sketch_from_bytes(bytes(r["sketch"]))
-        g = r[group_col]
-        errs[g] = sk.err
-        cand_rows.extend(
-            (g, int(np.int64(x))) for x in sk.keys.view(np.int64)
-        )
+    )
     g_type = df.schema[group_col].dataType.simpleString()
-    cand = spark.createDataFrame(cand_rows, f"__g {g_type}, __cand long")
+
+    # Distributed summary decode: candidate rows + each group's err in
+    # one pass — NOTHING is collected at the driver (at 10^6 groups ×
+    # summary_k candidates a driver fan-in would OOM and break the
+    # module's blob-only discipline). An empty summary still emits one
+    # null-candidate row so its err survives to certification.
+    def decode(pdfs):
+        for pdf in pdfs:
+            gs, cands, errs_ = [], [], []
+            for g, blob in zip(pdf[group_col], pdf["sketch"]):
+                sk = sketch_from_bytes(bytes(blob))
+                n = len(sk.keys)
+                if n:
+                    gs.extend([g] * n)
+                    cands.extend(sk.keys.view(np.int64).tolist())
+                    errs_.extend([sk.err] * n)
+                else:
+                    gs.append(g)
+                    cands.append(None)
+                    errs_.append(sk.err)
+            yield pd.DataFrame(
+                {"__g": gs,
+                 "__cand": pd.array(cands, dtype="Int64"),
+                 "__err": errs_}
+            )
+
+    cand = summaries.mapInPandas(
+        decode, f"__g {g_type}, __cand long, __err long"
+    )
+    cand.persist()
+    errs_df = cand.groupBy("__g").agg(F.max("__err").alias("__err"))
     counted = (
         df.join(
-            F.broadcast(cand),
+            cand.filter(F.col("__cand").isNotNull())
+            .select("__g", "__cand"),
             # eqNullSafe: SQL GROUP BY keeps the NULL group, so the
             # candidate join must too (NULL == NULL is NULL and would
             # silently drop the whole null group, then fail its
-            # certification)
+            # certification). No broadcast hint: AQE broadcasts small
+            # candidate sets itself and falls back to a shuffle join
+            # at huge group counts.
             on=F.col(group_col).eqNullSafe(F.col("__g"))
             & (F.col(column).cast("long") == F.col("__cand")),
             how="left_semi",
@@ -388,24 +414,35 @@ def grouped_top_k_exact(
     top = (
         counted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
-        .orderBy(group_col, "rank")
     )
-    rows = top.collect()
-    per_group: dict = {}
-    for r in rows:
-        per_group.setdefault(r[group_col], []).append(r["n"])
-    for g, err in errs.items():
-        if err == 0:
-            continue
-        ns = per_group.get(g, [])
-        if len(ns) < k or ns[-1] <= err:
-            raise ValueError(
-                f"grouped_top_k_exact: group {g!r} cannot be certified "
-                f"(candidates={len(ns)}, k-th count="
-                f"{ns[-1] if ns else 0}, err={err}); raise summary_k "
-                f"(currently {summary_k})"
+    top.persist()
+
+    # Distributed certification: a group with err > 0 is certified
+    # iff it produced k rows AND its k-th exact count beats err.
+    stats = top.groupBy(group_col).agg(
+        F.max("rank").alias("__rk"), F.min("n").alias("__ck")
+    )
+    viol = (
+        errs_df.filter(F.col("__err") > 0)
+        .join(stats, F.col("__g").eqNullSafe(F.col(group_col)), "left")
+        .filter(
+            F.col("__rk").isNull()
+            | (F.col("__rk") < int(k))
+            | (F.col("__ck") <= F.col("__err"))
+        )
+    )
+    bad = viol.select("__g", "__rk", "__ck", "__err").take(3)
+    if bad:
+        raise ValueError(
+            f"grouped_top_k_exact: {len(bad)}+ group(s) cannot be "
+            f"certified, e.g. "
+            + "; ".join(
+                f"group {r['__g']!r} (rows={r['__rk']}, k-th count="
+                f"{r['__ck']}, err={r['__err']})" for r in bad
             )
-    return spark.createDataFrame(rows, top.schema)
+            + f" — raise summary_k (currently {summary_k})"
+        )
+    return top.orderBy(group_col, "rank")
 
 
 def tdigest_sketch(df: DataFrame, column: str, delta: float = 200.0,

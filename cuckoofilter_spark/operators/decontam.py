@@ -182,7 +182,14 @@ def novelty_report(
     ``n_seen`` is 0 without any join), so only documents with ≥1 hit
     — the overlapping sliver plus the FPR trickle — pay the
     explode + broadcast-join verification. Documents with an empty
-    n-gram set (< n words) report n_total=0, novelty_milli=1000."""
+    n-gram set (< n words) report n_total=0, novelty_milli=1000.
+
+    Caching lifetime: the gate output (and the reference n-gram table
+    built by ``eval_ngram_filter``) stay persisted for the session —
+    deliberate when scoring several corpus slices against one
+    reference, but a loop over MANY references should call
+    ``spark.catalog.clearCache()`` between iterations (as bench.py
+    does) or unpersist after materializing the result."""
     blob, ref_ngrams = eval_ngram_filter(
         ref_df, text_col, n=n, bits_per_item=bits_per_item, seed=seed
     )

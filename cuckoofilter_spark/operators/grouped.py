@@ -156,6 +156,13 @@ def grouped_sketch_agg(
         sketches: dict = {}
         for pdf in batches:
             for g, sub in pdf.groupby("g", sort=False, dropna=False):
+                if weighted:
+                    # drop NaN VALUES jointly with their counts: the
+                    # JVM isNotNull filter passes float NaN (it is
+                    # not NULL), and _keys_array's dropna would strip
+                    # it from the keys while the count column kept
+                    # its row — misaligned add_weighted arrays
+                    sub = sub.dropna(subset=["v"])
                 vals = sub["v"]
                 keys = _keys_array(vals, value_based)
                 if not len(keys):
@@ -165,8 +172,6 @@ def grouped_sketch_agg(
                 if sk is None:
                     sk = sketches[g] = make_sketch(kind, **params)
                 if weighted:
-                    # no nulls survive the JVM filter, so v and c
-                    # stay aligned
                     sk.add_weighted(
                         keys, sub["c"].to_numpy(dtype=np.int64)
                     )

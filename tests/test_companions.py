@@ -292,6 +292,21 @@ def test_mg_invariants_property():
     check()
 
 
+def test_mg_roundtrip_large_key_gap():
+    """Regression: a valid summary whose adjacent sorted keys differ
+    by >= 2^63 must round-trip (the old sortedness check cast a
+    wrapped np.diff to int64 and falsely rejected it). Hashed keys
+    hit this with ~25% probability on a 2-key summary."""
+    from cuckoofilter_spark.core.mg import MisraGries
+
+    mg = MisraGries(k=8)
+    mg.add_many(np.array([1, 2**63 + 5], dtype=np.uint64),
+                np.array([3, 4], dtype=np.int64))
+    back = MisraGries.from_bytes(mg.to_bytes())
+    assert np.array_equal(back.keys, mg.keys)
+    assert np.array_equal(back.counts, mg.counts)
+
+
 def test_mg_blob_rejects_corruption():
     from cuckoofilter_spark.core.mg import MisraGries
 
@@ -604,6 +619,30 @@ def test_grouped_value_count_strategy_state_identity(spark):
     with _pt.raises(ValueError, match="value-based"):
         grouped_sketch_agg(df, "g", "v", kind="hll",
                            strategy="shuffle_value_count", p=12)
+
+
+def test_grouped_value_count_nan_values(spark):
+    """Regression: float NaN VALUES (not NULL) pass Spark's isNotNull
+    filter and reach the weighted partial as their own (g, NaN, c)
+    row — the keys and counts must stay aligned (NaN dropped jointly)
+    instead of crashing add_weighted with mismatched shapes."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    df = spark.range(300).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.when(F.col("id") % 7 == 0, F.lit(float("nan")))
+        .otherwise((F.col("id") % 10).cast("double")).alias("v"),
+    )
+    rows = grouped_sketch_agg(
+        df, "g", "v", kind="tdigest", delta=200.0,
+        strategy="shuffle_value_count",
+    ).collect()
+    assert {r["g"] for r in rows} == {"0", "1"}
+    # p50 over 0..9 uniform-ish after NaN removal stays in-range
+    for r in rows:
+        assert 2.0 <= r["p50"] <= 7.0
 
 
 def test_kmv_merge_order_independence_property():

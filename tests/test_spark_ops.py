@@ -454,6 +454,22 @@ def test_grouped_top_k_exact_matches_window(spark):
     assert got == want and len(got) > 0
 
 
+def test_grouped_top_k_exact_refuses_uncertifiable_group(spark):
+    """A group with a flat tail (every key count=2) cannot be
+    certified at a tiny summary — loud refusal naming the group."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    df = spark.range(6000).select(
+        F.when(F.col("id") < 3000, "flat").otherwise("hot").alias("g"),
+        F.when(F.col("id") < 3000, F.col("id") % 1500)  # flat: all 2s
+        .otherwise(F.col("id") % 5).alias("v"),         # hot: 600 each
+    )
+    with _pt.raises(ValueError, match="'flat'"):
+        grouped_top_k_exact(df, "g", "v", 3, summary_k=4, seed=7)
+
+
 def test_grouped_top_k_exact_null_group(spark):
     """SQL GROUP BY keeps the NULL group; the candidate join must be
     null-safe or the whole null group silently vanishes and then
