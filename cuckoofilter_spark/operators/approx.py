@@ -66,15 +66,36 @@ _AUTO_SAMPLE_ROWS = 20_000
 
 def _sampled_duplication(df: DataFrame, column: str) -> float:
     """Duplication ratio (values per distinct value) of ``column``
-    from a bounded head sample — one tiny job (``limit`` short-
-    circuits the scan), only run when the input is already past the
-    size cutover, where ~0.3 s of sampling steers a minutes-long
-    build. Head-of-table bias is acceptable for a plan choice:
-    token-stream duplication is driven by the global vocab shape, not
-    row order."""
+    from a bounded MULTI-PARTITION head sample — still one tiny job
+    (``limit`` short-circuits the scan), only run when the input is
+    already past the size cutover, where ~0.3 s of sampling steers a
+    minutes-long build. Each partition contributes at most 1/16 of the
+    sample, so ``limit``'s incremental execution must touch >=16
+    partition heads before it is satisfied — a table clustered by the
+    key column can no longer satisfy the whole sample from one
+    partition's head and badly misestimate global duplication
+    (round-5 advice). A full df.sample(fraction) scan would be
+    unbiased but costs a whole-input pass, which defeats the point of
+    a cheap plan-choice probe."""
     from pyspark.sql.types import ArrayType
 
-    src = df.select(F.col(column).alias("__v")).limit(_AUTO_SAMPLE_ROWS)
+    per_part = max(1, _AUTO_SAMPLE_ROWS // 16)
+    v_type = df.schema[column].dataType.simpleString()
+
+    def _heads(pdfs):
+        left = per_part
+        for pdf in pdfs:
+            if left <= 0:
+                break
+            take = pdf.iloc[:left]
+            left -= len(take)
+            yield take
+
+    src = (
+        df.select(F.col(column).alias("__v"))
+        .mapInPandas(_heads, f"__v {v_type}")
+        .limit(_AUTO_SAMPLE_ROWS)
+    )
     if isinstance(df.schema[column].dataType, ArrayType):
         src = src.select(F.explode("__v").alias("__v"))
     row = src.agg(
@@ -431,18 +452,26 @@ def grouped_top_k_exact(
             | (F.col("__ck") <= F.col("__err"))
         )
     )
-    bad = viol.select("__g", "__rk", "__ck", "__err").take(3)
-    if bad:
-        raise ValueError(
-            f"grouped_top_k_exact: {len(bad)}+ group(s) cannot be "
-            f"certified, e.g. "
-            + "; ".join(
-                f"group {r['__g']!r} (rows={r['__rk']}, k-th count="
-                f"{r['__ck']}, err={r['__err']})" for r in bad
+    try:
+        bad = viol.select("__g", "__rk", "__ck", "__err").take(3)
+        if bad:
+            raise ValueError(
+                f"grouped_top_k_exact: {len(bad)}+ group(s) cannot be "
+                f"certified, e.g. "
+                + "; ".join(
+                    f"group {r['__g']!r} (rows={r['__rk']}, k-th count="
+                    f"{r['__ck']}, err={r['__err']})" for r in bad
+                )
+                + f" — raise summary_k (currently {summary_k})"
             )
-            + f" — raise summary_k (currently {summary_k})"
-        )
-    return top.orderBy(group_col, "rank")
+        # Eager localCheckpoint truncates lineage so both caches can be
+        # released before returning — without it the persisted blocks
+        # would accumulate across calls in a long-lived session
+        # (round-5 advice). n_groups x k rows stay executor-resident.
+        return top.orderBy(group_col, "rank").localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()
+        top.unpersist()
 
 
 def tdigest_sketch(df: DataFrame, column: str, delta: float = 200.0,

@@ -125,7 +125,13 @@ def merge_shards_to_blob(
     second time (the build emits exactly one row per partition, so
     the two are equal by construction; round-5 finding: the count was
     silently doubling every blob build, +0.43 s on the sf0.1
-    semi-join and ~2x the build cost of every bench row)."""
+    semi-join and ~2x the build cost of every bench row). Caveat
+    (round-5 advice): ``mapInArrow`` emits NO row for an empty input
+    partition, so the partition count can OVERCOUNT the true shard
+    count — harmless here because n only picks driver-vs-tree (both
+    paths are correct at any n) and the overcount errs toward the
+    scalable tree path; callers that know the exact count (e.g. from
+    ``build_sketch_shards`` metadata) can pass ``num_shards``."""
     n = (num_shards if num_shards is not None
          else shards.rdd.getNumPartitions())
     if n <= driver_threshold:

@@ -36,9 +36,30 @@ def write_bucketed(
 ) -> None:
     """Write ``df`` as a bucketed external parquet table ``name`` at
     ``path``: hash-bucketed (and, by default, sorted) by
-    ``bucket_col`` into ``num_buckets`` buckets."""
+    ``bucket_col`` into ``num_buckets`` buckets.
+
+    If ``name`` is already registered at a DIFFERENT external path,
+    the stale catalog entry is dropped first — otherwise
+    ``saveAsTable(mode='overwrite')`` would silently repoint the
+    catalog and leave orphaned data files at the old location
+    (round-5 advice). The old location's files are left for the
+    caller (this function never deletes data it didn't write)."""
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    spark = df.sparkSession
+    if mode == "overwrite" and spark.catalog.tableExists(name):
+        import os
+
+        loc = next(
+            (r["data_type"] for r in
+             spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect()
+             if r["col_name"] == "Location"), None,
+        )
+        want = "file:" + os.path.abspath(path)
+        if loc is not None and loc.rstrip("/") not in (
+            want.rstrip("/"), os.path.abspath(path).rstrip("/"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     w = (
         df.write.format("parquet").mode(mode)
         .option("path", path)
