@@ -1869,71 +1869,19 @@ def q_pack_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING POLICY (round-4 verdict item 2): the driver's oracle
-    # gate snapshots the FIRST 50 entries, so the newest /
-    # least-driver-proven operators lead and long-stable rows (the
-    # near-identical cf_*_zero_fn variants, classic relational
-    # queries) sit at the back; everything past 50 is still verified
-    # locally by scripts/check_queries.py each round.
+    # ORDERING POLICY (round-4 verdict item 2, rotation per round-5
+    # verdict item 5): the driver's oracle gate snapshots the FIRST 50
+    # entries, so (a) the 16 rows outside the r5 window rotate back in
+    # first — every registered query gets a driver-green row at most
+    # one round stale — and (b) queries exercising THIS round's
+    # changed code (vectorized shingle-hash kernel: all dedup/decontam
+    # rows; fused dual-bucket bulk placement: all filter-build rows)
+    # stay inside the window. The 16 rotated OUT to positions 51-66
+    # are doubly proven (driver-green in BOTH r4 and r5) and touch no
+    # code changed this round; they are still verified locally by
+    # scripts/check_queries.py each round.
     return {
-        # --- round-5 operators ---------------------------------------
-        "novelty_stats": q_novelty_stats,
-        "leakage_safe_split": q_leakage_safe_split,
-        "heavy_hitters_mg": q_heavy_hitters_mg,
-        "top_users_exact": q_top_users_exact,
-        "top_users_by_type": q_top_users_by_type,
-        # --- round-4 operators the r4 driver gate never saw ---------
-        "streaming_decontam": q_streaming_decontam,
-        "streaming_windowed_hll_bound": q_streaming_windowed_hll,
-        "streaming_session_hll_bound": q_streaming_session_hll,
-        "vocab_oov_stats": q_vocab_oov_stats,
-        "source_vocab_overlap": q_source_vocab_overlap,
-        "frequent_vocab_filter": q_frequent_vocab_filter,
-        "weighted_sample_stats": q_weighted_sample_stats,
-        "repetition_by_source": q_repetition_by_source,
-        "pack_firstfit_stats": q_pack_firstfit_stats,
-        "pii_stats": q_pii_stats,
-        "pack_documents_stats": q_pack_documents_stats,
-        "streaming_dedup_sliding": q_streaming_dedup_sliding,
-        # --- core / companion-sketch contract rows ------------------
-        "cf_semijoin_agg": q_cf_semijoin_agg,
-        "cf_antijoin_agg": q_cf_antijoin_agg,
-        "bloom_semijoin_agg": q_bloom_semijoin_agg,
-        "cf_delete_then_lookup": q_cf_delete_then_lookup,
-        "cf_merge_associativity": q_cf_merge_associativity,
-        "cf_string_keys": q_cf_string_keys,
-        "hll_distinct_bound": q_hll_distinct_bound,
-        "cms_frequency_bound": q_cms_frequency_bound,
-        "hll_overlap_bound": q_hll_overlap_bound,
-        "kmv_overlap_bound": q_kmv_overlap_bound,
-        "hll_by_group_bound": q_hll_by_group_bound,
-        "hll_rollup_day_bound": q_hll_rollup_day_bound,
-        "heavy_hitters_exact": q_heavy_hitters_exact,
-        "tdigest_by_group_bound": q_tdigest_by_group_bound,
-        "tdigest_quantile_bound": q_tdigest_quantile_bound,
-        "kll_quantile_bound": q_kll_quantile_bound,
-        # --- dedup / similarity / media -----------------------------
-        "minhash_near_dups": q_minhash_near_dups,
-        "ngram_near_dups": q_ngram_near_dups,
-        "dup_cluster_stats": q_dup_cluster_stats,
-        "simhash_near_dups": q_simhash_near_dups,
-        "cosine_topk": q_cosine_topk,
-        "ann_recall_bound": q_ann_recall_bound,
-        "ann_multiprobe_recall_bound": q_ann_multiprobe_recall_bound,
-        "ivf_recall_bound": q_ivf_recall_bound,
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_byte_stats": q_media_byte_stats,
-        "media_frame_stats": q_media_frame_stats,
-        # --- streaming / pipeline -----------------------------------
-        "streaming_filter_build": q_streaming_filter_build,
-        "streaming_dedup": q_streaming_dedup,
-        "checkpoint_resume_build": q_checkpoint_resume_build,
-        "decontaminate_docs": q_decontaminate_docs,
-        "hash_sample_stats": q_hash_sample_stats,
-        "stratified_sample_counts": q_stratified_sample_counts,
-        "bottomk_sample": q_bottomk_sample,
-        # --- long-stable rows (driver-green since r1-r3; verified
-        # locally every round past the 50-row window) ----------------
+        # --- rotated back in (outside the r5 driver window) ---------
         "cf_zero_false_negatives": q_cf_zero_false_negatives,
         "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
         "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
@@ -1949,6 +1897,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": q_cube_orders,
         "top3_parts_per_brand": q_top3_parts_per_brand,
         "events_sessionization": q_events_sessionization,
+        "bottomk_sample": q_bottomk_sample,
+        # --- rows over code changed THIS round ----------------------
+        "minhash_near_dups": q_minhash_near_dups,
+        "ngram_near_dups": q_ngram_near_dups,
+        "dup_cluster_stats": q_dup_cluster_stats,
+        "simhash_near_dups": q_simhash_near_dups,
+        "decontaminate_docs": q_decontaminate_docs,
+        "novelty_stats": q_novelty_stats,
+        "streaming_decontam": q_streaming_decontam,
+        "cf_semijoin_agg": q_cf_semijoin_agg,
+        "cf_antijoin_agg": q_cf_antijoin_agg,
+        "bloom_semijoin_agg": q_bloom_semijoin_agg,
+        "cf_delete_then_lookup": q_cf_delete_then_lookup,
+        "cf_merge_associativity": q_cf_merge_associativity,
+        "cf_string_keys": q_cf_string_keys,
+        "streaming_filter_build": q_streaming_filter_build,
+        "streaming_dedup": q_streaming_dedup,
+        "checkpoint_resume_build": q_checkpoint_resume_build,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
+        # --- round-4/5 operators keeping driver coverage ------------
+        "leakage_safe_split": q_leakage_safe_split,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "top_users_exact": q_top_users_exact,
+        "top_users_by_type": q_top_users_by_type,
+        "streaming_windowed_hll_bound": q_streaming_windowed_hll,
+        "streaming_session_hll_bound": q_streaming_session_hll,
+        "vocab_oov_stats": q_vocab_oov_stats,
+        "source_vocab_overlap": q_source_vocab_overlap,
+        "frequent_vocab_filter": q_frequent_vocab_filter,
+        "weighted_sample_stats": q_weighted_sample_stats,
+        "repetition_by_source": q_repetition_by_source,
+        "pack_firstfit_stats": q_pack_firstfit_stats,
+        "pii_stats": q_pii_stats,
+        "pack_documents_stats": q_pack_documents_stats,
+        "streaming_dedup_sliding": q_streaming_dedup_sliding,
+        "hash_sample_stats": q_hash_sample_stats,
+        "stratified_sample_counts": q_stratified_sample_counts,
+        # --- rotated out (doubly proven r4+r5, untouched this round;
+        # verified locally every round past the 50-row window) -------
+        "hll_distinct_bound": q_hll_distinct_bound,
+        "cms_frequency_bound": q_cms_frequency_bound,
+        "hll_overlap_bound": q_hll_overlap_bound,
+        "kmv_overlap_bound": q_kmv_overlap_bound,
+        "hll_by_group_bound": q_hll_by_group_bound,
+        "hll_rollup_day_bound": q_hll_rollup_day_bound,
+        "tdigest_by_group_bound": q_tdigest_by_group_bound,
+        "tdigest_quantile_bound": q_tdigest_quantile_bound,
+        "kll_quantile_bound": q_kll_quantile_bound,
+        "cosine_topk": q_cosine_topk,
+        "ann_recall_bound": q_ann_recall_bound,
+        "ann_multiprobe_recall_bound": q_ann_multiprobe_recall_bound,
+        "ivf_recall_bound": q_ivf_recall_bound,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_byte_stats": q_media_byte_stats,
+        "media_frame_stats": q_media_frame_stats,
     }
 
 

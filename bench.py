@@ -132,6 +132,14 @@ def main() -> None:
 
     # -- q2: probe 2M keys (~50% hit rate vs the 2^20 vocab) -----------
     probe = might_contain_udf(spark, blob)
+    # warm pass (round-5 verdict item 6): the first probe after a
+    # fresh broadcast pays blob ship + per-worker deserialize on every
+    # python worker (measured 5.1 s vs 1.3 s steady-state at sf10) —
+    # one tiny untimed probe pins the blob in each worker's UDF cache
+    # so the timed rows measure probe throughput, not broadcast warmup
+    spark.range(0, 1 << 14).select(probe(F.col("id")).alias("h")).agg(
+        F.sum(F.col("h").cast("long"))
+    ).collect()
     queries["probe_2m"], n_hits = timed2("probe_2m", lambda: (
         spark.range(0, 2 << 20)
         .select(F.col("id").alias("tok"))
@@ -324,6 +332,18 @@ def main() -> None:
         events, "event_type", "user_id", kind="hll", p=14, seed=7
     ).collect())
     extra["hll_groups"] = len(grows)
+
+    # -- q7h: per-group exact top-k via MG pruning (round-6: scale row
+    # for grouped_top_k_exact — blob-only summary shuffle + candidate
+    # semi-join + distributed certification)
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    queries["grouped_topk"], extra["grouped_topk_rows"] = timed2(
+        "grouped_topk",
+        lambda: grouped_top_k_exact(
+            events, "event_type", "user_id", 10, seed=7
+        ).count(),
+    )
 
     # -- q8: reference-shaped single-node microbench (conext-figure5 /
     # bulk-insert-and-query analog): core numpy kernels, no Spark —

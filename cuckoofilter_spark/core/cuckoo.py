@@ -248,24 +248,16 @@ class CuckooFilter:
         out = np.full(n, int(Status.Ok), dtype=np.int8)
         inserted = 0
 
-        cur_idx = idx.astype(np.uint64, copy=True)
-        cur_tag = tags.astype(np.uint32, copy=True)
-        owner = np.arange(n)
-        # Two bulk phases (i1 then i2): per round, one item per
-        # distinct bucket claims a free slot (claim-stamp scatter, O(q)
-        # per round, no sort); batch-internal duplicates retry next
-        # round. Expected rounds ≈ small constant (duplicate-bucket
-        # rate within a chunk), so the phase is ~O(n).
-        for phase in (0, 1):
-            if not len(cur_idx):
-                break
-            placed, spill = self._bulk_place(cur_idx, cur_tag)
-            inserted += placed
-            cur_idx, cur_tag, owner = (
-                cur_idx[spill], cur_tag[spill], owner[spill],
-            )
-            if phase == 0 and len(cur_idx):
-                cur_idx = alt_index(cur_idx, cur_tag, self.num_buckets)
+        # Fused dual-bucket claim loop (round-6, replacing the two
+        # sequential i1-then-i2 phases): per round, one item per
+        # distinct bucket claims a free slot (claim-stamp scatter,
+        # O(q) per round, no sort); a winner whose bucket is full
+        # flips to its ALT bucket inside the same queue instead of
+        # waiting for a whole second phase, so both candidate buckets
+        # are handled by one shrinking vectorized loop and only
+        # both-buckets-full items reach the kick machinery.
+        placed, cur_idx, cur_tag, owner = self._bulk_place_dual(idx, tags)
+        inserted += placed
 
         if len(cur_idx):
             # both buckets full → eviction chains
@@ -342,55 +334,109 @@ class CuckooFilter:
         ) << np.uint64(4)                        # slot * 16
         return has, shift
 
-    def _bulk_place(self, idx: np.ndarray, tags: np.ndarray):
-        """Claim-round empty-slot fill: per round, one item per distinct
-        bucket wins (claim-stamp scatter, O(q)); losers retry next round.
-        The expected round count is the max batch-internal bucket
-        multiplicity — a small constant for chunked random keys — so
-        this replaces the old O(n log n) stable argsort with ~O(n).
+    def _stamp_buf(self, q: int) -> np.ndarray:
+        """Reusable arange scratch for claim stamps (sliced per round
+        instead of re-allocated)."""
+        buf = getattr(self, "_stamp", None)
+        if buf is None or len(buf) < q:
+            buf = np.arange(max(q, self._ADD_CHUNK), dtype=np.int32)
+            self._stamp = buf
+        return buf[:q]
+
+    def _bulk_place_dual(self, idx: np.ndarray, tags: np.ndarray):
+        """Fused claim-round empty-slot fill over BOTH candidate
+        buckets: per round, one item per distinct bucket wins
+        (claim-stamp scatter, O(q)); losers retry next round; a winner
+        whose bucket is FULL moves to its alt bucket within the same
+        queue (phase bit) — a second full-bucket win spills it to the
+        kick machinery. The expected round count is the max
+        batch-internal bucket multiplicity — a small constant for
+        chunked random keys — so the whole pass is ~O(n) (this
+        replaced a two-phase structure that re-traversed every
+        i1-spilled item from scratch, and before that an O(n log n)
+        stable argsort).
 
         uint16 tables take the SWAR word path: one uint64 gather + ~6
         word ops per bucket instead of a (q,4) row gather + 3 lane
         reductions.
 
-        Returns (n_placed, spill_mask) where ``spill_mask`` marks items
-        whose bucket ran out of free slots."""
+        Returns ``(n_placed, spill_idx, spill_tag, spill_owner)`` —
+        the spilled items' ALT (i2) bucket as uint64, their tags, and
+        their positions in the input batch (for status reporting)."""
         table = self.table
         n = len(idx)
         claim = self._claim_buf()
-        remaining = np.arange(n, dtype=np.int32)
-        spill = np.zeros(n, dtype=bool)
-        placed = 0
         words = table.dtype == np.uint16
         t64 = table.reshape(-1).view(np.uint64) if words else None
-        while len(remaining):
-            b = idx[remaining].astype(np.int64)
-            claim[b] = remaining                # last writer wins
-            win = claim[b] == remaining
-            wsel = remaining[win]
-            wb = b[win]
+        b = idx.astype(np.int64)
+        tg = tags.astype(np.uint32, copy=False)
+        ph = np.zeros(n, dtype=bool)  # False: at i1; True: at i2
+        owner = np.arange(n, dtype=np.int64)
+        placed = 0
+        sp_b: list[np.ndarray] = []
+        sp_t: list[np.ndarray] = []
+        sp_o: list[np.ndarray] = []
+        while len(b):
+            q = len(b)
+            stamp = self._stamp_buf(q)
+            claim[b] = stamp                    # last writer wins
+            win = claim[b] == stamp
+            wi = np.flatnonzero(win)
+            wb = b[wi]
             if words:
                 w = t64[wb]
                 has, shift = self._swar_first_empty(w)
-                ok = wsel[has]
-                if len(ok):
+                hasi = np.flatnonzero(has)
+                if len(hasi):
                     # the target lane is zero → OR suffices, no mask
-                    t64[wb[has]] = w[has] | (
-                        tags[ok].astype(np.uint64) << shift[has]
+                    t64[wb[hasi]] = w[hasi] | (
+                        tg[wi[hasi]].astype(np.uint64) << shift[hasi]
                     )
-                    placed += len(ok)
+                    placed += len(hasi)
             else:
                 rows = table[wb]
                 empty = rows == 0
                 has = empty.any(axis=1)
                 slot = empty.argmax(axis=1)
-                ok = wsel[has]
-                if len(ok):
-                    table[wb[has], slot[has]] = tags[ok].astype(table.dtype)
-                    placed += len(ok)
-            spill[wsel[~has]] = True
-            remaining = remaining[~win]
-        return placed, spill
+                hasi = np.flatnonzero(has)
+                if len(hasi):
+                    table[wb[hasi], slot[hasi]] = (
+                        tg[wi[hasi]].astype(table.dtype)
+                    )
+                    placed += len(hasi)
+            keep = ~win
+            fw = wi[~has]                       # winners, bucket full
+            if len(fw):
+                at1 = ph[fw]
+                fb1 = fw[at1]                   # full at i2 → spill
+                if len(fb1):
+                    sp_b.append(b[fb1].astype(np.uint64))
+                    sp_t.append(tg[fb1])
+                    sp_o.append(owner[fb1])
+                fb0 = fw[~at1]                  # full at i1 → go to i2
+                if len(fb0):
+                    b[fb0] = alt_index(
+                        b[fb0].astype(np.uint64), tg[fb0],
+                        self.num_buckets,
+                    ).astype(np.int64)
+                    ph[fb0] = True
+                    keep[fb0] = True
+            ki = np.flatnonzero(keep)
+            if len(ki) < q:
+                b, tg, ph, owner = b[ki], tg[ki], ph[ki], owner[ki]
+        if sp_b:
+            return (
+                placed,
+                np.concatenate(sp_b),
+                np.concatenate(sp_t),
+                np.concatenate(sp_o),
+            )
+        return (
+            placed,
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.uint32),
+            np.empty(0, dtype=np.int64),
+        )
 
     _KICK_TAIL = 48  # below this queue length, scalar chains win
 

@@ -40,25 +40,18 @@ from cuckoofilter_spark.operators.text import shingles_col
 
 
 def _ngram_hash_udf(seed: int):
-    """string n-gram -> uint64 blake2b hash (as long). Must equal
-    ``dedup._shingle_hashes``'s per-shingle hash so the build and
-    probe sides agree."""
-    import hashlib
-
+    """string n-gram -> uint64 hash (as long). Delegates to
+    ``dedup.gram_string_hashes`` — bit-identical to the per-shingle
+    hash ``dedup._shingle_hashes`` assigns the same word sequence, so
+    the JVM-shingled build side and the Python-shingled probe side
+    agree."""
     from pyspark.sql.types import LongType
 
-    salt = seed.to_bytes(8, "little", signed=False)
+    from cuckoofilter_spark.operators.dedup import gram_string_hashes
 
     @F.pandas_udf(LongType())
     def h(s: pd.Series) -> pd.Series:
-        out = np.empty(len(s), dtype=np.uint64)
-        for j, g in enumerate(s):
-            out[j] = int.from_bytes(
-                hashlib.blake2b(g.encode(), digest_size=8,
-                                key=salt).digest(),
-                "little",
-            )
-        return pd.Series(out.view(np.int64))
+        return pd.Series(gram_string_hashes(s, seed).view(np.int64))
 
     return h
 
@@ -78,7 +71,7 @@ def contamination_count_udf(spark, blob: bytes, *, n: int, seed: int):
 
     from pyspark.sql.types import IntegerType
 
-    from cuckoofilter_spark.operators.dedup import _shingle_hashes
+    from cuckoofilter_spark.operators.dedup import _shingle_hashes_batch
     from cuckoofilter_spark.operators.probe import _get_filter
 
     bc = spark.sparkContext.broadcast(bytes(blob))
@@ -87,11 +80,7 @@ def contamination_count_udf(spark, blob: bytes, *, n: int, seed: int):
     @F.pandas_udf(IntegerType())
     def hits(s: pd.Series) -> pd.Series:
         sk = _get_filter(bc, cache_key)
-        arrs = [
-            _shingle_hashes(t, n, seed) if t is not None
-            else np.empty(0, dtype=np.uint64)
-            for t in s
-        ]
+        arrs = _shingle_hashes_batch(s, n, seed)
         lens = np.fromiter(
             (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
         )
@@ -122,7 +111,7 @@ def ngram_stats_udf(spark, blob: bytes, *, n: int, seed: int):
         IntegerType, StructField, StructType,
     )
 
-    from cuckoofilter_spark.operators.dedup import _shingle_hashes
+    from cuckoofilter_spark.operators.dedup import _shingle_hashes_batch
     from cuckoofilter_spark.operators.probe import _get_filter
 
     bc = spark.sparkContext.broadcast(bytes(blob))
@@ -135,11 +124,7 @@ def ngram_stats_udf(spark, blob: bytes, *, n: int, seed: int):
     @F.pandas_udf(out_type)
     def stats(s: pd.Series) -> pd.DataFrame:
         sk = _get_filter(bc, cache_key)
-        arrs = [
-            _shingle_hashes(t, n, seed) if t is not None
-            else np.empty(0, dtype=np.uint64)
-            for t in s
-        ]
+        arrs = _shingle_hashes_batch(s, n, seed)
         lens = np.fromiter(
             (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
         )

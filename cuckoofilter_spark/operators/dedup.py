@@ -8,10 +8,11 @@ Designed for the 100 TB shape of the problem:
   hash-partitioned groupBy on the fingerprint — the only shuffle moves
   16-byte digests + doc ids, never document bodies.
 - **MinHash+LSH**: per-doc signatures are computed WITHOUT exploding
-  shingles — one Arrow-batched pandas UDF does shingle→blake2b-hash→
-  128-perm row-min per document (per-doc text work belongs in a batch
-  UDF: Spark's nested higher-order array lambdas are CodegenFallback,
-  measured ~2ms/doc interpreted vs ~20µs/doc here). Banding then
+  shingles — one Arrow-batched pandas UDF does shingle→hash→128-perm
+  row-min per document with a fully vectorized hash kernel (per-word
+  C siphash13 + polynomial window mix; per-doc text work belongs in a
+  batch UDF: Spark's nested higher-order array lambdas are
+  CodegenFallback, measured ~2ms/doc interpreted). Banding then
   explodes only B=32 short band rows per doc; the self-join on
   (band, band_hash) is the classic LSH candidate join and the only
   O(candidates) stage. Exact-jaccard verification runs only on
@@ -104,28 +105,226 @@ def _perm_params(num_hashes: int, seed: int):
     return a, b
 
 
-def _shingle_hashes(text: str, k: int, seed: int) -> np.ndarray:
-    """Distinct word-k-shingle hashes of one document (uint64 via
-    blake2b — process-independent, unlike Python hash()). Shingle
-    definition matches ``shingles_col``/the SQL oracles exactly:
-    whitespace words, k-grams joined by single spaces, de-duplicated.
-    """
-    import hashlib
+# ---------------------------------------------------------------------
+# Vectorized shingle-hash kernel (round-6: replaces the per-shingle
+# hashlib.blake2b Python loop, which was ~3 us/shingle and 41% of the
+# whole sf10 bench). Pure numpy over the UTF-8 BYTE stream — no Python
+# word-string objects are ever materialized:
+#
+#   1. the batch's documents are utf-8-encoded and joined with '\n';
+#   2. word spans = maximal runs of non-ASCII-whitespace BYTES. This
+#      is exactly the Java \s+ / RE2 \s word split (see _words): the
+#      six ASCII whitespace bytes never occur inside a UTF-8
+#      multi-byte sequence (continuation bytes are >= 0x80), so byte
+#      splitting == codepoint splitting;
+#   3. word hash = seeded 64-bit polynomial over the span's bytes,
+#      splitmix64-finalized (_span_hashes; byte gathers are length-
+#      bucketed so total work is O(total bytes));
+#   4. shingle hash = seeded polynomial over the k word hashes of a
+#      sliding window, splitmix64-finalized; windows never straddle a
+#      document boundary; per-doc distinct via np.unique.
+#
+# Same shingle SET semantics as before (distinct word-k-grams of the
+# ASCII-whitespace split); only the hash VALUES changed vs rounds 1-5
+# — permitted because every consumer treats the hash as an opaque
+# uniform 64-bit key: minhash/jaccard verification and the PPJoin
+# oracle compare exact jaccard over the (injective-whp) hash sets,
+# simhash is checked for internal consistency plus an exact
+# small-corpus Hamming oracle computed from these same signatures, and
+# the decontam build/probe sides share this kernel via
+# ``gram_string_hashes``. Polynomial (vs cryptographic) hashing is a
+# deliberate trade: collisions are birthday-random on natural text,
+# and dedup/minhash tolerate ~2^-64-per-pair fingerprint noise — but
+# it is NOT adversarially collision-resistant.
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[9, 10, 11, 12, 13, 32]] = True  # \t \n \x0b \f \r ' '
+# spans longer than this fall back to one hashlib call each (a 1 MB
+# unbroken token must not turn the length-bucketed loop into 10^6
+# tiny gathers); both kernel entry points share the constant, so the
+# same giant word hashes identically everywhere
+_SPAN_CAP = 256
 
-    words = _words(text)
-    if len(words) < k:
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized uint64 (wrapping)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _utf8_concat(texts):
+    """(u8, doc_offsets): the batch's documents utf-8-encoded, joined
+    by '\n' (whitespace — words cannot span the seam), as a uint8
+    array plus each document's start offset (int64[n_docs])."""
+    bufs = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.fromiter(
+        (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+    )
+    offsets = np.cumsum(lens + 1) - (lens + 1)
+    u8 = np.frombuffer(b"\n".join(bufs) + b"\n", dtype=np.uint8)
+    return u8, offsets
+
+
+def _word_spans(u8: np.ndarray):
+    """(starts, lengths) of maximal non-whitespace byte runs."""
+    if u8.size == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    nonws = ~_WS_LUT[u8]
+    d = np.diff(nonws.view(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if nonws[0]:
+        starts = np.concatenate(([0], starts))
+    if nonws[-1]:
+        ends = np.concatenate((ends, [u8.size]))
+    return starts.astype(np.int64), (ends - starts).astype(np.int64)
+
+
+def _span_hashes(u8, starts, lengths, seed: int) -> np.ndarray:
+    """Seeded hash of each byte span, vectorized: polynomial over the
+    bytes + splitmix64. Length-bucketed (descending sort) so the byte
+    gathers do O(total bytes) total work with no per-span masks."""
+    n = len(starts)
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
-    salt = seed.to_bytes(8, "little", signed=False)
-    seen = set()
-    for i in range(len(words) - k + 1):
-        seen.add(" ".join(words[i:i + k]))
-    out = np.empty(len(seen), dtype=np.uint64)
-    for j, s in enumerate(seen):
-        out[j] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8, key=salt).digest(),
-            "little",
-        )
+    out = np.empty(n, dtype=np.uint64)
+    init = np.uint64(seed & (2**64 - 1))
+    giant = lengths > _SPAN_CAP
+    if giant.any():
+        import hashlib
+
+        salt = (seed & (2**64 - 1)).to_bytes(8, "little")
+        mv = u8.tobytes()
+        for i in np.flatnonzero(giant):
+            out[i] = int.from_bytes(
+                hashlib.blake2b(
+                    mv[starts[i]:starts[i] + lengths[i]],
+                    digest_size=8, key=salt,
+                ).digest(), "little",
+            )
+        keep = ~giant
+        starts, lengths = starts[keep], lengths[keep]
+        idx_back = np.flatnonzero(keep)
+    else:
+        idx_back = None
+    m = len(starts)
+    if m:
+        order = np.argsort(lengths, kind="stable")[::-1]
+        st, ln_desc = starts[order], lengths[order]
+        ln_asc = ln_desc[::-1]
+        h = np.full(m, init)
+        with np.errstate(over="ignore"):
+            for j in range(int(ln_desc[0])):
+                q = m - int(np.searchsorted(ln_asc, j + 1, side="left"))
+                if q == 0:
+                    break
+                h[:q] = h[:q] * _POLY_C + u8[st[:q] + j]
+            h = _mix64(h)
+        vals = np.empty(m, dtype=np.uint64)
+        vals[order] = h
+        if idx_back is None:
+            out = vals
+        else:
+            out[idx_back] = vals
     return out
+
+
+def _window_gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
+    """Hash of every length-``k`` window of the word-hash array
+    (positions 0..len-k): seeded-by-caller polynomial + splitmix64.
+    MUST stay formula-identical to ``_seq_hashes`` so a k-window and
+    the same k-word sequence hash alike."""
+    total = len(wh)
+    with np.errstate(over="ignore"):
+        acc = np.full(total - k + 1, np.uint64(0))
+        for j in range(k):
+            acc = acc * _POLY_C + wh[j:total - k + 1 + j]
+        return _mix64(acc)
+
+
+def _seq_hashes(wh, counts, offs) -> np.ndarray:
+    """Hash of each variable-length word-hash sequence (sequence i =
+    wh[offs[i] : offs[i]+counts[i]]): same polynomial + splitmix64 as
+    ``_window_gram_hashes``."""
+    n = len(counts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    order = np.argsort(counts, kind="stable")[::-1]
+    c_desc, o_desc = counts[order], offs[order]
+    c_asc = c_desc[::-1]
+    acc = np.full(n, np.uint64(0))
+    with np.errstate(over="ignore"):
+        for j in range(int(c_desc[0]) if len(c_desc) else 0):
+            q = n - int(np.searchsorted(c_asc, j + 1, side="left"))
+            if q == 0:
+                break
+            acc[:q] = acc[:q] * _POLY_C + wh[o_desc[:q] + j]
+        acc = _mix64(acc)
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = acc
+    return out
+
+
+def _shingle_hashes_batch(texts, k: int, seed: int) -> list[np.ndarray]:
+    """Distinct word-k-shingle hashes for every document of an Arrow
+    batch (list of uint64 arrays, sorted per doc). Shingle SET
+    definition matches ``shingles_col``/the SQL oracles exactly:
+    ASCII-whitespace words, k-grams, de-duplicated."""
+    texts = list(texts)
+    n_docs = len(texts)
+    u8, doc_offs = _utf8_concat(texts)
+    w_starts, w_lens = _word_spans(u8)
+    total = len(w_starts)
+    if total < k:
+        return [np.empty(0, dtype=np.uint64)] * n_docs
+    wh = _span_hashes(u8, w_starts, w_lens, seed)
+    # word -> document, then per-doc word counts (words are emitted in
+    # byte order, so each doc's words are contiguous in wh)
+    doc_of = np.searchsorted(doc_offs, w_starts, side="right") - 1
+    counts = np.bincount(doc_of, minlength=n_docs)
+    acc = _window_gram_hashes(wh, k)
+    lengths = np.maximum(counts - (k - 1), 0)
+    offs = np.cumsum(counts) - counts  # doc start offsets (word index)
+    starts = np.cumsum(lengths) - lengths
+    m = int(lengths.sum())
+    if m == 0:
+        return [np.empty(0, dtype=np.uint64)] * n_docs
+    idx = (
+        np.arange(m, dtype=np.int64)
+        - np.repeat(starts, lengths)
+        + np.repeat(offs, lengths)
+    )
+    grams = acc[idx]
+    out, s = [], 0
+    for length in lengths.tolist():
+        out.append(np.unique(grams[s:s + length]))
+        s += length
+    return out
+
+
+def _shingle_hashes(text: str, k: int, seed: int) -> np.ndarray:
+    """Distinct word-k-shingle hashes of one document (uint64;
+    process-independent, unlike Python hash()). Single-doc wrapper
+    over the batch kernel."""
+    return _shingle_hashes_batch([text], k, seed)[0]
+
+
+def gram_string_hashes(grams, seed: int) -> np.ndarray:
+    """uint64 hash per already-joined n-gram STRING (words joined by
+    single spaces) — bit-identical to the hash ``_shingle_hashes``
+    assigns the same word sequence, for build/probe agreement when one
+    side shingles JVM-side (``shingles_col`` output strings) and the
+    other shingles in Python (``decontam``). Handles mixed gram
+    lengths."""
+    grams = list(grams)
+    u8, gram_offs = _utf8_concat(grams)
+    w_starts, w_lens = _word_spans(u8)
+    wh = _span_hashes(u8, w_starts, w_lens, seed)
+    gram_of = np.searchsorted(gram_offs, w_starts, side="right") - 1
+    counts = np.bincount(gram_of, minlength=len(grams))
+    offs = np.cumsum(counts) - counts
+    return _seq_hashes(wh, counts, offs)
 
 
 def minhash_signatures(
@@ -146,9 +345,9 @@ def minhash_signatures(
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
+        hs_per_doc = _shingle_hashes_batch(texts, shingle_k, seed)
         out = []
-        for txt in texts:
-            hs = _shingle_hashes(txt or "", shingle_k, seed)
+        for hs in hs_per_doc:
             if len(hs) == 0:
                 out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
                 continue
@@ -506,14 +705,14 @@ def shingle_hash_rows(
     seed: int = 2014,
 ) -> DataFrame:
     """(doc, sh) posting rows: one row per distinct word-k-shingle hash
-    per document (same blake2b shingle hashes as MinHash — one batch
+    per document (same vectorized shingle hashes as MinHash — one batch
     UDF emits the array, Spark explodes it)."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def sh_udf(texts: pd.Series) -> pd.Series:
         return pd.Series([
-            _shingle_hashes(t or "", shingle_k, seed).view(np.int64)
-            for t in texts
+            hs.view(np.int64)
+            for hs in _shingle_hashes_batch(texts, shingle_k, seed)
         ])
 
     return df.select(
@@ -578,8 +777,7 @@ def simhash64(
     @F.pandas_udf(LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, txt in enumerate(texts):
-            h = _shingle_hashes(txt or "", shingle_k, seed)
+        for i, h in enumerate(_shingle_hashes_batch(texts, shingle_k, seed)):
             if len(h) == 0:
                 continue
             bits = (

@@ -119,12 +119,32 @@ def main() -> int:
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3])
         return 0
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     _gen(FULL_PATH, N_DOCS_FULL, 128)
     _gen(QUARTER_PATH, N_DOCS_QUARTER, 32)
-    weak_small = _run_leg(SMALL, QUARTER_PATH)
-    strong_small = _run_leg(SMALL, FULL_PATH)
-    large = _run_leg(LARGE, FULL_PATH)
+    # --repeat N (round-5 verdict item 4): each full comparison runs N
+    # times; the summary legs are the MEDIAN-by-build-sec samples, and
+    # every run's per-leg seconds + efficiencies are recorded so a
+    # below-target number can be judged against the same-box noise
+    # floor instead of a single draw.
     ratio = LARGE / SMALL
+    samples = []
+    for _ in range(repeat):
+        samples.append({
+            "weak_small": _run_leg(SMALL, QUARTER_PATH),
+            "strong_small": _run_leg(SMALL, FULL_PATH),
+            "large": _run_leg(LARGE, FULL_PATH),
+        })
+
+    def _median(legs):
+        s = sorted(legs, key=lambda d: d["sec"])
+        return s[len(s) // 2]
+
+    weak_small = _median([s["weak_small"] for s in samples])
+    strong_small = _median([s["strong_small"] for s in samples])
+    large = _median([s["large"] for s in samples])
     summary = {
         "cores": [SMALL, LARGE],
         "weak": {
@@ -144,6 +164,23 @@ def main() -> int:
             weak_small["probe_sec"] / large["probe_sec"], 3
         ),
     }
+    if repeat > 1:
+        summary["n_repeats"] = repeat
+        summary["per_run"] = [
+            {
+                "weak_small_sec": s["weak_small"]["sec"],
+                "strong_small_sec": s["strong_small"]["sec"],
+                "large_sec": s["large"]["sec"],
+                "weak_eff": round(
+                    s["weak_small"]["sec"] / s["large"]["sec"], 3
+                ),
+                "strong_eff": round(
+                    s["strong_small"]["sec"] / s["large"]["sec"] / ratio,
+                    3,
+                ),
+            }
+            for s in samples
+        ]
     print(json.dumps(summary))
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
         json.dump(summary, fh, indent=2)

@@ -242,10 +242,13 @@ def test_decontaminate_unicode_whitespace_parity(spark):
 
 def test_shingle_hashes_ascii_whitespace_only(spark):
     """_shingle_hashes must agree with the JVM shingles_col on text
-    containing Unicode whitespace: same shingle strings, same count."""
-    import hashlib
-
-    from cuckoofilter_spark.operators.dedup import _shingle_hashes
+    containing Unicode whitespace: same shingle strings, same count \u2014
+    and hashing the JVM's joined gram STRINGS (gram_string_hashes,
+    the decontam build side) must reproduce _shingle_hashes' values
+    bit-for-bit (the probe side)."""
+    from cuckoofilter_spark.operators.dedup import (
+        _shingle_hashes, gram_string_hashes,
+    )
     from cuckoofilter_spark.operators.text import shingles_col
 
     text = "a\u00a0b c d\u2028e f \t g h i"
@@ -255,13 +258,7 @@ def test_shingle_hashes_ascii_whitespace_only(spark):
         .collect()[0]
     )
     jvm = set(row.sh)
-    salt = (7).to_bytes(8, "little")
-    jvm_hashes = {
-        int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8, key=salt).digest(),
-            "little")
-        for g in jvm
-    }
+    jvm_hashes = set(int(h) for h in gram_string_hashes(sorted(jvm), 7))
     py_hashes = set(int(h) for h in _shingle_hashes(text, 3, 7))
     assert py_hashes == jvm_hashes and len(jvm) >= 2
 

@@ -485,6 +485,50 @@ def test_grouped_top_k_exact_null_group(spark):
     assert rows == {(None, 1, 5), (None, 2, 3), ("a", 1, 4)}
 
 
+def test_grouped_top_k_exact_skewed_groups(spark):
+    """Scale-shape check under group skew (round-5 verdict item 8):
+    one giant Zipf-ish group plus many tiny groups — the per-group
+    summary shuffle stays blob-only (one MG blob per group regardless
+    of group size, plan-asserted via grouped_sketch_agg's partial/
+    final shape in test_plans.py), results equal the full window
+    answer, and a planted flat-tail group inside the same skewed mix
+    still triggers the distributed loud refusal."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    # giant group: 60k rows, Zipf-ish (key j has ~6000/j rows);
+    # 50 tiny groups of 40 rows with a clear top-3 each
+    giant = spark.range(60_000).select(
+        F.lit("giant").alias("g"),
+        (F.floor(6000 / (F.col("id") % 5999 + 1))).alias("v"),
+    )
+    tiny = spark.range(2_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 50)).alias("g"),
+        (F.col("id") % 7).alias("v"),
+    )
+    df = giant.unionAll(tiny).repartition(16)
+    got = [(r["g"], r["v"], r["n"], r["rank"]) for r in
+           grouped_top_k_exact(df, "g", "v", 3, seed=11).collect()]
+    from pyspark.sql import Window
+    w = Window.partitionBy("g").orderBy(F.desc("n"), F.col("v"))
+    want = [(r["g"], r["v"], r["n"], r["rank"]) for r in (
+        df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3").orderBy("g", "rank").collect())]
+    assert got == want and len(got) == 51 * 3
+
+    # planted flat-tail group (every key count=2, wide domain) in the
+    # same skewed mix: certification must fail loudly FOR THAT GROUP
+    flat = spark.range(4_000).select(
+        F.lit("flat").alias("g"), (F.col("id") % 2000).alias("v"),
+    )
+    with _pt.raises(ValueError, match="'flat'"):
+        grouped_top_k_exact(
+            df.unionAll(flat), "g", "v", 3, summary_k=64, seed=11,
+        )
+
+
 def test_mg_array_build_bounds_both_strategies(spark, tokens_df):
     """Distributed MG over the token arrays: the one-sided bounds and
     presence guarantee hold under both the local and the JVM
