@@ -327,11 +327,13 @@ class CuckooFilter:
         m = (w - CuckooFilter._SWAR_LOW) & ~w & CuckooFilter._SWAR_HIGH
         has = m != 0
         lb = m & (np.uint64(0) - m)             # lowest empty-lane flag
-        shift = (
-            (lb >= np.uint64(1 << 16)).astype(np.uint64)
-            + (lb >= np.uint64(1 << 32))
-            + (lb >= np.uint64(1 << 48))
-        ) << np.uint64(4)                        # slot * 16
+        # lb has one bit set at position 15/31/47/63 (or is 0); the
+        # de Bruijn-style multiply places the lane number k in the top
+        # 2 bits: (lb>>15) in {1,2^16,2^32,2^48}, and _SWAR_DB packs
+        # (k<<4) at bit 62-16k — 3 array passes vs 6 for the previous
+        # three-comparison sum. lb==0 rows yield shift 0, never used
+        # (has is False there).
+        shift = ((lb >> np.uint64(15)) * CuckooFilter._SWAR_DB) >> np.uint64(58)
         return has, shift
 
     def _stamp_buf(self, q: int) -> np.ndarray:
@@ -362,16 +364,29 @@ class CuckooFilter:
 
         Returns ``(n_placed, spill_idx, spill_tag, spill_owner)`` —
         the spilled items' ALT (i2) bucket as uint64, their tags, and
-        their positions in the input batch (for status reporting)."""
+        their positions in the input batch (for status reporting).
+
+        Dtype discipline (round-6): the whole queue lives in 32-bit
+        lanes — bucket ``b`` as uint32 (num_buckets <= 2^32 always:
+        index_hash masks 32 hash bits), tag as uint32, and
+        owner+phase packed into one int32 (owner < _ADD_CHUNK = 2^18,
+        phase in bit 30) — halving the scatter/gather/compaction
+        traffic of every round vs the previous int64 lanes."""
         table = self.table
         n = len(idx)
         claim = self._claim_buf()
         words = table.dtype == np.uint16
         t64 = table.reshape(-1).view(np.uint64) if words else None
-        b = idx.astype(np.int64)
+        b = idx.astype(np.uint32)
         tg = tags.astype(np.uint32, copy=False)
-        ph = np.zeros(n, dtype=bool)  # False: at i1; True: at i2
-        owner = np.arange(n, dtype=np.int64)
+        st = np.arange(n, dtype=np.int32)   # owner | phase << 30
+        _PH = np.int32(1 << 30)
+        # uint32-wrapping alt-index constants — formula-identical to
+        # hashing.alt_index (i ^ (tag * 0x5bd1e995), masked); any
+        # divergence would place tags where the probe side never
+        # looks and fail the zero-FN suites loudly
+        _ALT_C = np.uint32(0x5BD1E995)
+        _BMASK = np.uint32(self.num_buckets - 1)
         placed = 0
         sp_b: list[np.ndarray] = []
         sp_t: list[np.ndarray] = []
@@ -388,8 +403,9 @@ class CuckooFilter:
                 has, shift = self._swar_first_empty(w)
                 hasi = np.flatnonzero(has)
                 if len(hasi):
+                    wbh = wb[hasi]
                     # the target lane is zero → OR suffices, no mask
-                    t64[wb[hasi]] = w[hasi] | (
+                    t64[wbh] = w[hasi] | (
                         tg[wi[hasi]].astype(np.uint64) << shift[hasi]
                     )
                     placed += len(hasi)
@@ -404,26 +420,27 @@ class CuckooFilter:
                         tg[wi[hasi]].astype(table.dtype)
                     )
                     placed += len(hasi)
-            keep = ~win
             fw = wi[~has]                       # winners, bucket full
             if len(fw):
-                at1 = ph[fw]
+                at1 = (st[fw] & _PH) != 0
                 fb1 = fw[at1]                   # full at i2 → spill
                 if len(fb1):
                     sp_b.append(b[fb1].astype(np.uint64))
                     sp_t.append(tg[fb1])
-                    sp_o.append(owner[fb1])
+                    sp_o.append((st[fb1] & ~_PH).astype(np.int64))
                 fb0 = fw[~at1]                  # full at i1 → go to i2
                 if len(fb0):
-                    b[fb0] = alt_index(
-                        b[fb0].astype(np.uint64), tg[fb0],
-                        self.num_buckets,
-                    ).astype(np.int64)
-                    ph[fb0] = True
-                    keep[fb0] = True
-            ki = np.flatnonzero(keep)
+                    b[fb0] = (b[fb0] ^ (tg[fb0] * _ALT_C)) & _BMASK
+                    st[fb0] |= _PH
+            else:
+                fb0 = fw
+            # next queue = claim losers + winners that flipped to i2
+            # (index concat — no q-sized keep mask / scatter pass)
+            ki = np.flatnonzero(~win)
+            if len(fb0):
+                ki = np.concatenate((ki, fb0))
             if len(ki) < q:
-                b, tg, ph, owner = b[ki], tg[ki], ph[ki], owner[ki]
+                b, tg, st = b[ki], tg[ki], st[ki]
         if sp_b:
             return (
                 placed,
@@ -571,6 +588,9 @@ class CuckooFilter:
     # --------------------------------------------------------------- lookup
     _SWAR_LOW = np.uint64(0x0001000100010001)
     _SWAR_HIGH = np.uint64(0x8000800080008000)
+    # (lane_shift << 4) packed for the _swar_first_empty de Bruijn
+    # multiply: bits 42-47 = 16, 26-31 = 32, 10-15 = 48, top 6 = 0
+    _SWAR_DB = np.uint64((16 << 42) | (32 << 26) | (48 << 10))
     _PROBE_CHUNK = 1 << 15  # cache-blocking: see contains_many
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
