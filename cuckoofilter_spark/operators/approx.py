@@ -369,73 +369,16 @@ def grouped_top_k_exact(
     Any uncertifiable group fails LOUDLY with its measured numbers.
     Ties break by ascending key. NULL KEYS are excluded (as in
     ``top_k_exact``); NULL GROUPS are kept (null-safe join)."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from cuckoofilter_spark.core.registry import sketch_from_bytes
-    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     _require_integral_key(df, column, "grouped_top_k_exact")
     summary_k = summary_k or max(64 * k, 1024)
-    summaries = grouped_sketch_agg(
-        df, group_col, column, kind="mg", k=summary_k, seed=seed,
-    )
-    g_type = df.schema[group_col].dataType.simpleString()
-
-    # Distributed summary decode: candidate rows + each group's err in
-    # one pass — NOTHING is collected at the driver (at 10^6 groups ×
-    # summary_k candidates a driver fan-in would OOM and break the
-    # module's blob-only discipline). An empty summary still emits one
-    # null-candidate row so its err survives to certification.
-    def decode(pdfs):
-        for pdf in pdfs:
-            gs, cands, errs_ = [], [], []
-            for g, blob in zip(pdf[group_col], pdf["sketch"]):
-                sk = sketch_from_bytes(bytes(blob))
-                n = len(sk.keys)
-                if n:
-                    gs.extend([g] * n)
-                    cands.extend(sk.keys.view(np.int64).tolist())
-                    errs_.extend([sk.err] * n)
-                else:
-                    gs.append(g)
-                    cands.append(None)
-                    errs_.append(sk.err)
-            yield pd.DataFrame(
-                {"__g": gs,
-                 "__cand": pd.array(cands, dtype="Int64"),
-                 "__err": errs_}
-            )
-
-    cand = summaries.mapInPandas(
-        decode, f"__g {g_type}, __cand long, __err long"
+    cand, errs_df, top = _grouped_top_k_plan(
+        df, group_col, column, k, summary_k, seed,
     )
     cand.persist()
-    errs_df = cand.groupBy("__g").agg(F.max("__err").alias("__err"))
-    counted = (
-        df.join(
-            cand.filter(F.col("__cand").isNotNull())
-            .select("__g", "__cand"),
-            # eqNullSafe: SQL GROUP BY keeps the NULL group, so the
-            # candidate join must too (NULL == NULL is NULL and would
-            # silently drop the whole null group, then fail its
-            # certification). No broadcast hint: AQE broadcasts small
-            # candidate sets itself and falls back to a shuffle join
-            # at huge group counts.
-            on=F.col(group_col).eqNullSafe(F.col("__g"))
-            & (F.col(column).cast("long") == F.col("__cand")),
-            how="left_semi",
-        )
-        .groupBy(group_col, column)
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.col(column))
-    top = (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-    )
     top.persist()
 
     # Distributed certification: a group with err > 0 is certified
@@ -472,6 +415,80 @@ def grouped_top_k_exact(
     finally:
         cand.unpersist()
         top.unpersist()
+
+
+def _grouped_top_k_plan(
+    df: DataFrame, group_col: str, column: str, k: int,
+    summary_k: int, seed: int,
+):
+    """Lazy (cand, errs_df, top) plan for ``grouped_top_k_exact`` —
+    split out (no persist, no actions) so plan tests can assert the
+    scale shape on the DataFrames themselves (the public operator
+    returns a ``localCheckpoint``, whose explain no longer shows the
+    builder plan)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.core.registry import sketch_from_bytes
+    from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
+
+    summaries = grouped_sketch_agg(
+        df, group_col, column, kind="mg", k=summary_k, seed=seed,
+    )
+    g_type = df.schema[group_col].dataType.simpleString()
+
+    # Distributed summary decode: candidate rows + each group's err in
+    # one pass — NOTHING is collected at the driver (at 10^6 groups ×
+    # summary_k candidates a driver fan-in would OOM and break the
+    # module's blob-only discipline). An empty summary still emits one
+    # null-candidate row so its err survives to certification.
+    def decode(pdfs):
+        for pdf in pdfs:
+            gs, cands, errs_ = [], [], []
+            for g, blob in zip(pdf[group_col], pdf["sketch"]):
+                sk = sketch_from_bytes(bytes(blob))
+                n = len(sk.keys)
+                if n:
+                    gs.extend([g] * n)
+                    cands.extend(sk.keys.view(np.int64).tolist())
+                    errs_.extend([sk.err] * n)
+                else:
+                    gs.append(g)
+                    cands.append(None)
+                    errs_.append(sk.err)
+            yield pd.DataFrame(
+                {"__g": gs,
+                 "__cand": pd.array(cands, dtype="Int64"),
+                 "__err": errs_}
+            )
+
+    cand = summaries.mapInPandas(
+        decode, f"__g {g_type}, __cand long, __err long"
+    )
+    errs_df = cand.groupBy("__g").agg(F.max("__err").alias("__err"))
+    counted = (
+        df.join(
+            cand.filter(F.col("__cand").isNotNull())
+            .select("__g", "__cand"),
+            # eqNullSafe: SQL GROUP BY keeps the NULL group, so the
+            # candidate join must too (NULL == NULL is NULL and would
+            # silently drop the whole null group, then fail its
+            # certification). No broadcast hint: AQE broadcasts small
+            # candidate sets itself and falls back to a shuffle join
+            # at huge group counts.
+            on=F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col(column).cast("long") == F.col("__cand")),
+            how="left_semi",
+        )
+        .groupBy(group_col, column)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.col(column))
+    top = (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+    return cand, errs_df, top
 
 
 def tdigest_sketch(df: DataFrame, column: str, delta: float = 200.0,

@@ -408,3 +408,43 @@ def test_decontaminate_plan_gate_below_explode(spark):
     # the probe filter feeding it from below
     assert gen < probe, "probe gate is not below the explode"
     assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_top_k_plan_blob_only_summary_shuffle(spark):
+    """grouped_top_k_exact's scale shape (round-5 verdict item 8),
+    asserted on the lazy builder plan (the public operator returns a
+    localCheckpoint, which hides it): the MG summary side shuffles
+    blobs only (partial MapInPandas BEFORE its exchange), the exact
+    count is a map-side partial aggregate of candidate-pruned rows,
+    and nothing in any of the three plans is a cartesian product."""
+    from cuckoofilter_spark.operators.approx import _grouped_top_k_plan
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cand, errs_df, top = _grouped_top_k_plan(
+        events, "event_type", "user_id", 5, 256, 7,
+    )
+    cand_plan = explain_str(cand)
+    # summary subtree: the plan prints top-down, so the DEEPEST (last
+    # printed) MapInPandas is the map-side partial combine and every
+    # exchange must print above it — the shuffle carries (group, blob)
+    # rows, never raw input rows. (The FIRST MapInPandas is the
+    # outermost candidate-decode node.)
+    partial = cand_plan.rfind("MapInPandas")
+    last_exchange = cand_plan.rfind("Exchange")
+    assert partial != -1 and last_exchange != -1
+    assert last_exchange < partial, (
+        "raw-row exchange below the grouped-MG partial combine"
+    )
+    top_plan = explain_str(top)
+    assert "CartesianProduct" not in top_plan
+    # the exact count runs partial before its exchange: a
+    # HashAggregate (partial count) appears below the exchange that
+    # feeds the final aggregate, so the shuffle carries
+    # (group, key, partial_n), never the semi-joined raw rows
+    assert "HashAggregate" in top_plan
+    first_agg = top_plan.find("HashAggregate")
+    semi = top_plan.find("LeftSemi")
+    assert semi != -1, "candidate prune join missing"
+    assert first_agg < semi, (
+        "final aggregate not above the candidate semi-join"
+    )
