@@ -32,7 +32,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from cuckoofilter_spark.operators.text import fingerprint_md5
 
@@ -327,27 +333,48 @@ def gram_string_hashes(grams, seed: int) -> np.ndarray:
     return _seq_hashes(wh, counts, offs)
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text: str, *, num_hashes: int = 128,
-    shingle_k: int = 3, seed: int = 2014,
+def shingle_sets(
+    df: DataFrame, id_col: str, text: str, *, shingle_k: int = 3,
+    seed: int = 2014,
 ) -> DataFrame:
-    """(doc, sig array<long>[num_hashes]) per document.
+    """(doc, sh array<long>): each document's DISTINCT word-k-shingle
+    hashes, sorted ascending as uint64 (``np.unique`` output of the
+    vectorized kernel). The shared base table of the near-dup
+    pipelines: MinHash signatures, exact-jaccard verification, and the
+    PPJoin posting rows all derive from it, so one persisted pass of
+    the shingle kernel feeds every stage instead of each stage
+    re-shingling the corpus (at sf10 the kernel pass is ~1/4 of the
+    whole MinHash pipeline — paying it twice was the single biggest
+    remaining cost after the band-join fix)."""
 
-    One Arrow-batched pandas UDF does shingle→hash→(a·h+b) mod p
-    row-min. Shingling deliberately lives in Python: Spark's nested
-    higher-order array lambdas are CodegenFallback (interpreted,
-    measured ~2ms/doc); the batch UDF does the same work in ~20µs/doc.
-    Docs with < shingle_k words get an all-sentinel signature (they
-    can only pair with other empty docs)."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            hs.view(np.int64)
+            for hs in _shingle_hashes_batch(texts, shingle_k, seed)
+        ])
+
+    return df.select(
+        F.col(id_col).alias("doc"), sh_udf(F.col(text)).alias("sh")
+    )
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, *, num_hashes: int = 128, seed: int = 2014,
+) -> DataFrame:
+    """(doc, sig array<long>[num_hashes]) from a ``shingle_sets``
+    table — the (a·h+b) mod p row-min only, no re-shingling.
+    Docs with an empty shingle set get an all-sentinel signature
+    (they can only pair with other empty docs)."""
     a, b = _perm_params(num_hashes, seed)
     a_u = a.astype(np.uint64)[None, :]
     b_u = b.astype(np.uint64)[None, :]
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        hs_per_doc = _shingle_hashes_batch(texts, shingle_k, seed)
+    def sig_udf(sh_arrs: pd.Series) -> pd.Series:
         out = []
-        for hs in hs_per_doc:
+        for arr in sh_arrs.values:
+            hs = np.asarray(arr, dtype=np.int64).view(np.uint64)
             if len(hs) == 0:
                 out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
                 continue
@@ -360,18 +387,107 @@ def minhash_signatures(
             out.append(sig.min(axis=0).astype(np.int64))
         return pd.Series(out)
 
-    return df.select(
-        F.col(id_col).alias("doc"), sig_udf(F.col(text)).alias("sig")
+    return sets.select("doc", sig_udf(F.col("sh")).alias("sig"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text: str, *, num_hashes: int = 128,
+    shingle_k: int = 3, seed: int = 2014,
+) -> DataFrame:
+    """(doc, sig array<long>[num_hashes]) per document.
+
+    Shingling deliberately lives in Python: Spark's nested
+    higher-order array lambdas are CodegenFallback (interpreted,
+    measured ~2ms/doc); the batch kernel does the same work in
+    ~20µs/doc. Standalone wrapper — pipelines that also verify should
+    build ``shingle_sets`` once and use ``minhash_signatures_from_sets``
+    (see ``near_dup_pairs_minhash``)."""
+    return minhash_signatures_from_sets(
+        shingle_sets(df, id_col, text, shingle_k=shingle_k, seed=seed),
+        num_hashes=num_hashes, seed=seed,
     )
 
 
+def _band_hashes(sig2d: np.ndarray, bands: int, r: int) -> np.ndarray:
+    """(n_docs, bands) int32 band-bucket keys from an (n_docs,
+    num_hashes) signature matrix: seeded polynomial over each band's r
+    minhash values + splitmix64, truncated to 31 bits. Any hash that
+    is injective on equal r-tuples gives the same LSH semantics (equal
+    slices always collide; unequal slices collide w.p. ~2^-31 and are
+    removed by exact verification) — this numpy kernel replaces the
+    interpreted ``F.transform``/``F.hash(F.slice(...))`` banding,
+    which was CodegenFallback and cost ~10 s per pass at sf10."""
+    n = sig2d.shape[0]
+    s = sig2d.astype(np.uint64).reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, bands), np.uint64(1))
+        for j in range(r):
+            acc = acc * _POLY_C + s[:, :, j]
+        acc = _mix64(acc)
+    return (acc & np.uint64(0x7FFFFFFF)).astype(np.int32)
+
+
+_MH_TABLE_TYPE = StructType([
+    StructField("sh", ArrayType(LongType())),
+    StructField("bhs", ArrayType(IntegerType())),
+])
+
+
+def minhash_table(
+    df: DataFrame, id_col: str, text: str, *, num_hashes: int = 128,
+    bands: int = 32, rows_per_band: int = 4, shingle_k: int = 3,
+    seed: int = 2014,
+) -> DataFrame:
+    """(doc, sh array<long>, bhs array<int>): the fused per-document
+    near-dup table — distinct sorted shingle hashes AND the LSH
+    band-bucket keys — from ONE Arrow-batched kernel pass. The full
+    pipeline persists this once: ``bhs`` feeds the banded candidate
+    join (``posexplode``, no interpreted array lambdas), ``sh`` feeds
+    exact-jaccard verification, and the cached columnar form lets each
+    consumer prune the column it doesn't need. The intermediate
+    128-hash signature never leaves the kernel — banding is its only
+    consumer."""
+    assert bands * rows_per_band == num_hashes
+    a, b = _perm_params(num_hashes, seed)
+    a_u = a.astype(np.uint64)[None, :]
+    b_u = b.astype(np.uint64)[None, :]
+
+    @F.pandas_udf(_MH_TABLE_TYPE)
+    def tbl_udf(texts: pd.Series) -> pd.DataFrame:
+        hs_per_doc = _shingle_hashes_batch(texts, shingle_k, seed)
+        sigs = np.empty((len(hs_per_doc), num_hashes), dtype=np.uint64)
+        for i, hs in enumerate(hs_per_doc):
+            if len(hs) == 0:
+                sigs[i] = _MERSENNE
+                continue
+            h = _fold31(hs)[:, None]
+            sigs[i] = _fold31(h * a_u + b_u).min(axis=0)
+        bh = _band_hashes(sigs, bands, rows_per_band)
+        return pd.DataFrame({
+            "sh": [hs.view(np.int64) for hs in hs_per_doc],
+            "bhs": list(bh),
+        })
+
+    return df.select(
+        F.col(id_col).alias("doc"), tbl_udf(F.col(text)).alias("t")
+    ).select("doc", F.col("t.sh").alias("sh"), F.col("t.bhs").alias("bhs"))
+
+
 _TILE_K = 1 << 20  # tile id encoding base (chunk ids < 2^20 always)
+
+# verify joins flip to broadcast-hash below this per-input doc count:
+# ~1M docs × ~1 KB of shingle array ≈ 1 GB relation — comfortably
+# inside executor memory, and far cheaper than re-shuffling every
+# candidate pair with its arrays. Above it the joins stay SMJ (the
+# 100 TB shape).
+_VERIFY_BROADCAST_MAX_DOCS = 1_000_000
 
 
 def tiled_band_self_join(
     banded: DataFrame, doc_col: str = "doc", *,
     band_cols: tuple = ("band", "bh"), bucket_cap: int | None = 8192,
     payload_cols: tuple = (),
+    filter_cols: tuple = (), pair_pre_filter=None,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing a band bucket, with the
     hot-bucket skew guard: buckets larger than ``bucket_cap`` split
@@ -384,9 +500,24 @@ def tiled_band_self_join(
     guard. ``payload_cols`` ride through as ``{col}_a``/``{col}_b``
     (must be functionally dependent on ``doc_col`` so the distinct
     stays a pure pair-dedup). Shared by the MinHash and SimHash
-    candidate joins."""
+    candidate joins.
+
+    ``pair_pre_filter`` (round 6) is a boolean Column over the joined
+    frame (sides aliased ``l``/``r``; reference e.g. ``F.col("l.bh")``)
+    applied to the raw join output BEFORE the pair exchange — the
+    map-side dedup hook: a pair sharing many band buckets is emitted
+    once per bucket by the join, and a first-matching-band predicate
+    drops the copies in the codegen'd join stage instead of shipping
+    them all to the distinct (measured at sf10: 706M raw rows → 27M,
+    ~98 s of exchange+dedup removed). ``filter_cols`` ride the banded
+    rows (and the tiling rebuild) so the predicate can see them, but
+    are dropped before the final projection+distinct. The final
+    ``distinct`` stays: tiling still duplicates intra-chunk pairs of
+    hot buckets, and the filter is an optimization hook, never a
+    correctness requirement."""
     bc = list(band_cols)
     pc = list(payload_cols)
+    fc = [c for c in filter_cols if c not in payload_cols]
     join_keys = bc
     if bucket_cap:
         hot = (
@@ -413,7 +544,7 @@ def tiled_band_self_join(
             banded.join(F.broadcast(hot), bc, "left")
             .withColumn("g", F.coalesce("g", F.lit(1)))
             .withColumn("c", F.pmod(F.hash(doc_col), F.col("g")))
-            .select(doc_col, *pc, *bc, F.explode(tiles).alias("tile"))
+            .select(doc_col, *pc, *fc, *bc, F.explode(tiles).alias("tile"))
         )
         join_keys = bc + ["tile"]
     left = banded.alias("l")
@@ -421,8 +552,11 @@ def tiled_band_self_join(
     cond = F.col(f"l.{doc_col}") < F.col(f"r.{doc_col}")
     for k in join_keys:
         cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    joined = left.join(right, cond)
+    if pair_pre_filter is not None:
+        joined = joined.filter(pair_pre_filter)
     return (
-        left.join(right, cond)
+        joined
         .select(
             F.col(f"l.{doc_col}").alias("doc_a"),
             F.col(f"r.{doc_col}").alias("doc_b"),
@@ -454,17 +588,107 @@ def lsh_candidate_pairs(
     sigs = sigs.persist()
     banded = sigs.select(
         "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice(
-                    "sig", (i * rows_per_band + 1).cast("int"), rows_per_band
-                )),
-            )
-        ).alias("band", "bh"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.hash(F.slice(
+                "sig", (i * rows_per_band + 1).cast("int"), rows_per_band
+            )),
+        ).alias("bhs"),
+    ).select(
+        "doc", "bhs", F.posexplode("bhs").alias("band", "bh")
     )
+    return _lsh_pairs_from_banded(banded, bands=bands, bucket_cap=bucket_cap)
+
+
+def _lsh_pairs_from_banded(
+    banded: DataFrame, *, bands: int, bucket_cap: int | None,
+) -> DataFrame:
+    """Candidate pairs from a (doc, bhs, band, bh) banded table.
+
+    First-matching-band map-side dedup (round 6): a genuine near-dup
+    pair agrees in MOST of its 32 bands, so the raw band join emits
+    it ~32 times (measured sf10: 706M raw rows for 27.1M distinct
+    pairs) and the pair distinct's exchange dominates the whole
+    pipeline (~98 s). Each banded row carries the doc's full 32-entry
+    band-hash array; this codegen'd CASE chain keeps a joined row
+    only in the FIRST band where the two docs agree, so duplicates
+    die inside the join stage instead of crossing the shuffle. Flat
+    GetArrayItem comparisons (not zip_with/aggregate) keep the
+    predicate inside WholeStageCodegen."""
+    first_band = F.when(
+        F.col("l.bhs")[0] == F.col("r.bhs")[0], F.lit(0)
+    )
+    for j in range(1, bands):
+        first_band = first_band.when(
+            F.col("l.bhs")[j] == F.col("r.bhs")[j], F.lit(j)
+        )
     return tiled_band_self_join(
-        banded, "doc", band_cols=("band", "bh"), bucket_cap=bucket_cap
+        banded, "doc", band_cols=("band", "bh"), bucket_cap=bucket_cap,
+        filter_cols=("bhs",), pair_pre_filter=F.col("l.band") == first_band,
+    )
+
+
+def verified_jaccard_pairs_from_sets(
+    sets: DataFrame, pairs: DataFrame, *, threshold: float = 0.8,
+    broadcast_sets: bool = False,
+) -> DataFrame:
+    """Exact word-shingle jaccard on candidate pairs; keep ≥ threshold.
+
+    Round 6: each doc's DISTINCT shingle set comes from a
+    ``shingle_sets`` table (sorted uint64 hash arrays from the
+    vectorized kernel) joined onto the candidate pairs; the
+    intersection is a JVM ``array_intersect`` — nothing re-shingles
+    texts into Python string sets, and no per-pair data crosses the
+    Python boundary. Set SIZES — and therefore jaccard — equal the
+    string-set definition unless two distinct shingles of one doc
+    collide in 64 bits (~n²/2⁶⁵ per doc, negligible); the SQL oracles
+    still verify with list_distinct/list_intersect on the STRINGS and
+    stay hash-green. The threshold test uses the same IEEE ops as the
+    oracle (divide then compare) so boundary pairs agree bit-for-bit.
+    Output jaccard is in 1e-4 integer units (j_e4), FP-noise-proof.
+
+    Scale shape: the heavy exchange is the second join re-shuffling
+    (pair, s_a) by doc_b — candidate-pair count × one shingle array.
+    Joining arrays (not texts) keeps that exchange to fixed-width
+    longs, and the candidate set is already LSH-pruned.
+    ``broadcast_sets=True`` turns both joins into broadcast-hash joins
+    — NO pair-side exchange or sort at all. Callers that know the
+    per-shard doc count opt in (see ``near_dup_pairs_minhash``); the
+    default stays shuffle-shaped because a 100 TB corpus's set table
+    cannot be broadcast."""
+
+    # The intersection is pure JVM — ``array_intersect``/``size``
+    # column expressions, no Python UDF. The first cut shipped both
+    # arrays of every pair to an Arrow-batched pandas UDF; at sf10
+    # that moved ~27M × 2 × ~800 B ≈ 40 GB JVM→Python and the UDF,
+    # not the joins, dominated the stage (and a ``.withColumn(udf)
+    # .filter()`` plan plants the ArrowEvalPython TWICE — once under
+    # the Filter, once under the Project). JVM set intersection does
+    # the same work in-place with zero boundary crossings. Rounding is
+    # ``F.round`` (HALF_UP) == DuckDB ``round`` — banker's rounding
+    # here would diverge from the oracle on exact .5 ties.
+    s_a = sets.withColumnsRenamed({"doc": "doc_a", "sh": "s_a"})
+    s_b = sets.withColumnsRenamed({"doc": "doc_b", "sh": "s_b"})
+    if broadcast_sets:
+        s_a, s_b = F.broadcast(s_a), F.broadcast(s_b)
+    n_int = F.size(F.array_intersect("s_a", "s_b")).cast("long")
+    n_union = (
+        F.size("s_a").cast("long") + F.size("s_b").cast("long") - n_int
+    )
+    denom = F.greatest(n_union, F.lit(1))
+    return (
+        pairs.join(s_a, "doc_a")
+        .join(s_b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            n_int.alias("n_int"), denom.alias("denom"),
+        )
+        .filter(F.col("n_int") / F.col("denom") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_int") * 10000 / F.col("denom"))
+            .cast("long").alias("j_e4"),
+        )
     )
 
 
@@ -472,42 +696,13 @@ def verified_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text: str, *,
     shingle_k: int = 3, threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact word-shingle jaccard on candidate pairs; keep ≥ threshold.
-
-    Texts join onto the (small) candidate-pair set, then one batched
-    UDF computes exact set jaccard per pair — same shingle definition
-    as the SQL oracle's list_distinct/list_intersect. Output jaccard
-    is in 1e-4 integer units (j_e4), FP-noise-proof."""
-    txt = df.select(F.col(id_col).alias("doc"), F.col(text).alias("txt"))
-
-    @F.pandas_udf(LongType())
-    def j_e4_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta), dtype=np.int64)
-        for i in range(len(ta)):
-            wa = _words(ta.iloc[i] or "")
-            wb = _words(tb.iloc[i] or "")
-            sa = {" ".join(wa[j:j + shingle_k])
-                  for j in range(len(wa) - shingle_k + 1)}
-            sb = {" ".join(wb[j:j + shingle_k])
-                  for j in range(len(wb) - shingle_k + 1)}
-            n_int = len(sa & sb)
-            n_union = len(sa) + len(sb) - n_int
-            # threshold test with the SAME IEEE ops as the SQL oracle
-            # (divide then compare) — boundary pairs agree bit-for-bit
-            if n_int / max(n_union, 1) >= threshold:
-                out[i] = round(n_int * 10000 / max(n_union, 1))
-            else:
-                out[i] = -1
-        return pd.Series(out)
-
-    j = (
-        pairs.join(txt.withColumnsRenamed({"doc": "doc_a", "txt": "t_a"}),
-                   "doc_a")
-        .join(txt.withColumnsRenamed({"doc": "doc_b", "txt": "t_b"}),
-              "doc_b")
-        .withColumn("j_e4", j_e4_udf("t_a", "t_b"))
+    """Standalone wrapper: shingle ``df`` then verify ``pairs``.
+    Pipelines that already built ``shingle_sets`` should call
+    ``verified_jaccard_pairs_from_sets`` directly."""
+    return verified_jaccard_pairs_from_sets(
+        shingle_sets(df, id_col, text, shingle_k=shingle_k, seed=2014),
+        pairs, threshold=threshold,
     )
-    return j.filter(F.col("j_e4") >= 0).select("doc_a", "doc_b", "j_e4")
 
 
 def near_dup_pairs_minhash(
@@ -515,17 +710,30 @@ def near_dup_pairs_minhash(
     num_hashes: int = 128, bands: int = 32, rows_per_band: int = 4,
     shingle_k: int = 3, seed: int = 2014, bucket_cap: int | None = 8192,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures → banded LSH
-    candidates (skew-tiled above ``bucket_cap``) → exact-jaccard
-    verification."""
-    sigs = minhash_signatures(
-        df, id_col, text, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
+    """Full MinHash-LSH near-dup pipeline over ONE persisted fused
+    table (``minhash_table``: shingle sets + band keys from a single
+    kernel pass): banded LSH candidates (skew-tiled above
+    ``bucket_cap``, map-side first-band dedup) → exact-jaccard
+    verification over the same table's shingle arrays. The persist is
+    reclaimed by Spark's ContextCleaner when the table goes out of
+    scope (same lifetime discipline as the signature cache in
+    ``lsh_candidate_pairs``). The verify joins flip to broadcast when
+    the doc count is small enough to ship (the count also eagerly
+    materializes the fused kernel exactly once)."""
+    tbl = minhash_table(
+        df, id_col, text, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, shingle_k=shingle_k, seed=seed,
+    ).persist()
+    n_docs = tbl.count()
+    banded = tbl.select(
+        "doc", "bhs", F.posexplode("bhs").alias("band", "bh")
     )
-    cands = lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=rows_per_band, bucket_cap=bucket_cap
+    cands = _lsh_pairs_from_banded(
+        banded, bands=bands, bucket_cap=bucket_cap
     )
-    return verified_jaccard_pairs(
-        df, cands, id_col, text, shingle_k=shingle_k, threshold=threshold
+    return verified_jaccard_pairs_from_sets(
+        tbl.select("doc", "sh"), cands, threshold=threshold,
+        broadcast_sets=n_docs <= _VERIFY_BROADCAST_MAX_DOCS,
     )
 
 
@@ -705,20 +913,10 @@ def shingle_hash_rows(
     seed: int = 2014,
 ) -> DataFrame:
     """(doc, sh) posting rows: one row per distinct word-k-shingle hash
-    per document (same vectorized shingle hashes as MinHash — one batch
-    UDF emits the array, Spark explodes it)."""
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def sh_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([
-            hs.view(np.int64)
-            for hs in _shingle_hashes_batch(texts, shingle_k, seed)
-        ])
-
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(sh_udf(F.col(text))).alias("sh"),
-    )
+    per document — ``shingle_sets`` exploded."""
+    return shingle_sets(
+        df, id_col, text, shingle_k=shingle_k, seed=seed
+    ).select("doc", F.explode("sh").alias("sh"))
 
 
 def near_dup_pairs_ngram(
@@ -740,10 +938,14 @@ def near_dup_pairs_ngram(
     Scale shape: the df aggregation and the posting self-join move
     (doc, sh) longs only — never text; prefixes shrink the postings by
     ~t; hot shingles (boilerplate) are chunk-tiled by
-    ``tiled_band_self_join``; verification touches candidates only."""
-    sh = shingle_hash_rows(
+    ``tiled_band_self_join``; verification touches candidates only.
+    One persisted ``shingle_sets`` pass feeds both the posting rows
+    (exploded) and the final verification arrays."""
+    sets = shingle_sets(
         df, id_col, text, shingle_k=shingle_k, seed=seed
     ).persist()
+    n_docs = sets.count()
+    sh = sets.select("doc", F.explode("sh").alias("sh")).persist()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
     n_sh = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     prefix_len = (
@@ -760,8 +962,9 @@ def near_dup_pairs_ngram(
     cands = tiled_band_self_join(
         prefix, "doc", band_cols=("sh",), bucket_cap=bucket_cap
     )
-    return verified_jaccard_pairs(
-        df, cands, id_col, text, shingle_k=shingle_k, threshold=threshold
+    return verified_jaccard_pairs_from_sets(
+        sets, cands, threshold=threshold,
+        broadcast_sets=n_docs <= _VERIFY_BROADCAST_MAX_DOCS,
     )
 
 
@@ -834,9 +1037,23 @@ def near_dup_pairs_simhash(
             ])
         ).alias("band", "bkey"),
     )
+    # first-matching-band map-side dedup: a Hamming-<=k pair shares up
+    # to all 4 bands (identical docs share exactly 4) and would cross
+    # the pair exchange once per shared band; keep only the first
+    # agreeing band. rsim already rides as the verify payload, so the
+    # band keys are recomputable in the join filter for free.
+    def _bkey(side: str, i: int):
+        return F.shiftrightunsigned(F.col(f"{side}.rsim"), 16 * i).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
+    first_band = F.when(_bkey("l", 0) == _bkey("r", 0), F.lit(0))
+    for i in range(1, 4):
+        first_band = first_band.when(_bkey("l", i) == _bkey("r", i), F.lit(i))
     pairs = tiled_band_self_join(
         banded, "doc", band_cols=("band", "bkey"), bucket_cap=bucket_cap,
         payload_cols=("rsim",),
+        pair_pre_filter=F.col("l.band") == first_band,
     ).withColumn(
         # Hamming on the rotated signatures == Hamming on the originals
         "hamming",
