@@ -1216,3 +1216,85 @@ def test_ivf_topk_recall_and_plan(spark):
     assert sorted(tuple(r) for r in refined.collect()) == sorted(
         tuple(r) for r in refined2.collect()
     )
+
+
+def test_first_band_prefilter_same_pairs(spark):
+    """The map-side first-matching-band predicate is an optimization
+    hook ONLY: candidate pairs from the fused minhash_table path (with
+    the pre-filter) must equal the plain banded join without it — with
+    and without hot-bucket tiling, and including the all-sentinel
+    signatures of empty/short docs."""
+    import random
+
+    from cuckoofilter_spark.operators.dedup import (
+        _lsh_pairs_from_banded, minhash_table, tiled_band_self_join,
+    )
+
+    rnd = random.Random(31)
+    vocab = [f"w{i}" for i in range(300)]
+    boiler = " ".join(rnd.choices(vocab, k=40))
+    rows = [(i, boiler) for i in range(120)]
+    rows += [
+        (i, " ".join(rnd.choices(vocab, k=40))) for i in range(120, 600)
+    ]
+    rows += [(900, ""), (901, "one two")]  # < k words -> sentinel sig
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tbl = minhash_table(docs, "doc_id", "text").cache()
+    banded = tbl.select(
+        "doc", "bhs", F.posexplode("bhs").alias("band", "bh")
+    )
+    for cap in (None, 48):
+        filtered = _lsh_pairs_from_banded(banded, bands=32, bucket_cap=cap)
+        plain = tiled_band_self_join(
+            banded.drop("bhs"), "doc", band_cols=("band", "bh"),
+            bucket_cap=cap,
+        )
+        got = sorted((r["doc_a"], r["doc_b"]) for r in filtered.collect())
+        want = sorted((r["doc_a"], r["doc_b"]) for r in plain.collect())
+        assert got == want, f"cap={cap}: pre-filter changed the pair set"
+        assert len(got) >= 120 * 119 // 2  # boilerplate clique survives
+        assert (900, 901) in set(got)  # sentinel docs pair together
+    tbl.unpersist()
+
+
+def test_verify_broadcast_matches_shuffle(spark):
+    """verified_jaccard_pairs_from_sets must produce identical rows
+    (including j_e4 values) on the broadcast-hash and shuffle join
+    paths — the broadcast gate is a physical-plan choice only."""
+    import random
+
+    from cuckoofilter_spark.operators.dedup import (
+        shingle_sets, verified_jaccard_pairs_from_sets,
+    )
+
+    rnd = random.Random(5)
+    vocab = [f"w{i}" for i in range(200)]
+    base = rnd.choices(vocab, k=60)
+    rows = []
+    for i in range(80):
+        words = list(base)
+        for _ in range(rnd.randrange(0, 25)):
+            words[rnd.randrange(len(words))] = rnd.choice(vocab)
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = shingle_sets(docs, "doc_id", "text").cache()
+    pairs = (
+        docs.select(F.col("doc_id").alias("doc_a"))
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_a") < F.col("doc_b"),
+        )
+    )
+    rows_b = sorted(
+        tuple(r) for r in verified_jaccard_pairs_from_sets(
+            sets, pairs, threshold=0.6, broadcast_sets=True
+        ).collect()
+    )
+    rows_s = sorted(
+        tuple(r) for r in verified_jaccard_pairs_from_sets(
+            sets, pairs, threshold=0.6, broadcast_sets=False
+        ).collect()
+    )
+    assert rows_b == rows_s
+    assert rows_b, "fixture produced no qualifying pairs"
+    sets.unpersist()
