@@ -440,9 +440,15 @@ def main() -> None:
     }
     # Durable machine-readable record (round-4 verdict: the driver's
     # stdout tail-grep is fragile; this file is the authoritative copy).
+    # The headline file only tracks the official sf0.1 step — runs at
+    # other scales write last_run_sf{sf}.json instead, so an sf0.01
+    # verify run or an sf10 scale run can never silently replace the
+    # sf0.1 record (a mislabeled sf0.01 record was committed as the
+    # headline once in round 6).
     here = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
-    with open(os.path.join(here, "BENCH", "last_run.json"), "w") as fh:
+    name = "last_run.json" if sf == 0.1 else f"last_run_sf{sf}.json"
+    with open(os.path.join(here, "BENCH", name), "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
     spark.stop()

@@ -68,32 +68,32 @@ def _sampled_duplication(df: DataFrame, column: str) -> float:
     """Duplication ratio (values per distinct value) of ``column``
     from a bounded MULTI-PARTITION head sample — still one tiny job
     (``limit`` short-circuits the scan), only run when the input is
-    already past the size cutover, where ~0.3 s of sampling steers a
+    already past the size cutover, where a few seconds of sampling
+    (measured 5-10 s at the sf10 step — limit's incremental execution
+    decodes up to ~21 partitions of token arrays JVM-side) steers a
     minutes-long build. Each partition contributes at most 1/16 of the
-    sample, so ``limit``'s incremental execution must touch >=16
-    partition heads before it is satisfied — a table clustered by the
-    key column can no longer satisfy the whole sample from one
-    partition's head and badly misestimate global duplication
-    (round-5 advice). A full df.sample(fraction) scan would be
-    unbiased but costs a whole-input pass, which defeats the point of
-    a cheap plan-choice probe."""
+    sample — ``monotonically_increasing_id`` packs the within-partition
+    row index into its low 33 bits, so a JVM filter on those bits keeps
+    only each partition's head and ``limit``'s incremental execution
+    must touch >=16 partition heads before it is satisfied — a table
+    clustered by the key column can no longer satisfy the whole sample
+    from one partition's head and badly misestimate global duplication
+    (round-5 advice). A full df.sample(fraction) scan would be unbiased
+    but costs a whole-input pass, which defeats the point of a cheap
+    plan-choice probe. The probe must stay ENTIRELY JVM-side: a
+    mapInPandas head-sampler here once shipped whole partitions of
+    token arrays through Arrow direct memory as limit's incremental
+    scan widened, and OOM'd the 8 GiB direct-memory cap at the sf10
+    step before any build ran."""
     from pyspark.sql.types import ArrayType
 
     per_part = max(1, _AUTO_SAMPLE_ROWS // 16)
-    v_type = df.schema[column].dataType.simpleString()
-
-    def _heads(pdfs):
-        left = per_part
-        for pdf in pdfs:
-            if left <= 0:
-                break
-            take = pdf.iloc[:left]
-            left -= len(take)
-            yield take
-
+    row_in_part = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
     src = (
         df.select(F.col(column).alias("__v"))
-        .mapInPandas(_heads, f"__v {v_type}")
+        .filter(row_in_part < per_part)
         .limit(_AUTO_SAMPLE_ROWS)
     )
     if isinstance(df.schema[column].dataType, ArrayType):

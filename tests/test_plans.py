@@ -139,6 +139,21 @@ def test_shuffle_count_plan_is_partial_count_agg(spark):
     )
     assert _sampled_duplication(hot, "toks") >= 4
     assert _sampled_duplication(uniq, "toks") < 4
+    # the duplication probe must stay JVM-only: a Python/Arrow node
+    # here streams whole partitions of token arrays through direct
+    # memory as limit's incremental scan widens (OOM'd at sf10)
+    per_part = approx_mod._AUTO_SAMPLE_ROWS // 16
+    probe_plan = (
+        hot.select(F.col("toks").alias("__v"))
+        .filter(
+            F.monotonically_increasing_id()
+            .bitwiseAND(F.lit((1 << 33) - 1)) < per_part
+        )
+        .limit(approx_mod._AUTO_SAMPLE_ROWS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in probe_plan
 
     old = approx_mod._AUTO_SHUFFLE_MIN_BYTES
     approx_mod._AUTO_SHUFFLE_MIN_BYTES = 0  # force the size gate open
