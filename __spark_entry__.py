@@ -1753,6 +1753,49 @@ def q_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mix sampling (operators/sampling.py
+    mixture_rates + sample_mixture): per-source keep rates
+    ∝ n_s^0.5 / n_s against a 50% token budget — the XLM-R/mT5-style
+    mixture reweighting, hash-deterministic end to end. The scaled
+    sizes are quantized to an integer 2^-20 grid before the
+    normalizing sum, so every aggregate the rate depends on is an
+    exact integer (partition-order-free) and the oracle replays the
+    identical IEEE mult/div chain; τ=0.5 deliberately uses sqrt(),
+    which IEEE 754 correctly rounds in every engine (pow() is not so
+    guaranteed). Plan: one tiny map-side-combined dim aggregate,
+    broadcast back; the fact table is never shuffled."""
+    from cuckoofilter_spark.operators.sampling import (
+        mixture_rates, sample_mixture,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    rates = mixture_rates(
+        docs, "source", size_col="n_chars", temperature=0.5,
+        target_frac=0.5,
+    )
+    s = sample_mixture(docs, "source", "doc_id", rates=rates, seed=13)
+    kept = s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_rows",
+            "n_size",
+            F.round(F.col("rate") * F.lit(1e6)).cast("long")
+            .alias("rate_micro"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("sum_ids", F.lit(0)).alias("sum_ids"),
+            F.coalesce("sum_chars", F.lit(0)).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_pack_firstfit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRICT first-fit packing (operators/packing.py
     pack_documents_firstfit): greedy per-stream FFD is not
@@ -1927,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": q_source_vocab_overlap,
         "frequent_vocab_filter": q_frequent_vocab_filter,
         "weighted_sample_stats": q_weighted_sample_stats,
+        "mixture_sample_stats": q_mixture_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
         "pii_stats": q_pii_stats,
@@ -2602,6 +2646,52 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT)
                   < CAST(floor(least(greatest(quality / 1000.0, 0.0), 1.0)
                                * 1152921504606846976.0) AS BIGINT)
+        """,
+        "mixture_sample_stats": r"""
+            WITH agg AS (
+              SELECT source, count(*) AS n_rows,
+                     CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                         AS n_size
+              FROM documents GROUP BY source),
+            dim AS (
+              SELECT source, n_rows, n_size,
+                     CAST(floor(sqrt(CAST(n_size AS DOUBLE))
+                                * 1048576.0) AS BIGINT) AS powi
+              FROM agg),
+            tot AS (
+              SELECT CAST(sum(n_size) AS BIGINT) AS tot_size,
+                     CAST(sum(powi) AS BIGINT) AS tot_powi
+              FROM dim),
+            r AS (
+              SELECT source, n_rows, n_size,
+                     least(1.0,
+                           0.5 * CAST(tot_size AS DOUBLE)
+                           * (CAST(powi AS DOUBLE)
+                              / CAST(tot_powi AS DOUBLE))
+                           / CAST(n_size AS DOUBLE)) AS rate
+              FROM dim CROSS JOIN tot),
+            s AS (
+              SELECT d.source, d.doc_id, d.n_chars
+              FROM documents d JOIN r USING (source)
+              WHERE CAST(concat('0x',
+                      substring(md5(d.source || '|'
+                                    || CAST(d.doc_id AS VARCHAR)
+                                    || '#13'), 1, 15)) AS BIGINT)
+                    < CAST(floor(r.rate * 1152921504606846976.0)
+                           AS BIGINT)),
+            k AS (
+              SELECT source, count(*) AS n_kept,
+                     CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                     CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                         AS sum_chars
+              FROM s GROUP BY source)
+            SELECT r.source, r.n_rows, r.n_size,
+                   CAST(round(r.rate * 1000000.0) AS BIGINT)
+                       AS rate_micro,
+                   COALESCE(k.n_kept, 0) AS n_kept,
+                   COALESCE(k.sum_ids, 0) AS sum_ids,
+                   COALESCE(k.sum_chars, 0) AS sum_chars
+            FROM r LEFT JOIN k USING (source) ORDER BY r.source
         """,
         "decontaminate_docs": r"""
             WITH words AS (

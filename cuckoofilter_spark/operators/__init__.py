@@ -63,8 +63,10 @@ from cuckoofilter_spark.operators.rollup import (  # noqa: F401
     sketch_time_table,
 )
 from cuckoofilter_spark.operators.sampling import (  # noqa: F401
+    mixture_rates,
     sample_bottom_k,
     sample_hash,
+    sample_mixture,
     sample_stratified,
     sample_weighted,
     sample_weighted_bottom_k,

@@ -143,6 +143,117 @@ def sample_stratified(
     return out
 
 
+def mixture_rates(
+    df: DataFrame, source_col: str, *, size_col: str | None = None,
+    temperature: float = 1.0, target_frac: float,
+) -> DataFrame:
+    """Temperature-based per-source sampling rates — the data-mix
+    planner of a multilingual/multi-source pretraining pipeline
+    (the p_s ∝ n_s^τ reweighting of XLM-R/mT5: τ < 1 upweights tail
+    sources relative to their natural share).
+
+    Per source s with exact size n_s (sum of ``size_col``, or row
+    count): weight_s = n_s^τ / Σ_t n_t^τ; the token budget is
+    B = target_frac · Σn, and the keep rate is
+    rate_s = min(1, B · weight_s / n_s). rate_s == 1 means the budget
+    wants MORE than one epoch of s (upsampling) — a Bernoulli filter
+    cannot replicate rows, so the rate clamps and the shortfall is
+    surfaced in ``rate`` itself (callers that need epochs > 1 repeat
+    the source upstream).
+
+    Cross-engine exactness (the same discipline as the md5 string
+    threshold above): every order-dependent float sum is removed —
+    sizes aggregate as exact BIGINTs, and the temperature-scaled size
+    is QUANTIZED to an integer grid (floor(n^τ · 2^20)) before the
+    normalizing sum, so Σ is integer-exact regardless of partition
+    order. τ = 0.5 uses sqrt(), which IEEE 754 requires to be
+    correctly rounded (bit-identical in any engine), unlike pow().
+    The remaining per-source arithmetic is a fixed-shape chain of
+    IEEE mult/div on identical operands — bit-identical everywhere.
+
+    One tiny map-side-combined groupBy; the result is a broadcast dim
+    (sources are few by definition — this never shuffles the fact
+    table)."""
+    if not 0.0 < target_frac:
+        raise ValueError(f"target_frac must be > 0, got {target_frac}")
+    size = (
+        F.col(size_col).cast("long") if size_col is not None else F.lit(1)
+    )
+    agg = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(size).alias("n_size"),
+    )
+    nsd = F.col("n_size").cast("double")
+    powc = F.sqrt(nsd) if temperature == 0.5 else F.pow(nsd, F.lit(float(temperature)))
+    dim = agg.withColumn(
+        "_powi", F.floor(powc * F.lit(float(1 << 20))).cast("long")
+    )
+    totals = dim.agg(
+        F.sum("n_size").alias("_tot_size"),
+        F.sum("_powi").alias("_tot_powi"),
+    )
+    return (
+        dim.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "weight",
+            F.col("_powi").cast("double") / F.col("_tot_powi").cast("double"),
+        )
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac))
+                * F.col("_tot_size").cast("double")
+                * F.col("weight")
+                / nsd,
+            ),
+        )
+        .select(source_col, "n_rows", "n_size", "weight", "rate")
+    )
+
+
+def sample_mixture(
+    df: DataFrame, source_col: str, key_col: str, *,
+    size_col: str | None = None, temperature: float = 1.0,
+    target_frac: float | None = None, seed: int = 0,
+    rates: DataFrame | None = None,
+) -> DataFrame:
+    """Apply a temperature mixture: thin each source to its
+    ``mixture_rates`` keep rate with the usual hash-deterministic
+    Bernoulli filter. Pass a precomputed ``rates`` frame to reuse one
+    plan across jobs (it must carry ``source_col`` and ``rate``).
+
+    Plan shape at 100 TB: the rates dim is a tiny aggregate of the
+    fact table (map-side combine, ~#sources rows), broadcast back —
+    the fact side is scanned twice (once to weigh, once to filter)
+    but never shuffled; the per-row decision is the same
+    stratum-qualified 60-bit md5 filter as ``sample_stratified``.
+    The kept set is a pure function of (source sizes, key, seed):
+    retries, re-runs, and cluster resizes reproduce it exactly."""
+    if rates is None:
+        if target_frac is None:
+            raise ValueError("pass target_frac (or a precomputed rates frame)")
+        rates = mixture_rates(
+            df, source_col, size_col=size_col,
+            temperature=temperature, target_frac=target_frac,
+        )
+    dim = rates.select(
+        source_col,
+        F.floor(F.col("rate") * F.lit(float(_SPACE)))
+        .cast("long").alias("_thresh_num"),
+    )
+    key = F.concat(
+        F.col(source_col).cast("string"), F.lit("|"),
+        F.col(key_col).cast("string"),
+    )
+    key_num = F.conv(sample_hex_key(key, seed), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(dim), source_col, "inner")
+        .filter(key_num < F.col("_thresh_num"))
+        .drop("_thresh_num")
+    )
+
+
 def sample_bottom_k(
     df: DataFrame, key_col: str, k: int, *, seed: int = 0
 ) -> DataFrame:

@@ -404,6 +404,79 @@ def test_sample_weighted_bounds_and_monotone(spark, docs):
     assert "Exchange" not in plan
 
 
+def test_mixture_rates_temperature_semantics(spark, docs):
+    """τ=1 must reduce to a uniform Bernoulli(target_frac) across
+    sources (rate_s = frac·Σn·(n_s/Σn)/n_s = frac exactly), and τ<1
+    must upweight smaller sources relative to larger ones."""
+    from cuckoofilter_spark.operators.sampling import mixture_rates
+
+    r1 = mixture_rates(
+        docs, "source", size_col="n_chars", temperature=1.0,
+        target_frac=0.4,
+    ).collect()
+    for row in r1:
+        # quantization grid is 2^-20 of the scaled size; at τ=1 the
+        # ratio powi_s/Σpowi differs from n_s/Σn by <1e-5 relative
+        assert abs(row.rate - 0.4) < 1e-4, row
+    # τ = 0.5: rate must be anti-monotone in source size
+    r5 = mixture_rates(
+        docs, "source", size_col="n_chars", temperature=0.5,
+        target_frac=0.4,
+    ).collect()
+    by_size = sorted(r5, key=lambda r: r.n_size)
+    rates = [r.rate for r in by_size]
+    assert rates == sorted(rates, reverse=True)
+    # weights normalize
+    assert abs(sum(r.weight for r in r5) - 1.0) < 1e-9
+
+
+def test_mixture_rates_clamps_small_source(spark, docs):
+    """A source far smaller than its temperature share clamps at
+    rate 1.0 (one epoch — Bernoulli cannot upsample)."""
+    from cuckoofilter_spark.operators.sampling import mixture_rates
+
+    tiny = docs.limit(2).withColumn("source", F.lit("tiny"))
+    d = docs.unionByName(tiny)
+    r = {row.source: row.rate for row in
+         mixture_rates(d, "source", size_col="n_chars",
+                       temperature=0.5, target_frac=0.5).collect()}
+    assert r["tiny"] == 1.0
+    assert all(v <= 1.0 for v in r.values())
+
+
+def test_sample_mixture_determinism_and_budget(spark, docs):
+    from cuckoofilter_spark.operators.sampling import sample_mixture
+
+    s1 = {r.doc_id for r in
+          sample_mixture(docs, "source", "doc_id", size_col="n_chars",
+                         temperature=0.5, target_frac=0.5, seed=13)
+          .select("doc_id").collect()}
+    # identical under physical re-layout
+    s2 = {r.doc_id for r in
+          sample_mixture(docs.repartition(17), "source", "doc_id",
+                         size_col="n_chars", temperature=0.5,
+                         target_frac=0.5, seed=13)
+          .select("doc_id").collect()}
+    assert s1 == s2
+    # different seed -> different draw
+    s3 = {r.doc_id for r in
+          sample_mixture(docs, "source", "doc_id", size_col="n_chars",
+                         temperature=0.5, target_frac=0.5, seed=14)
+          .select("doc_id").collect()}
+    assert s1 != s3
+    # kept token mass lands near the 50% budget (500 docs: generous CI)
+    tot = docs.agg(F.sum("n_chars")).collect()[0][0]
+    kept = (docs.filter(F.col("doc_id").isin(list(s1)))
+            .agg(F.sum("n_chars")).collect()[0][0])
+    assert 0.35 * tot < kept < 0.65 * tot
+    # the fact side is never shuffled: broadcast dim join only
+    plan = (sample_mixture(docs, "source", "doc_id",
+                           size_col="n_chars", temperature=0.5,
+                           target_frac=0.5, seed=13)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
 # ----------------------------------------------- hypothesis (no Spark)
 def test_rate_threshold_hex_properties():
     """Pure-python contract of the sampling threshold: monotone in
