@@ -1796,6 +1796,44 @@ def q_mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_upsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mixture resampling (operators/sampling.py
+    resample_mixture): a 2-epoch token budget at τ=0.5 — every doc
+    emitted floor(epochs) times plus a fractional md5-draw copy, so
+    tail sources upsample past one epoch (the part of a data mix a
+    Bernoulli filter cannot express). The oracle replays the exact
+    copy fan-out with unnest(range(n_copies)); sum_copy pins the
+    0-based copy indices, not just the counts."""
+    from cuckoofilter_spark.operators.sampling import (
+        mixture_rates, resample_mixture,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    rates = mixture_rates(
+        docs, "source", size_col="n_chars", temperature=0.5,
+        target_frac=2.0,
+    )
+    s = resample_mixture(docs, "source", "doc_id", rates=rates, seed=17)
+    kept = s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("copy").alias("sum_copy"),
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_rows",
+            F.round(F.col("epochs") * F.lit(1e6)).cast("long")
+            .alias("epochs_micro"),
+            F.coalesce("n_emitted", F.lit(0)).alias("n_emitted"),
+            F.coalesce("sum_ids", F.lit(0)).alias("sum_ids"),
+            F.coalesce("sum_copy", F.lit(0)).alias("sum_copy"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_pack_firstfit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRICT first-fit packing (operators/packing.py
     pack_documents_firstfit): greedy per-stream FFD is not
@@ -1971,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_vocab_filter": q_frequent_vocab_filter,
         "weighted_sample_stats": q_weighted_sample_stats,
         "mixture_sample_stats": q_mixture_sample_stats,
+        "mixture_upsample_stats": q_mixture_upsample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
         "pii_stats": q_pii_stats,
@@ -2691,6 +2730,57 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(k.n_kept, 0) AS n_kept,
                    COALESCE(k.sum_ids, 0) AS sum_ids,
                    COALESCE(k.sum_chars, 0) AS sum_chars
+            FROM r LEFT JOIN k USING (source) ORDER BY r.source
+        """,
+        "mixture_upsample_stats": r"""
+            WITH agg AS (
+              SELECT source, count(*) AS n_rows,
+                     CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                         AS n_size
+              FROM documents GROUP BY source),
+            dim AS (
+              SELECT source, n_rows, n_size,
+                     CAST(floor(sqrt(CAST(n_size AS DOUBLE))
+                                * 1048576.0) AS BIGINT) AS powi
+              FROM agg),
+            tot AS (
+              SELECT CAST(sum(n_size) AS BIGINT) AS tot_size,
+                     CAST(sum(powi) AS BIGINT) AS tot_powi
+              FROM dim),
+            r AS (
+              SELECT source, n_rows, n_size,
+                     2.0 * CAST(tot_size AS DOUBLE)
+                     * (CAST(powi AS DOUBLE)
+                        / CAST(tot_powi AS DOUBLE))
+                     / CAST(n_size AS DOUBLE) AS epochs
+              FROM dim CROSS JOIN tot),
+            s AS (
+              SELECT d.source, d.doc_id,
+                     CAST(floor(r.epochs) AS BIGINT)
+                     + CASE WHEN CAST(concat('0x',
+                           substring(md5(d.source || '|'
+                                         || CAST(d.doc_id AS VARCHAR)
+                                         || '#17'), 1, 15)) AS BIGINT)
+                         < CAST(floor((r.epochs - floor(r.epochs))
+                                      * 1152921504606846976.0)
+                                AS BIGINT)
+                       THEN 1 ELSE 0 END AS n_copies
+              FROM documents d JOIN r USING (source)),
+            x AS (
+              SELECT source, doc_id,
+                     unnest(range(n_copies)) AS copy
+              FROM s),
+            k AS (
+              SELECT source, count(*) AS n_emitted,
+                     CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                     CAST(sum(copy) AS BIGINT) AS sum_copy
+              FROM x GROUP BY source)
+            SELECT r.source, r.n_rows,
+                   CAST(round(r.epochs * 1000000.0) AS BIGINT)
+                       AS epochs_micro,
+                   COALESCE(k.n_emitted, 0) AS n_emitted,
+                   COALESCE(k.sum_ids, 0) AS sum_ids,
+                   COALESCE(k.sum_copy, 0) AS sum_copy
             FROM r LEFT JOIN k USING (source) ORDER BY r.source
         """,
         "decontaminate_docs": r"""

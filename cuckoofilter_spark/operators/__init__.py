@@ -64,6 +64,7 @@ from cuckoofilter_spark.operators.rollup import (  # noqa: F401
 )
 from cuckoofilter_spark.operators.sampling import (  # noqa: F401
     mixture_rates,
+    resample_mixture,
     sample_bottom_k,
     sample_hash,
     sample_mixture,

@@ -199,16 +199,17 @@ def mixture_rates(
             F.col("_powi").cast("double") / F.col("_tot_powi").cast("double"),
         )
         .withColumn(
-            "rate",
-            F.least(
-                F.lit(1.0),
-                F.lit(float(target_frac))
-                * F.col("_tot_size").cast("double")
-                * F.col("weight")
-                / nsd,
-            ),
+            # epochs = how many passes over source s the budget wants;
+            # > 1 means the mix UPSAMPLES s (resample_mixture), the
+            # Bernoulli rate below clamps it at one epoch
+            "epochs",
+            F.lit(float(target_frac))
+            * F.col("_tot_size").cast("double")
+            * F.col("weight")
+            / nsd,
         )
-        .select(source_col, "n_rows", "n_size", "weight", "rate")
+        .withColumn("rate", F.least(F.lit(1.0), F.col("epochs")))
+        .select(source_col, "n_rows", "n_size", "weight", "epochs", "rate")
     )
 
 
@@ -251,6 +252,62 @@ def sample_mixture(
         df.join(F.broadcast(dim), source_col, "inner")
         .filter(key_num < F.col("_thresh_num"))
         .drop("_thresh_num")
+    )
+
+
+def resample_mixture(
+    df: DataFrame, source_col: str, key_col: str, *,
+    size_col: str | None = None, temperature: float = 1.0,
+    target_frac: float | None = None, seed: int = 0,
+    rates: DataFrame | None = None, copy_col: str = "copy",
+) -> DataFrame:
+    """The full mixture resampler: where ``sample_mixture`` clamps at
+    one epoch, this one UPSAMPLES — every row of source s is emitted
+    floor(epochs_s) times plus one more with probability
+    frac(epochs_s), so the expected emitted size of s is exactly
+    epochs_s · n_s = budget · weight_s. This is how a τ<1 mix actually
+    feeds training: tail sources repeat (epochs > 1), head sources
+    thin (epochs < 1 degenerates to the Bernoulli filter).
+    ``copy_col`` (0-based repeat index) distinguishes the copies
+    downstream (e.g. for per-epoch shuffling salts).
+
+    Same determinism contract as every sampler here: the copy count
+    is a pure function of (source sizes, key, seed) — the fractional
+    copy reuses the stratum-qualified 60-bit md5 draw. Plan shape:
+    broadcast dim join + JVM-side ``explode(sequence(...))`` fan-out —
+    no shuffle, no Python; output size is the only thing that grows,
+    and it grows by design (it IS the resampled corpus)."""
+    if rates is None:
+        if target_frac is None:
+            raise ValueError("pass target_frac (or a precomputed rates frame)")
+        rates = mixture_rates(
+            df, source_col, size_col=size_col,
+            temperature=temperature, target_frac=target_frac,
+        )
+    dim = rates.select(
+        source_col,
+        F.floor(F.col("epochs")).cast("long").alias("_full"),
+        F.floor(
+            (F.col("epochs") - F.floor(F.col("epochs")))
+            * F.lit(float(_SPACE))
+        ).cast("long").alias("_frac_thresh"),
+    )
+    key = F.concat(
+        F.col(source_col).cast("string"), F.lit("|"),
+        F.col(key_col).cast("string"),
+    )
+    key_num = F.conv(sample_hex_key(key, seed), 16, 10).cast("long")
+    n_copies = F.col("_full") + (key_num < F.col("_frac_thresh")).cast("long")
+    # Spark's sequence() infers step -1 when start > stop, so a plain
+    # sequence(0, n_copies - 1) at n_copies == 0 would emit [0, -1]
+    # instead of nothing — guard with an empty array (explode drops it)
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.join(F.broadcast(dim), source_col, "inner")
+        .withColumn(copy_col, F.explode(copies))
+        .drop("_full", "_frac_thresh")
     )
 
 

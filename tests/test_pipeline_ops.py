@@ -477,6 +477,61 @@ def test_sample_mixture_determinism_and_budget(spark, docs):
     assert "BroadcastHashJoin" in plan
 
 
+def test_resample_mixture_upsamples_and_reduces_to_bernoulli(spark, docs):
+    from cuckoofilter_spark.operators.sampling import (
+        mixture_rates, resample_mixture, sample_mixture,
+    )
+
+    # 2-epoch budget: emitted token mass lands near 2x the corpus
+    r = resample_mixture(docs, "source", "doc_id", size_col="n_chars",
+                         temperature=0.5, target_frac=2.0, seed=17)
+    tot = docs.agg(F.sum("n_chars")).collect()[0][0]
+    emitted = r.agg(F.sum("n_chars")).collect()[0][0]
+    assert 1.8 * tot < emitted < 2.2 * tot
+    # copy indices are contiguous 0..n-1 per (source, doc)
+    bad = (r.groupBy("source", "doc_id")
+           .agg(F.count(F.lit(1)).alias("n"), F.max("copy").alias("mx"),
+                F.min("copy").alias("mn"))
+           .filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+           .count())
+    assert bad == 0
+    # determinism under physical re-layout
+    a = sorted((row.doc_id, row.copy) for row in
+               r.select("doc_id", "copy").collect())
+    b = sorted((row.doc_id, row.copy) for row in
+               resample_mixture(docs.repartition(17), "source", "doc_id",
+                                size_col="n_chars", temperature=0.5,
+                                target_frac=2.0, seed=17)
+               .select("doc_id", "copy").collect())
+    assert a == b
+    # sub-epoch budget: resample must equal the Bernoulli sampler
+    # exactly (floor(epochs)=0 and frac(epochs)=rate, same md5 draw)
+    down = resample_mixture(docs, "source", "doc_id", size_col="n_chars",
+                            temperature=0.5, target_frac=0.4, seed=13)
+    assert down.agg(F.max("copy")).collect()[0][0] == 0
+    s_ids = sorted(row.doc_id for row in
+                   sample_mixture(docs, "source", "doc_id",
+                                  size_col="n_chars", temperature=0.5,
+                                  target_frac=0.4, seed=13)
+                   .select("doc_id").collect())
+    assert sorted(row.doc_id for row in
+                  down.select("doc_id").collect()) == s_ids
+
+
+def test_resample_mixture_tiny_source_gets_extra_epochs(spark, docs):
+    """τ<1 upweights the tail: a far-undersized source must get more
+    epochs than every natural source."""
+    from cuckoofilter_spark.operators.sampling import mixture_rates
+
+    tiny = docs.limit(2).withColumn("source", F.lit("tiny"))
+    d = docs.unionByName(tiny)
+    ep = {row.source: row.epochs for row in
+          mixture_rates(d, "source", size_col="n_chars",
+                        temperature=0.5, target_frac=1.0).collect()}
+    t = ep.pop("tiny")
+    assert t > max(ep.values()) and t > 1.0
+
+
 # ----------------------------------------------- hypothesis (no Spark)
 def test_rate_threshold_hex_properties():
     """Pure-python contract of the sampling threshold: monotone in
