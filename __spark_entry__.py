@@ -1279,6 +1279,23 @@ def q_top_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_top_k_exact(events, "event_type", "user_id", 5, seed=7)
 
 
+def q_top_users_fallback_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The certify-or-fallback arm of grouped_top_k_exact
+    (on_uncertified='exact'): summary_k=8 is deliberately too small to
+    certify any group, so EVERY group takes the per-group direct exact
+    fallback — raw-row shuffle for uncertified groups only, result
+    exact regardless (the mode for flat-tail data where no summary
+    size can certify a zero k-th-count gap). Oracle: the plain SQL
+    window top-k."""
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    events = _read(spark, sf_dir, "events")
+    return grouped_top_k_exact(
+        events, "event_type", "user_id", 3, summary_k=8, seed=7,
+        on_uncertified="exact",
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-keyed train/holdout split (operators/sampling.py
     split_leakage_safe): side = pure function of the exact-dedup
@@ -2002,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "top_users_exact": q_top_users_exact,
         "top_users_by_type": q_top_users_by_type,
+        "top_users_fallback_exact": q_top_users_fallback_exact,
         "streaming_windowed_hll_bound": q_streaming_windowed_hll,
         "streaming_session_hll_bound": q_streaming_session_hll,
         "vocab_oov_stats": q_vocab_oov_stats,
@@ -2869,6 +2887,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n DESC, user_id) AS INT) AS rank
               FROM c)
             SELECT * FROM r WHERE rank <= 5
+            ORDER BY event_type, rank
+        """,
+        "top_users_fallback_exact": r"""
+            WITH c AS (
+              SELECT event_type, user_id, count(*) AS n
+              FROM events GROUP BY event_type, user_id),
+            r AS (
+              SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+                     CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY n DESC, user_id) AS INT) AS rank
+              FROM c)
+            SELECT * FROM r WHERE rank <= 3
             ORDER BY event_type, rank
         """,
         "leakage_safe_split": r"""

@@ -335,13 +335,19 @@ def main() -> None:
 
     # -- q7h: per-group exact top-k via MG pruning (round-6: scale row
     # for grouped_top_k_exact — blob-only summary shuffle + candidate
-    # semi-join + distributed certification)
+    # semi-join + distributed certification). on_uncertified='exact':
+    # the synthetic events tail goes FLAT at the sf10 step (hundreds
+    # of users tied at the k-th count — no summary size can certify a
+    # zero gap), so the row measures the honest certify-or-fallback
+    # path: certified groups keep the pruned plan, flat-tail groups
+    # pay the direct exact aggregation, result exact either way.
     from cuckoofilter_spark.operators.approx import grouped_top_k_exact
 
     queries["grouped_topk"], extra["grouped_topk_rows"] = timed2(
         "grouped_topk",
         lambda: grouped_top_k_exact(
-            events, "event_type", "user_id", 10, seed=7
+            events, "event_type", "user_id", 10, seed=7,
+            on_uncertified="exact",
         ).count(),
     )
 

@@ -358,6 +358,7 @@ def top_k_exact(df: DataFrame, column: str, k: int, *,
 def grouped_top_k_exact(
     df: DataFrame, group_col: str, column: str, k: int, *,
     summary_k: int | None = None, seed: int = 2014,
+    on_uncertified: str = "raise",
 ) -> DataFrame:
     """EXACT per-group top-``k`` keys as (group, key, n, rank) — the
     grouped form of ``top_k_exact``: one pass builds a mergeable
@@ -366,13 +367,31 @@ def grouped_top_k_exact(
     candidates pays the only exact count (broadcast semi-join on
     (group, key)), and every group self-certifies exactly like the global
     operator: err_g == 0 (summary exact) or k-th exact count > err_g.
-    Any uncertifiable group fails LOUDLY with its measured numbers.
     Ties break by ascending key. NULL KEYS are excluded (as in
-    ``top_k_exact``); NULL GROUPS are kept (null-safe join)."""
+    ``top_k_exact``); NULL GROUPS are kept (null-safe join).
+
+    ``on_uncertified`` decides what an UNCERTIFIABLE group does:
+
+    - ``"raise"`` (default): fail LOUDLY with the group's measured
+      numbers — certification is the product.
+    - ``"exact"``: fall back to the direct exact aggregation for the
+      uncertified groups ONLY (raw-row shuffle of just those groups;
+      certified groups keep the pruned blob-only plan). The result is
+      always exact either way — this is the mode for data whose tail
+      is FLAT (hundreds of keys tied at the k-th count, e.g. uniform
+      event streams), where no summary size can certify because the
+      MG error can never beat a zero gap; pruning is best-effort and
+      the operator degrades to the plan you would have written by
+      hand, per group, without a driver round-trip."""
     from pyspark.sql import functions as F
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if on_uncertified not in ("raise", "exact"):
+        raise ValueError(
+            f"on_uncertified must be 'raise' or 'exact', got "
+            f"{on_uncertified!r}"
+        )
     _require_integral_key(df, column, "grouped_top_k_exact")
     summary_k = summary_k or max(64 * k, 1024)
     cand, errs_df, top = _grouped_top_k_plan(
@@ -397,7 +416,7 @@ def grouped_top_k_exact(
     )
     try:
         bad = viol.select("__g", "__rk", "__ck", "__err").take(3)
-        if bad:
+        if bad and on_uncertified == "raise":
             raise ValueError(
                 f"grouped_top_k_exact: {len(bad)}+ group(s) cannot be "
                 f"certified, e.g. "
@@ -405,13 +424,45 @@ def grouped_top_k_exact(
                     f"group {r['__g']!r} (rows={r['__rk']}, k-th count="
                     f"{r['__ck']}, err={r['__err']})" for r in bad
                 )
-                + f" — raise summary_k (currently {summary_k})"
+                + f" — raise summary_k (currently {summary_k}), or "
+                f"pass on_uncertified='exact' for per-group direct "
+                f"fallback"
             )
+        result = top
+        if bad:  # on_uncertified == "exact"
+            from pyspark.sql import Window
+
+            # Per-group direct exact fallback, fully distributed: the
+            # uncertified group SET stays a (tiny) DataFrame — no
+            # driver key collect; certified groups keep their pruned
+            # result, only the bad groups' raw rows pay a shuffle.
+            bad_df = viol.select(F.col("__g").alias("__bg"))
+            good = result.join(
+                F.broadcast(bad_df),
+                F.col(group_col).eqNullSafe(F.col("__bg")),
+                "left_anti",
+            )
+            w = Window.partitionBy(group_col).orderBy(
+                F.desc("n"), F.col(column)
+            )
+            direct = (
+                df.join(
+                    F.broadcast(bad_df),
+                    F.col(group_col).eqNullSafe(F.col("__bg")),
+                    "left_semi",
+                )
+                .filter(F.col(column).isNotNull())
+                .groupBy(group_col, column)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= int(k))
+            )
+            result = good.unionByName(direct)
         # Eager localCheckpoint truncates lineage so both caches can be
         # released before returning — without it the persisted blocks
         # would accumulate across calls in a long-lived session
         # (round-5 advice). n_groups x k rows stay executor-resident.
-        return top.orderBy(group_col, "rank").localCheckpoint(eager=True)
+        return result.orderBy(group_col, "rank").localCheckpoint(eager=True)
     finally:
         cand.unpersist()
         top.unpersist()

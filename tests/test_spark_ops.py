@@ -470,6 +470,32 @@ def test_grouped_top_k_exact_refuses_uncertifiable_group(spark):
         grouped_top_k_exact(df, "g", "v", 3, summary_k=4, seed=7)
 
 
+def test_grouped_top_k_exact_fallback_on_uncertified(spark):
+    """on_uncertified='exact': the flat-tail group falls back to the
+    direct exact aggregation (no raise), the certifiable group keeps
+    its pruned result, and the union equals the full groupBy+window
+    answer including ranks and tiebreaks."""
+    from pyspark.sql import Window
+
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    df = spark.range(6000).select(
+        F.when(F.col("id") < 3000, "flat").otherwise("hot").alias("g"),
+        F.when(F.col("id") < 3000, F.col("id") % 1500)
+        .otherwise(F.col("id") % 5).alias("v"),
+    )
+    got = [(r["g"], r["v"], r["n"], r["rank"]) for r in
+           grouped_top_k_exact(df, "g", "v", 3, summary_k=4, seed=7,
+                               on_uncertified="exact").collect()]
+    w = Window.partitionBy("g").orderBy(F.desc("n"), F.col("v"))
+    want = [(r["g"], r["v"], r["n"], r["rank"]) for r in
+            (df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("rank", F.row_number().over(w))
+             .filter("rank <= 3").orderBy("g", "rank").collect())]
+    assert got == want
+    assert {g for g, *_ in got} == {"flat", "hot"}
+
+
 def test_grouped_top_k_exact_null_group(spark):
     """SQL GROUP BY keeps the NULL group; the candidate join must be
     null-safe or the whole null group silently vanishes and then
