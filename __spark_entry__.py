@@ -2709,7 +2709,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, count(*) AS n_rows,
                      CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
                          AS n_size
-              FROM documents GROUP BY source),
+              FROM documents GROUP BY source
+              HAVING sum(CAST(n_chars AS BIGINT)) > 0),
             dim AS (
               SELECT source, n_rows, n_size,
                      CAST(floor(sqrt(CAST(n_size AS DOUBLE))
@@ -2755,7 +2756,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, count(*) AS n_rows,
                      CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
                          AS n_size
-              FROM documents GROUP BY source),
+              FROM documents GROUP BY source
+              HAVING sum(CAST(n_chars AS BIGINT)) > 0),
             dim AS (
               SELECT source, n_rows, n_size,
                      CAST(floor(sqrt(CAST(n_size AS DOUBLE))

@@ -173,7 +173,14 @@ def mixture_rates(
 
     One tiny map-side-combined groupBy; the result is a broadcast dim
     (sources are few by definition — this never shuffles the fact
-    table)."""
+    table).
+
+    Degenerate strata: a NULL source has no stable stratum identity —
+    its rate row is emitted here but the samplers' inner join drops
+    its rows (same as the SQL oracle's JOIN). A source whose total
+    size is 0 (all ``size_col`` values NULL/0) is excluded from the
+    rates — it holds no budgetable mass and would otherwise divide by
+    zero."""
     if not 0.0 < target_frac:
         raise ValueError(f"target_frac must be > 0, got {target_frac}")
     size = (
@@ -182,7 +189,7 @@ def mixture_rates(
     agg = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(size).alias("n_size"),
-    )
+    ).filter(F.col("n_size") > 0)
     nsd = F.col("n_size").cast("double")
     powc = F.sqrt(nsd) if temperature == 0.5 else F.pow(nsd, F.lit(float(temperature)))
     dim = agg.withColumn(
