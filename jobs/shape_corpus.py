@@ -59,6 +59,17 @@ def main(argv=None) -> int:
                     help="frequency floor for the OOV gate's corpus "
                          "vocabulary (frequent_keys_filter)")
     ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--mix-by", default=None,
+                    help="source/stratum column: replace uniform "
+                         "thinning with the temperature data-mix "
+                         "planner (sample_mixture over whitespace "
+                         "token mass); exclusive with --sample-rate")
+    ap.add_argument("--mix-temperature", type=float, default=1.0,
+                    help="mixture temperature tau (<1 upweights tail "
+                         "sources)")
+    ap.add_argument("--mix-budget-frac", type=float, default=None,
+                    help="token budget as a fraction of the corpus "
+                         "(required with --mix-by)")
     ap.add_argument("--holdout", type=float, default=0.0)
     ap.add_argument("--holdout-by", default="id",
                     choices=["id", "content"],
@@ -193,8 +204,25 @@ def main(argv=None) -> int:
         )
         counts["after_oov"] = df.count()
 
-    # 4. deterministic thinning + holdout tag
-    if args.sample_rate < 1.0:
+    # 4. deterministic thinning (uniform or temperature mix) + holdout
+    if args.mix_by:
+        if args.mix_budget_frac is None:
+            raise SystemExit("--mix-by requires --mix-budget-frac")
+        if args.sample_rate < 1.0:
+            raise SystemExit("--mix-by and --sample-rate are exclusive "
+                             "(the mix IS the thinning)")
+        from cuckoofilter_spark.operators.sampling import sample_mixture
+
+        df = (
+            df.withColumn("_mix_tok", token_count_ws(args.text_col))
+        )
+        df = sample_mixture(
+            df, args.mix_by, args.id_col, size_col="_mix_tok",
+            temperature=args.mix_temperature,
+            target_frac=args.mix_budget_frac, seed=args.seed,
+        ).drop("_mix_tok")
+        counts["after_mix"] = df.count()
+    elif args.sample_rate < 1.0:
         df = sample_hash(df, args.id_col, args.sample_rate,
                          seed=args.seed)
     if args.holdout > 0.0:

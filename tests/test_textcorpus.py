@@ -111,6 +111,56 @@ def test_shape_corpus_job_jsonl_input(spark, tmp_path):
     assert flags == {True, False}
 
 
+def test_shape_corpus_job_mixture_stage(spark, tmp_path):
+    """--mix-by swaps uniform thinning for the temperature data-mix
+    planner: stage counts stay monotone with an after_mix entry, the
+    output keeps every source (τ=0.5 at a 0.5 budget never zeroes a
+    stratum at this size), and --sample-rate is refused alongside."""
+    import json as _json
+    import sys
+    from io import StringIO
+
+    import pytest as _pt
+
+    import jobs.shape_corpus as job
+
+    out = str(tmp_path / "shaped_mix")
+    cap = StringIO()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        rc = job.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--mix-by", "source", "--mix-temperature", "0.5",
+            "--mix-budget-frac", "0.5",
+            "--max-tokens", "1024", "--streams", "4",
+            "--output", out,
+        ])
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    stats = _json.loads(cap.getvalue().strip().splitlines()[-1])
+    assert (stats["rows_in"] >= stats["after_dedup"]
+            >= stats["after_mix"] >= stats["after_sample"]
+            == stats["rows_out"] > 0)
+    assert stats["after_mix"] < stats["after_dedup"]  # budget bit
+    shaped = spark.read.parquet(f"{out}/data")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert (shaped.select("source").distinct().count()
+            == docs.select("source").distinct().count())
+    with _pt.raises(SystemExit, match="exclusive"):
+        job.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--mix-by", "source", "--mix-budget-frac", "0.5",
+            "--sample-rate", "0.5", "--output", out,
+        ])
+    with _pt.raises(SystemExit, match="requires"):
+        job.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--mix-by", "source", "--output", out,
+        ])
+
+
 def test_vocab_report_job(spark, tmp_path):
     """jobs/vocab_report.py in-process: top-words per group are the
     EXACT window answer, overlap pairs cover all group pairs, vocab
