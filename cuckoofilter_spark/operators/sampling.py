@@ -157,9 +157,9 @@ def mixture_rates(
     B = target_frac · Σn, and the keep rate is
     rate_s = min(1, B · weight_s / n_s). rate_s == 1 means the budget
     wants MORE than one epoch of s (upsampling) — a Bernoulli filter
-    cannot replicate rows, so the rate clamps and the shortfall is
-    surfaced in ``rate`` itself (callers that need epochs > 1 repeat
-    the source upstream).
+    cannot replicate rows, so the rate clamps; the unclamped demand is
+    surfaced as the ``epochs`` column, which ``resample_mixture``
+    honors by emitting copies.
 
     Cross-engine exactness (the same discipline as the md5 string
     threshold above): every order-dependent float sum is removed —
