@@ -164,6 +164,20 @@ def main() -> None:
     extra["probe32_lookups_per_sec"] = (32 << 20) / queries["probe_32m"]
     extra["probe32_hits"] = int(n_hits32)
 
+    # Achieved DISTRIBUTED FPR vs the published bound (the north
+    # metric's "achieved FPR-vs-bound ... on the table"): every
+    # inserted key is a vocab id < 2^20 < 32M, so the probe-32M sweep
+    # contains ALL members (zero FN by contract) and the remaining
+    # ids are true negatives — FP = hits - filter.size exactly.
+    from cuckoofilter_spark.core.registry import sketch_from_bytes as _sfb
+
+    _n_members = _sfb(blob).size
+    _n_neg = (32 << 20) - _n_members
+    extra["distributed_fpr_pct"] = round(
+        (int(n_hits32) - _n_members) / _n_neg * 100, 4
+    )
+    extra["distributed_fpr_bound_pct"] = round(100 * 8 / (1 << 12), 4)
+
     # -- q2b: semi-sorted (f=13, 12 bits/tag) build — ss-CF baseline row
     def _q2b():
         ss_shards = build_sketch_shards(
