@@ -518,6 +518,28 @@ def test_resample_mixture_upsamples_and_reduces_to_bernoulli(spark, docs):
                   down.select("doc_id").collect()) == s_ids
 
 
+def test_mixture_null_key_rows_dropped(spark, docs):
+    """A NULL sampling key has no stable identity: both samplers drop
+    such rows (documented), never erroring or double-counting."""
+    from cuckoofilter_spark.operators.sampling import (
+        resample_mixture, sample_mixture,
+    )
+
+    d = docs.withColumn(
+        "k", F.when(F.col("doc_id") % 3 == 0, None)
+             .otherwise(F.col("doc_id")),
+    )
+    s = sample_mixture(d, "source", "k", size_col="n_chars",
+                       temperature=0.5, target_frac=1.0, seed=5)
+    assert s.filter(F.col("k").isNull()).count() == 0
+    r = resample_mixture(d, "source", "k", size_col="n_chars",
+                         temperature=0.5, target_frac=2.0, seed=5)
+    assert r.filter(F.col("k").isNull()).count() == 0
+    # non-null keys at rate 1.0 all survive the Bernoulli sampler
+    n_nonnull = d.filter(F.col("k").isNotNull()).count()
+    assert s.count() <= n_nonnull
+
+
 def test_resample_mixture_tiny_source_gets_extra_epochs(spark, docs):
     """τ<1 upweights the tail: a far-undersized source must get more
     epochs than every natural source."""

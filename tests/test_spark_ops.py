@@ -555,6 +555,42 @@ def test_grouped_top_k_exact_skewed_groups(spark):
         )
 
 
+def test_grouped_top_k_fallback_randomized_shapes(spark):
+    """Randomized robustness for the certify-or-fallback mode: across
+    seeded random (group, key) multisets — skew, flat ties, singleton
+    groups, a NULL group — the on_uncertified='exact' answer at a
+    deliberately starved summary equals the full window answer."""
+    import random
+
+    from pyspark.sql import Window
+
+    from cuckoofilter_spark.operators.approx import grouped_top_k_exact
+
+    rng = random.Random(20140)
+    rows = []
+    for g in ["a", "b", "c", "d", None]:
+        style = rng.choice(["zipf", "flat", "singleton"])
+        if style == "singleton":
+            rows.append((g, rng.randrange(100)))
+            continue
+        for _ in range(rng.randrange(200, 800)):
+            if style == "zipf":
+                v = int(200 / (rng.randrange(1, 200)))
+            else:
+                v = rng.randrange(40)  # flat: heavy ties everywhere
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v long").repartition(7)
+    got = [(r["g"], r["v"], r["n"], r["rank"]) for r in
+           grouped_top_k_exact(df, "g", "v", 4, summary_k=4, seed=3,
+                               on_uncertified="exact").collect()]
+    w = Window.partitionBy("g").orderBy(F.desc("n"), F.col("v"))
+    want = [(r["g"], r["v"], r["n"], r["rank"]) for r in (
+        df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 4").orderBy("g", "rank").collect())]
+    assert sorted(got, key=str) == sorted(want, key=str)
+
+
 def test_mg_array_build_bounds_both_strategies(spark, tokens_df):
     """Distributed MG over the token arrays: the one-sided bounds and
     presence guarantee hold under both the local and the JVM
