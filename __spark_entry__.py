@@ -2711,15 +2711,16 @@ def oracle_sql() -> dict[str, str]:
                          AS n_size
               FROM documents GROUP BY source
               HAVING sum(CAST(n_chars AS BIGINT)) > 0),
+            tots AS (
+              SELECT CAST(sum(n_size) AS BIGINT) AS tot_size FROM agg),
             dim AS (
-              SELECT source, n_rows, n_size,
-                     CAST(floor(sqrt(CAST(n_size AS DOUBLE))
-                                * 1048576.0) AS BIGINT) AS powi
-              FROM agg),
+              SELECT source, n_rows, n_size, tot_size,
+                     CAST(floor(sqrt(CAST(n_size AS DOUBLE)
+                                     / CAST(tot_size AS DOUBLE))
+                                * 1099511627776.0) AS BIGINT) AS powi
+              FROM agg CROSS JOIN tots),
             tot AS (
-              SELECT CAST(sum(n_size) AS BIGINT) AS tot_size,
-                     CAST(sum(powi) AS BIGINT) AS tot_powi
-              FROM dim),
+              SELECT CAST(sum(powi) AS BIGINT) AS tot_powi FROM dim),
             r AS (
               SELECT source, n_rows, n_size,
                      least(1.0,
@@ -2758,15 +2759,16 @@ def oracle_sql() -> dict[str, str]:
                          AS n_size
               FROM documents GROUP BY source
               HAVING sum(CAST(n_chars AS BIGINT)) > 0),
+            tots AS (
+              SELECT CAST(sum(n_size) AS BIGINT) AS tot_size FROM agg),
             dim AS (
-              SELECT source, n_rows, n_size,
-                     CAST(floor(sqrt(CAST(n_size AS DOUBLE))
-                                * 1048576.0) AS BIGINT) AS powi
-              FROM agg),
+              SELECT source, n_rows, n_size, tot_size,
+                     CAST(floor(sqrt(CAST(n_size AS DOUBLE)
+                                     / CAST(tot_size AS DOUBLE))
+                                * 1099511627776.0) AS BIGINT) AS powi
+              FROM agg CROSS JOIN tots),
             tot AS (
-              SELECT CAST(sum(n_size) AS BIGINT) AS tot_size,
-                     CAST(sum(powi) AS BIGINT) AS tot_powi
-              FROM dim),
+              SELECT CAST(sum(powi) AS BIGINT) AS tot_powi FROM dim),
             r AS (
               SELECT source, n_rows, n_size,
                      2.0 * CAST(tot_size AS DOUBLE)
@@ -2785,7 +2787,8 @@ def oracle_sql() -> dict[str, str]:
                                       * 1152921504606846976.0)
                                 AS BIGINT)
                        THEN 1 ELSE 0 END AS n_copies
-              FROM documents d JOIN r USING (source)),
+              FROM documents d JOIN r USING (source)
+              WHERE d.doc_id IS NOT NULL),
             x AS (
               SELECT source, doc_id,
                      unnest(range(n_copies)) AS copy

@@ -29,6 +29,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # steps (sf1/sf10) where the interesting signal is the plan shape,
 # not the noise band.
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# fingerprint bits of the q1 cuckoo build — the FPR bound row derives
+# from this same constant so a retuned build cannot silently compare
+# against a stale bound
+BUILD_F = 12
 BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
 N_DOCS = {0.001: 1_000, 0.01: 10_000, 0.1: 100_000}
@@ -121,7 +125,7 @@ def main() -> None:
     def _q1():
         shards = build_sketch_shards(
             tokens, "tokens", kind="cuckoo", lineage=False,
-            max_num_keys=1 << 21, bits_per_item=12, seed=7,
+            max_num_keys=1 << 21, bits_per_item=BUILD_F, seed=7,
             strategy="shuffle_distinct",
         )
         return merge_shards_to_blob(shards, dedup=True, fanout=16)
@@ -166,17 +170,23 @@ def main() -> None:
 
     # Achieved DISTRIBUTED FPR vs the published bound (the north
     # metric's "achieved FPR-vs-bound ... on the table"): every
-    # inserted key is a vocab id < 2^20 < 32M, so the probe-32M sweep
-    # contains ALL members (zero FN by contract) and the remaining
-    # ids are true negatives — FP = hits - filter.size exactly.
-    from cuckoofilter_spark.core.registry import sketch_from_bytes as _sfb
-
-    _n_members = _sfb(blob).size
-    _n_neg = (32 << 20) - _n_members
-    extra["distributed_fpr_pct"] = round(
-        (int(n_hits32) - _n_members) / _n_neg * 100, 4
+    # inserted key is a vocab id < 2^20, so ids in [2^20, 32M) are
+    # true negatives BY CONSTRUCTION — every hit up there is a false
+    # positive, no member count needed (filter .size would undercount
+    # members whose (bucket, tag) collapsed in the set-mode merge and
+    # bias the FPR upward). One untimed probe pass over the negative
+    # range; bound = 2b/2^f from the same f the build used.
+    _neg_hits = (
+        spark.range(1 << 20, 32 << 20)
+        .select(probe(F.col("id").alias("tok")).alias("hit"))
+        .agg(F.sum(F.col("hit").cast("long")))
+        .collect()[0][0]
     )
-    extra["distributed_fpr_bound_pct"] = round(100 * 8 / (1 << 12), 4)
+    _n_neg = (32 << 20) - (1 << 20)
+    extra["distributed_fpr_pct"] = round(int(_neg_hits) / _n_neg * 100, 4)
+    extra["distributed_fpr_bound_pct"] = round(
+        100 * 2 * 4 / (1 << BUILD_F), 4
+    )
 
     # -- q2b: semi-sorted (f=13, 12 bits/tag) build — ss-CF baseline row
     def _q2b():

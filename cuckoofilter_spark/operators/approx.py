@@ -395,9 +395,8 @@ def grouped_top_k_exact(
     _require_integral_key(df, column, "grouped_top_k_exact")
     summary_k = summary_k or max(64 * k, 1024)
     cand, errs_df, top = _grouped_top_k_plan(
-        df, group_col, column, k, summary_k, seed,
+        df, group_col, column, k, summary_k, seed, materialize=True,
     )
-    cand.persist()
     top.persist()
 
     # Distributed certification: a group with err > 0 is certified
@@ -464,19 +463,30 @@ def grouped_top_k_exact(
         # (round-5 advice). n_groups x k rows stay executor-resident.
         return result.orderBy(group_col, "rank").localCheckpoint(eager=True)
     finally:
-        cand.unpersist()
         top.unpersist()
 
 
 def _grouped_top_k_plan(
     df: DataFrame, group_col: str, column: str, k: int,
-    summary_k: int, seed: int,
+    summary_k: int, seed: int, materialize: bool = False,
 ):
     """Lazy (cand, errs_df, top) plan for ``grouped_top_k_exact`` —
-    split out (no persist, no actions) so plan tests can assert the
-    scale shape on the DataFrames themselves (the public operator
-    returns a ``localCheckpoint``, whose explain no longer shows the
-    builder plan)."""
+    split out (no persist, no actions by default) so plan tests can
+    assert the scale shape on the DataFrames themselves (the public
+    operator returns a ``localCheckpoint``, whose explain no longer
+    shows the builder plan).
+
+    ``materialize=True`` (the public operator's mode) eagerly
+    localCheckpoints the decoded candidate frame so EVERY downstream
+    read — errs, exact counts, certification, and the
+    ``on_uncertified='exact'`` fallback's group routing — sees ONE
+    summary instance. This is load-bearing for correctness, not a
+    cache: MG decrement schedules are merge-order-dependent, so a
+    silent recomputation (persist() is only advisory) could certify
+    under one instance and emit rows from another — the fallback
+    could then drop or duplicate a group, or return an uncertified
+    group's pruned rows as exact. A lost checkpoint block fails
+    LOUDLY instead (blocks free on RDD GC via the ContextCleaner)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -516,6 +526,8 @@ def _grouped_top_k_plan(
     cand = summaries.mapInPandas(
         decode, f"__g {g_type}, __cand long, __err long"
     )
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
     errs_df = cand.groupBy("__g").agg(F.max("__err").alias("__err"))
     counted = (
         df.join(

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 HEX_DIGITS = 15  # 60 bits: fits in a signed 64-bit int with headroom
 _SPACE = 16**HEX_DIGITS
@@ -57,6 +58,31 @@ def rate_threshold_hex(rate: float) -> str:
     if n >= _SPACE:
         return "g"
     return format(n, f"0{HEX_DIGITS}x")
+
+
+def stratum_key(source_col: str, key_col: str) -> Column:
+    """The stratum-qualified sampling key ``source|key`` — shared by
+    every per-stratum sampler so two strata drawing the same key stay
+    independent AND all strata samplers agree on the hash contract
+    (change it here, nowhere else)."""
+    return F.concat(
+        F.col(source_col).cast("string"), F.lit("|"),
+        F.col(key_col).cast("string"),
+    )
+
+
+def _key_num(col: str | Column, seed: int) -> Column:
+    """The 60-bit md5 draw as a numeric column (for thresholds that
+    are data-derived doubles rather than literal rates)."""
+    return F.conv(sample_hex_key(col, seed), 16, 10).cast("long")
+
+
+def _num_threshold(x: Column) -> Column:
+    """floor(x · 2^60) as a long — the numeric-threshold half of the
+    ``_key_num`` comparison. ``floor`` is written out because
+    double→int casts TRUNCATE in Spark but ROUND in DuckDB; floor is
+    identical in both."""
+    return F.floor(x * F.lit(float(_SPACE))).cast("long")
 
 
 def sample_hash(
@@ -127,10 +153,7 @@ def sample_stratified(
         [(k, rate_threshold_hex(v)) for k, v in sorted(rates.items())],
         f"{strata_col} string, _thresh string",
     )
-    key = F.concat(
-        F.col(strata_col).cast("string"), F.lit("|"),
-        F.col(key_col).cast("string"),
-    )
+    key = stratum_key(strata_col, key_col)
     out = (
         df.join(F.broadcast(dim), strata_col, "left")
         .withColumn(
@@ -163,17 +186,26 @@ def mixture_rates(
 
     Cross-engine exactness (the same discipline as the md5 string
     threshold above): every order-dependent float sum is removed —
-    sizes aggregate as exact BIGINTs, and the temperature-scaled size
-    is QUANTIZED to an integer grid (floor(n^τ · 2^20)) before the
-    normalizing sum, so Σ is integer-exact regardless of partition
-    order. τ = 0.5 uses sqrt(), which IEEE 754 requires to be
-    correctly rounded (bit-identical in any engine), unlike pow().
-    The remaining per-source arithmetic is a fixed-shape chain of
-    IEEE mult/div on identical operands — bit-identical everywhere.
+    sizes aggregate as exact BIGINTs, and the temperature-scaled
+    RELATIVE size is QUANTIZED to an integer grid
+    (floor((n_s/Σn)^τ · 2^40)) before the normalizing sum, so Σ is
+    integer-exact regardless of partition order. Scaling the RATIO
+    (≤ 1) rather than the absolute size keeps every quantized value
+    ≤ 2^40 — the sum cannot overflow a signed 64-bit long below 2^23
+    sources (an absolute-size grid would saturate at n_s > 2^43 ≈
+    9·10^12 size units and silently corrupt every rate exactly at the
+    100 TB scale this module is for). τ = 0.5 uses sqrt(), which IEEE
+    754 requires to be correctly rounded (bit-identical in any
+    engine), unlike pow(). The remaining per-source arithmetic is a
+    fixed-shape chain of IEEE mult/div on identical operands —
+    bit-identical everywhere.
 
-    One tiny map-side-combined groupBy; the result is a broadcast dim
-    (sources are few by definition — this never shuffles the fact
-    table).
+    One tiny map-side-combined groupBy — the ONLY job this operator
+    runs (it is eager: the per-source totals collect to the driver,
+    sources are few by definition, and the rate arithmetic happens
+    there in the exact IEEE chain above); the result is a small local
+    DataFrame the samplers broadcast — the fact table is aggregated
+    once and never shuffled.
 
     Degenerate strata: a NULL source has no stable stratum identity —
     its rate row is emitted here but the samplers' inner join drops
@@ -186,38 +218,51 @@ def mixture_rates(
     size = (
         F.col(size_col).cast("long") if size_col is not None else F.lit(1)
     )
-    agg = df.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(size).alias("n_size"),
-    ).filter(F.col("n_size") > 0)
-    nsd = F.col("n_size").cast("double")
-    powc = F.sqrt(nsd) if temperature == 0.5 else F.pow(nsd, F.lit(float(temperature)))
-    dim = agg.withColumn(
-        "_powi", F.floor(powc * F.lit(float(1 << 20))).cast("long")
-    )
-    totals = dim.agg(
-        F.sum("n_size").alias("_tot_size"),
-        F.sum("_powi").alias("_tot_powi"),
-    )
-    return (
-        dim.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "weight",
-            F.col("_powi").cast("double") / F.col("_tot_powi").cast("double"),
+    rows = (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(size).alias("n_size"),
         )
-        .withColumn(
-            # epochs = how many passes over source s the budget wants;
-            # > 1 means the mix UPSAMPLES s (resample_mixture), the
-            # Bernoulli rate below clamps it at one epoch
-            "epochs",
-            F.lit(float(target_frac))
-            * F.col("_tot_size").cast("double")
-            * F.col("weight")
-            / nsd,
-        )
-        .withColumn("rate", F.least(F.lit(1.0), F.col("epochs")))
-        .select(source_col, "n_rows", "n_size", "weight", "epochs", "rate")
+        .filter(F.col("n_size") > 0)
+        .collect()
     )
+    # Driver-side rate arithmetic over the (tiny) per-source totals,
+    # in plain python floats — IEEE doubles with the exact operand
+    # values and operation order of the SQL oracle, so the results
+    # are bit-identical to an engine running the same chain. Integer
+    # sums stay python ints (arbitrary precision: exact at any scale).
+    import math
+
+    tot_size = sum(r["n_size"] for r in rows)
+    tot_d = float(tot_size)
+    powis = []
+    for r in rows:
+        ratio = float(r["n_size"]) / tot_d
+        p = math.sqrt(ratio) if temperature == 0.5 else math.pow(
+            ratio, float(temperature)
+        )
+        powis.append(int(math.floor(p * float(1 << 40))))
+    tot_powi = sum(powis)
+    out = []
+    for r, powi in zip(rows, powis):
+        weight = float(powi) / float(tot_powi)
+        epochs = (
+            float(target_frac) * tot_d * weight / float(r["n_size"])
+        )
+        out.append((
+            r[source_col], int(r["n_rows"]), int(r["n_size"]),
+            weight, epochs, min(1.0, epochs),
+        ))
+    schema = T.StructType([
+        df.schema[source_col],
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_size", T.LongType(), False),
+        T.StructField("weight", T.DoubleType(), False),
+        T.StructField("epochs", T.DoubleType(), False),
+        T.StructField("rate", T.DoubleType(), False),
+    ])
+    return df.sparkSession.createDataFrame(out, schema)
 
 
 def sample_mixture(
@@ -247,17 +292,14 @@ def sample_mixture(
         )
     dim = rates.select(
         source_col,
-        F.floor(F.col("rate") * F.lit(float(_SPACE)))
-        .cast("long").alias("_thresh_num"),
+        _num_threshold(F.col("rate")).alias("_thresh_num"),
     )
-    key = F.concat(
-        F.col(source_col).cast("string"), F.lit("|"),
-        F.col(key_col).cast("string"),
-    )
-    key_num = F.conv(sample_hex_key(key, seed), 16, 10).cast("long")
     return (
         df.join(F.broadcast(dim), source_col, "inner")
-        .filter(key_num < F.col("_thresh_num"))
+        .filter(
+            _key_num(stratum_key(source_col, key_col), seed)
+            < F.col("_thresh_num")
+        )
         .drop("_thresh_num")
     )
 
@@ -294,16 +336,11 @@ def resample_mixture(
     dim = rates.select(
         source_col,
         F.floor(F.col("epochs")).cast("long").alias("_full"),
-        F.floor(
-            (F.col("epochs") - F.floor(F.col("epochs")))
-            * F.lit(float(_SPACE))
-        ).cast("long").alias("_frac_thresh"),
+        _num_threshold(
+            F.col("epochs") - F.floor(F.col("epochs"))
+        ).alias("_frac_thresh"),
     )
-    key = F.concat(
-        F.col(source_col).cast("string"), F.lit("|"),
-        F.col(key_col).cast("string"),
-    )
-    key_num = F.conv(sample_hex_key(key, seed), 16, 10).cast("long")
+    key_num = _key_num(stratum_key(source_col, key_col), seed)
     n_copies = F.col("_full") + (key_num < F.col("_frac_thresh")).cast("long")
     # Spark's sequence() infers step -1 when start > stop, so a plain
     # sequence(0, n_copies - 1) at n_copies == 0 would emit [0, -1]
@@ -352,12 +389,10 @@ def sample_weighted(
     written out explicitly because double→int casts TRUNCATE in Spark
     but ROUND in DuckDB; floor is identical in both."""
     wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    key_num = F.conv(sample_hex_key(key_col, seed), 16, 10).cast("long")
-    thresh = F.floor(
+    thresh = _num_threshold(
         F.least(F.greatest(wc.cast("double"), F.lit(0.0)), F.lit(1.0))
-        * F.lit(float(_SPACE))
-    ).cast("long")
-    return df.filter(key_num < thresh)
+    )
+    return df.filter(_key_num(key_col, seed) < thresh)
 
 
 def sample_weighted_bottom_k(

@@ -216,6 +216,13 @@ def main(argv=None) -> int:
         df = (
             df.withColumn("_mix_tok", token_count_ws(args.text_col))
         )
+        # NULL mix-by rows have no stratum: the mixture join drops
+        # them (unlike uniform --sample-rate, which keys on id) —
+        # surface the loss explicitly instead of letting it hide
+        # inside the budget thinning
+        n_null = df.filter(F.col(args.mix_by).isNull()).count()
+        if n_null:
+            counts["mix_null_dropped"] = n_null
         df = sample_mixture(
             df, args.mix_by, args.id_col, size_col="_mix_tok",
             temperature=args.mix_temperature,
