@@ -430,6 +430,27 @@ def test_mixture_rates_temperature_semantics(spark, docs):
     assert abs(sum(r.weight for r in r5) - 1.0) < 1e-9
 
 
+def test_mixture_rates_no_overflow_at_corpus_scale(spark):
+    """Regression (round-6 review): sources beyond 2^43 size units —
+    routine at the 100 TB design point — must not overflow the
+    quantization grid (the old absolute-size grid saturated int64 and
+    flipped every rate negative, silently emptying the sample)."""
+    from cuckoofilter_spark.operators.sampling import mixture_rates
+
+    df = spark.createDataFrame(
+        [("big", 1 << 50), ("mid", 1 << 44), ("small", 1 << 20)],
+        "source string, sz long",
+    )
+    r = {x["source"]: x for x in
+         mixture_rates(df, "source", size_col="sz", temperature=1.0,
+                       target_frac=0.5).collect()}
+    assert all(0.0 < v["rate"] <= 1.0 for v in r.values())
+    assert abs(sum(v["weight"] for v in r.values()) - 1.0) < 1e-9
+    # τ=1 reduces to a uniform Bernoulli(frac) at ANY size scale
+    assert abs(r["big"]["rate"] - 0.5) < 1e-6
+    assert abs(r["mid"]["rate"] - 0.5) < 1e-6
+
+
 def test_mixture_rates_clamps_small_source(spark, docs):
     """A source far smaller than its temperature share clamps at
     rate 1.0 (one epoch — Bernoulli cannot upsample)."""
