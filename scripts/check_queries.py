@@ -22,6 +22,10 @@ def main():
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
+        # ~70 queries' broadcasts/checkpoint blocks accumulate in ONE
+        # long-lived JVM: the 1g default heap OOM'd the serve thread
+        # on query 69 of a full sweep (passes standalone)
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,6 +74,10 @@ def main():
         except Exception as ex:
             failed.append(name)
             print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:300]}")
+        finally:
+            # drop cached/broadcast blocks between queries — a full
+            # sweep holds ~70 queries' residue in one JVM otherwise
+            spark.catalog.clearCache()
     print("FAILED:" if failed else "ALL OK:", failed or len(names))
     spark.stop()
     sys.exit(1 if failed else 0)
