@@ -279,6 +279,20 @@ def main() -> None:
         lambda: with_text_stats(docs).agg(F.sum("quality_milli")).collect()
     )
 
+    # -- q7b1: temperature data-mix resample (round 6) -------------------
+    # one per-source aggregation (driver-side rate math) + broadcast
+    # dim + explode fan-out; 2-epoch budget at tau=0.5 so the row
+    # exercises BOTH integral copies and the fractional md5 draw
+    from cuckoofilter_spark.operators.sampling import resample_mixture
+
+    queries["mixture_resample"], extra["mixture_rows_out"] = timed2(
+        "mixture_resample",
+        lambda: resample_mixture(
+            docs, "source", "doc_id", size_col="n_chars",
+            temperature=0.5, target_frac=2.0, seed=17,
+        ).count(),
+    )
+
     # -- q7b2: corpus-shaping stage (round 3) ----------------------------
     # decontamination is the flagship pipeline use of the filter:
     # eval n-grams -> broadcast CF -> narrow corpus probe -> exact
