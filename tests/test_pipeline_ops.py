@@ -451,6 +451,62 @@ def test_mixture_rates_no_overflow_at_corpus_scale(spark):
     assert abs(r["mid"]["rate"] - 0.5) < 1e-6
 
 
+def test_mixture_rates_bitexact_vs_duckdb(spark):
+    """The cross-engine exactness CLAIM, tested head-on: 50 random
+    sources with sizes up to 2^50, three (τ, budget) settings — the
+    driver-side python chain must reproduce DuckDB's double chain
+    BIT-EXACTLY for τ∈{0.5 (sqrt, IEEE-correctly-rounded), 1.0
+    (pow(x,1)=x)} and to 1 ulp-class tolerance for a generic τ
+    (libm pow carries no cross-engine rounding guarantee)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from cuckoofilter_spark.operators.sampling import mixture_rates
+
+    rng = random.Random(7)
+    rows = [(f"s{i:02d}", rng.randrange(1, 1 << 50)) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, sz long")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["source", "sz"]))
+    for tau, frac, exact in [(0.5, 0.3, True), (1.0, 2.0, True),
+                             (0.7, 1.0, False)]:
+        got = {r["source"]: r for r in
+               mixture_rates(df, "source", size_col="sz",
+                             temperature=tau, target_frac=frac)
+               .collect()}
+        powc = ("sqrt(CAST(n_size AS DOUBLE) / CAST(tot AS DOUBLE))"
+                if tau == 0.5 else
+                f"pow(CAST(n_size AS DOUBLE) / CAST(tot AS DOUBLE), {tau})")
+        sql = f"""
+            WITH agg AS (SELECT source,
+                           CAST(sum(sz) AS BIGINT) AS n_size
+                         FROM t GROUP BY source),
+            tots AS (SELECT CAST(sum(n_size) AS BIGINT) AS tot FROM agg),
+            dim AS (SELECT source, n_size, tot,
+                      CAST(floor({powc} * 1099511627776.0) AS BIGINT)
+                          AS powi
+                    FROM agg CROSS JOIN tots),
+            tp AS (SELECT CAST(sum(powi) AS BIGINT) AS tot_powi FROM dim)
+            SELECT source,
+                   CAST(powi AS DOUBLE) / CAST(tot_powi AS DOUBLE)
+                       AS weight,
+                   {frac} * CAST(tot AS DOUBLE)
+                   * (CAST(powi AS DOUBLE) / CAST(tot_powi AS DOUBLE))
+                   / CAST(n_size AS DOUBLE) AS epochs
+            FROM dim CROSS JOIN tp"""
+        for source, weight, epochs in con.execute(sql).fetchall():
+            g = got[source]
+            if exact:
+                assert g["weight"] == weight, (tau, source)
+                assert g["epochs"] == epochs, (tau, source)
+                assert g["rate"] == min(1.0, epochs), (tau, source)
+            else:
+                assert abs(g["weight"] - weight) <= 1e-15 * abs(weight)
+                assert abs(g["epochs"] - epochs) <= 1e-12 * abs(epochs)
+
+
 def test_mixture_rates_clamps_small_source(spark, docs):
     """A source far smaller than its temperature share clamps at
     rate 1.0 (one epoch — Bernoulli cannot upsample)."""
