@@ -53,7 +53,15 @@ def pack_documents(
     NULL token counts propagate (null ``bin_id``) without disturbing
     other documents' cumulative sums — a null count means a broken
     upstream row, and silently packing it as zero would hide that;
-    filter or coalesce before packing if that is intended."""
+    filter or coalesce before packing if that is intended.
+
+    ``id_col`` must be UNIQUE per row: both the order key (its md5)
+    and the tiebreaker are functions of the id, so duplicate ids —
+    e.g. the copies emitted by ``sampling.resample_mixture`` — tie
+    completely and their relative order (hence every later bin_id in
+    the stream) becomes engine-nondeterministic. Pack a resampled
+    corpus on a composite key instead:
+    ``concat_ws('#', id, copy)``."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     key = sample_hex_key(id_col, seed)

@@ -318,7 +318,10 @@ def resample_mixture(
     feeds training: tail sources repeat (epochs > 1), head sources
     thin (epochs < 1 degenerates to the Bernoulli filter).
     ``copy_col`` (0-based repeat index) distinguishes the copies
-    downstream (e.g. for per-epoch shuffling salts).
+    downstream (e.g. for per-epoch shuffling salts). Downstream ops
+    that require a UNIQUE row id (``pack_documents``' order key, any
+    keyed dedup) must use a composite — ``concat_ws('#', key, copy)``
+    — since copies share the original key by design.
 
     Same determinism contract as every sampler here: the copy count
     is a pure function of (source sizes, key, seed) — the fractional

@@ -617,6 +617,38 @@ def test_mixture_null_key_rows_dropped(spark, docs):
     assert s.count() <= n_nonnull
 
 
+def test_resampled_corpus_packs_deterministically(spark, docs):
+    """The documented composition recipe: a resampled corpus
+    (duplicate doc_ids by design) packs deterministically when keyed
+    on the composite (id, copy) — identical bins under physical
+    re-layout."""
+    from cuckoofilter_spark.operators.packing import pack_documents
+    from cuckoofilter_spark.operators.sampling import resample_mixture
+    from cuckoofilter_spark.operators.text import token_count_ws
+
+    r = resample_mixture(
+        docs, "source", "doc_id", size_col="n_chars",
+        temperature=0.5, target_frac=2.0, seed=17,
+    ).withColumn(
+        "pack_id", F.concat_ws("#", F.col("doc_id"), F.col("copy"))
+    ).withColumn("n_tok", token_count_ws("text"))
+
+    def bins(df):
+        return sorted(
+            (row["pack_id"], row["stream"], row["bin_id"]) for row in
+            pack_documents(df, "pack_id", "n_tok", max_tokens=1024,
+                           n_streams=4, seed=6)
+            .select("pack_id", "stream", "bin_id").collect()
+        )
+
+    b1 = bins(r)
+    b2 = bins(r.repartition(13))
+    assert b1 == b2 and len(b1) > len(
+        {doc for doc, _, _ in
+         ((p.split("#")[0], s, b) for p, s, b in b1)}
+    )
+
+
 def test_resample_mixture_tiny_source_gets_extra_epochs(spark, docs):
     """τ<1 upweights the tail: a far-undersized source must get more
     epochs than every natural source."""
