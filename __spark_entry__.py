@@ -1775,7 +1775,8 @@ def q_mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture_rates + sample_mixture): per-source keep rates
     ∝ n_s^0.5 / n_s against a 50% token budget — the XLM-R/mT5-style
     mixture reweighting, hash-deterministic end to end. The scaled
-    sizes are quantized to an integer 2^-20 grid before the
+    sizes are quantized to the integer 2^-40 grid (floor(ratio^τ ·
+    2^40)) before the
     normalizing sum, so every aggregate the rate depends on is an
     exact integer (partition-order-free) and the oracle replays the
     identical IEEE mult/div chain; τ=0.5 deliberately uses sqrt(),
@@ -2709,7 +2710,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, count(*) AS n_rows,
                      CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
                          AS n_size
-              FROM documents GROUP BY source
+              FROM documents WHERE source IS NOT NULL
+              GROUP BY source
               HAVING sum(CAST(n_chars AS BIGINT)) > 0),
             tots AS (
               SELECT CAST(sum(n_size) AS BIGINT) AS tot_size FROM agg),
@@ -2757,7 +2759,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, count(*) AS n_rows,
                      CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
                          AS n_size
-              FROM documents GROUP BY source
+              FROM documents WHERE source IS NOT NULL
+              GROUP BY source
               HAVING sum(CAST(n_chars AS BIGINT)) > 0),
             tots AS (
               SELECT CAST(sum(n_size) AS BIGINT) AS tot_size FROM agg),

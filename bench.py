@@ -120,8 +120,10 @@ def main() -> None:
         return ss[len(ss) // 2], out
 
     # -- q1: bulk distributed cuckoo build over the token stream -------
-    # best-of-n (first run also warms the OS page cache for the
-    # parquet input; this sandbox shows >2x run-to-run CPU noise)
+    # median-of-n via timed2 (the first run also warms the OS page
+    # cache for the parquet input; this sandbox shows >2x run-to-run
+    # CPU noise, so the median is the headline and min/max go to
+    # spread)
     def _q1():
         shards = build_sketch_shards(
             tokens, "tokens", kind="cuckoo", lineage=False,

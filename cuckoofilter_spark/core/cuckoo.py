@@ -374,6 +374,10 @@ class CuckooFilter:
         traffic of every round vs the previous int64 lanes."""
         table = self.table
         n = len(idx)
+        # owner|phase packing puts the phase flag at bit 30 — a batch
+        # >= 2^30 would silently corrupt owner indices. All callers
+        # chunk at _ADD_CHUNK; keep the invariant loud.
+        assert n < (1 << 30), "batch too large for int32 owner|phase lanes"
         claim = self._claim_buf()
         words = table.dtype == np.uint16
         t64 = table.reshape(-1).view(np.uint64) if words else None
@@ -788,7 +792,7 @@ class CuckooFilter:
             if dedup:
                 idx, tags = base._dedup_pairs(idx, tags)
             if len(idx):
-                base._insert_tags(idx, tags, must_place=True)
+                base._merge_insert(idx, tags)
         base.num_items = int((base.table != 0).sum())
         return base
 
@@ -823,8 +827,17 @@ class CuckooFilter:
 
     def _merge_insert(self, idx: np.ndarray, tags: np.ndarray) -> None:
         # try current bucket first (it IS one of the two legal buckets);
-        # must_place: a merge may park ONE victim but never drops a tag
-        self._insert_tags(idx, tags, must_place=True)
+        # must_place: a merge may park ONE victim but never drops a tag.
+        # Chunked at _ADD_CHUNK like add_many: _bulk_place_dual packs
+        # owner|phase into int32 with the phase flag at bit 30, so one
+        # batch must stay < 2^30 items or owner indices would corrupt
+        # silently (round-7 ADVICE fix) — and small chunks also keep
+        # the eviction queue on the vectorized path.
+        step = self._ADD_CHUNK
+        for s in range(0, len(idx), step):
+            self._insert_tags(
+                idx[s:s + step], tags[s:s + step], must_place=True
+            )
 
     # ------------------------------------------------------------ serialize
     def to_bytes(self) -> bytes:

@@ -17,6 +17,7 @@ from cuckoofilter_spark.operators.dedup import (  # noqa: F401
     near_dup_pairs_minhash,
     near_dup_pairs_ngram,
     near_dup_pairs_simhash,
+    random_kernel_seed,
 )
 from cuckoofilter_spark.operators.delete import delete_from_shards  # noqa: F401
 from cuckoofilter_spark.operators.approx import (  # noqa: F401

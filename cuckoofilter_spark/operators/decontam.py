@@ -260,7 +260,14 @@ def decontaminate(
     gate safe: per-document filter hits ≥ true overlaps (zero false
     negatives), so ``hits ≥ min_overlap`` can never drop a document
     the exact join would keep. To drop the contaminated docs instead
-    of reporting them, anti-join this result back on ``id_col``."""
+    of reporting them, anti-join this result back on ``id_col``.
+
+    SECURITY: n-gram matching compares kernel hashes; with the
+    default public seed an adversarial corpus document can forge fake
+    contamination hits. For untrusted corpora pass
+    ``seed=dedup.random_kernel_seed()`` (keyed kernel mode — see the
+    ``operators.dedup`` trust-model note); build and probe share
+    ``seed``, so one argument keys both sides."""
     blob, ev_ngrams = eval_ngram_filter(
         eval_df, text_col, n=n, bits_per_item=bits_per_item, seed=seed
     )

@@ -9,10 +9,11 @@ Designed for the 100 TB shape of the problem:
   16-byte digests + doc ids, never document bodies.
 - **MinHash+LSH**: per-doc signatures are computed WITHOUT exploding
   shingles — one Arrow-batched pandas UDF does shingle→hash→128-perm
-  row-min per document with a fully vectorized hash kernel (per-word
-  C siphash13 + polynomial window mix; per-doc text work belongs in a
-  batch UDF: Spark's nested higher-order array lambdas are
-  CodegenFallback, measured ~2ms/doc interpreted). Banding then
+  row-min per document with a fully vectorized hash kernel (seeded
+  64-bit polynomial over UTF-8 bytes, splitmix64-finalized; per-doc
+  text work belongs in a batch UDF: Spark's nested higher-order array
+  lambdas are CodegenFallback, measured ~2ms/doc interpreted). Banding
+  then
   explodes only B=32 short band rows per doc; the self-join on
   (band, band_hash) is the classic LSH candidate join and the only
   O(candidates) stage. Exact-jaccard verification runs only on
@@ -24,6 +25,25 @@ Designed for the 100 TB shape of the problem:
 MinHash perm parameters derive from a fixed seed — signatures are
 reproducible across executors and runs (same principle as the
 filter's explicit hash seeds, SURVEY.md §1.2).
+
+TRUST MODEL — READ BEFORE GATING UNTRUSTED CORPORA. With the default
+seeds (< 2**32) the shingle hash is a polynomial with a FIXED PUBLIC
+multiplier, and exact-jaccard "verification" compares 64-bit hash
+sets, not string sets. Collisions are birthday-random on natural
+text, but they are adversarially CONSTRUCTIBLE: an attacker who
+controls document bytes can craft distinct equal-length words that
+hash alike (the seed cancels between equal-length strings), inflate
+jaccard past threshold, and force a false near-dup merge of — or a
+fake decontamination hit against — a targeted legitimate document.
+For adversarial/web corpora, pass ``seed=random_kernel_seed()`` (any
+seed >= 2**32): the kernel then derives BOTH the polynomial's initial
+state and its multiplier (and the giant-span blake2b key) from the
+seed via keyed blake2b, so collision-crafting requires the secret.
+Every consumer that shares the kernel (minhash/simhash/PPJoin
+pipelines here, build+probe sides of ``decontam``) keys itself the
+same way from the same seed, so cross-stage hash agreement is
+preserved; outputs remain deterministic GIVEN the seed, so keep the
+seed fixed per run and store it with the run's provenance.
 """
 
 from __future__ import annotations
@@ -141,8 +161,61 @@ def _perm_params(num_hashes: int, seed: int):
 # ``gram_string_hashes``. Polynomial (vs cryptographic) hashing is a
 # deliberate trade: collisions are birthday-random on natural text,
 # and dedup/minhash tolerate ~2^-64-per-pair fingerprint noise — but
-# it is NOT adversarially collision-resistant.
+# it is NOT adversarially collision-resistant with the default
+# (public, < 2**32) seeds. Seeds >= 2**32 switch every entry point to
+# KEYED mode (init + multiplier + giant-span blake2b key all derived
+# from the seed, ``_kernel_key``) — see the module trust-model note
+# and ``random_kernel_seed``.
 _POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+# seeds below this use the fixed public multiplier (bit-compatible
+# with rounds 1-6 and every documented default); seeds at or above it
+# switch the kernel to KEYED mode — see the module trust-model note
+_KEYED_MIN = 1 << 32
+
+
+def random_kernel_seed() -> int:
+    """Cryptographically random keyed-mode kernel seed (>= 2**32).
+
+    Pass the result as the ``seed`` of any shingle/dedup/decontam
+    entry point when the corpus is untrusted: hash collisions then
+    require knowledge of the seed (see the module trust-model note).
+    Generate ONCE per run and record it — all stages that must agree
+    (e.g. decontam build + probe) need the same seed."""
+    import secrets
+
+    return secrets.randbits(63) | _KEYED_MIN
+
+
+def _kernel_key(seed: int):
+    """(init, mult, salt) for the polynomial kernel.
+
+    Legacy mode (0 <= seed < 2**32): init = seed, mult = the public
+    golden-ratio constant, salt = little-endian seed — bit-identical
+    to the round-6 kernel for every documented default seed. Keyed
+    mode (seed >= 2**32 or negative): all three derive from
+    blake2b(seed), so both the polynomial's initial state AND its
+    multiplier (forced odd) are unpredictable without the seed —
+    equal-length collision crafting, which cancels ``init``, is
+    defeated by the secret multiplier."""
+    if 0 <= seed < _KEYED_MIN:
+        return (
+            np.uint64(seed),
+            _POLY_C,
+            seed.to_bytes(8, "little"),
+        )
+    import hashlib
+
+    raw = seed.to_bytes(
+        (seed.bit_length() + 8) // 8, "little", signed=True
+    )
+    d = hashlib.blake2b(
+        raw, digest_size=24, person=b"cfspark-kernel01"
+    ).digest()
+    return (
+        np.uint64(int.from_bytes(d[:8], "little")),
+        np.uint64(int.from_bytes(d[8:16], "little") | 1),
+        d[16:24],
+    )
 _WS_LUT = np.zeros(256, dtype=bool)
 _WS_LUT[[9, 10, 11, 12, 13, 32]] = True  # \t \n \x0b \f \r ' '
 # spans longer than this fall back to one hashlib call each (a 1 MB
@@ -190,17 +263,18 @@ def _word_spans(u8: np.ndarray):
 def _span_hashes(u8, starts, lengths, seed: int) -> np.ndarray:
     """Seeded hash of each byte span, vectorized: polynomial over the
     bytes + splitmix64. Length-bucketed (descending sort) so the byte
-    gathers do O(total bytes) total work with no per-span masks."""
+    gathers do O(total bytes) total work with no per-span masks.
+    Seeds >= 2**32 switch init/multiplier/salt to keyed mode
+    (``_kernel_key``)."""
     n = len(starts)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     out = np.empty(n, dtype=np.uint64)
-    init = np.uint64(seed & (2**64 - 1))
+    init, mult, salt = _kernel_key(seed)
     giant = lengths > _SPAN_CAP
     if giant.any():
         import hashlib
 
-        salt = (seed & (2**64 - 1)).to_bytes(8, "little")
         mv = u8.tobytes()
         for i in np.flatnonzero(giant):
             out[i] = int.from_bytes(
@@ -225,7 +299,7 @@ def _span_hashes(u8, starts, lengths, seed: int) -> np.ndarray:
                 q = m - int(np.searchsorted(ln_asc, j + 1, side="left"))
                 if q == 0:
                     break
-                h[:q] = h[:q] * _POLY_C + u8[st[:q] + j]
+                h[:q] = h[:q] * mult + u8[st[:q] + j]
             h = _mix64(h)
         vals = np.empty(m, dtype=np.uint64)
         vals[order] = h
@@ -236,7 +310,9 @@ def _span_hashes(u8, starts, lengths, seed: int) -> np.ndarray:
     return out
 
 
-def _window_gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
+def _window_gram_hashes(
+    wh: np.ndarray, k: int, mult: np.uint64 = _POLY_C
+) -> np.ndarray:
     """Hash of every length-``k`` window of the word-hash array
     (positions 0..len-k): seeded-by-caller polynomial + splitmix64.
     MUST stay formula-identical to ``_seq_hashes`` so a k-window and
@@ -245,11 +321,11 @@ def _window_gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         acc = np.full(total - k + 1, np.uint64(0))
         for j in range(k):
-            acc = acc * _POLY_C + wh[j:total - k + 1 + j]
+            acc = acc * mult + wh[j:total - k + 1 + j]
         return _mix64(acc)
 
 
-def _seq_hashes(wh, counts, offs) -> np.ndarray:
+def _seq_hashes(wh, counts, offs, mult: np.uint64 = _POLY_C) -> np.ndarray:
     """Hash of each variable-length word-hash sequence (sequence i =
     wh[offs[i] : offs[i]+counts[i]]): same polynomial + splitmix64 as
     ``_window_gram_hashes``."""
@@ -265,7 +341,7 @@ def _seq_hashes(wh, counts, offs) -> np.ndarray:
             q = n - int(np.searchsorted(c_asc, j + 1, side="left"))
             if q == 0:
                 break
-            acc[:q] = acc[:q] * _POLY_C + wh[o_desc[:q] + j]
+            acc[:q] = acc[:q] * mult + wh[o_desc[:q] + j]
         acc = _mix64(acc)
     out = np.empty(n, dtype=np.uint64)
     out[order] = acc
@@ -289,7 +365,7 @@ def _shingle_hashes_batch(texts, k: int, seed: int) -> list[np.ndarray]:
     # byte order, so each doc's words are contiguous in wh)
     doc_of = np.searchsorted(doc_offs, w_starts, side="right") - 1
     counts = np.bincount(doc_of, minlength=n_docs)
-    acc = _window_gram_hashes(wh, k)
+    acc = _window_gram_hashes(wh, k, _kernel_key(seed)[1])
     lengths = np.maximum(counts - (k - 1), 0)
     offs = np.cumsum(counts) - counts  # doc start offsets (word index)
     starts = np.cumsum(lengths) - lengths
@@ -330,7 +406,7 @@ def gram_string_hashes(grams, seed: int) -> np.ndarray:
     gram_of = np.searchsorted(gram_offs, w_starts, side="right") - 1
     counts = np.bincount(gram_of, minlength=len(grams))
     offs = np.cumsum(counts) - counts
-    return _seq_hashes(wh, counts, offs)
+    return _seq_hashes(wh, counts, offs, _kernel_key(seed)[1])
 
 
 def shingle_sets(
@@ -646,6 +722,14 @@ def verified_jaccard_pairs_from_sets(
     stay hash-green. The threshold test uses the same IEEE ops as the
     oracle (divide then compare) so boundary pairs agree bit-for-bit.
     Output jaccard is in 1e-4 integer units (j_e4), FP-noise-proof.
+
+    SECURITY: because this compares HASH sets, verification is only
+    as collision-resistant as the shingle kernel that built ``sets``.
+    With default seeds the kernel's multiplier is public and
+    collisions are adversarially constructible — an attacker-supplied
+    document can forge jaccard >= threshold against a victim doc. Do
+    NOT gate untrusted corpora on default seeds; build ``sets`` with
+    ``seed=random_kernel_seed()`` (module trust-model note).
 
     Scale shape: the heavy exchange is the second join re-shuffling
     (pair, s_a) by doc_b — candidate-pair count × one shingle array.

@@ -169,6 +169,7 @@ def sample_stratified(
 def mixture_rates(
     df: DataFrame, source_col: str, *, size_col: str | None = None,
     temperature: float = 1.0, target_frac: float,
+    max_sources: int = 100_000,
 ) -> DataFrame:
     """Temperature-based per-source sampling rates — the data-mix
     planner of a multilingual/multi-source pretraining pipeline
@@ -207,26 +208,48 @@ def mixture_rates(
     DataFrame the samplers broadcast — the fact table is aggregated
     once and never shuffled.
 
-    Degenerate strata: a NULL source has no stable stratum identity —
-    its rate row is emitted here but the samplers' inner join drops
-    its rows (same as the SQL oracle's JOIN). A source whose total
-    size is 0 (all ``size_col`` values NULL/0) is excluded from the
-    rates — it holds no budgetable mass and would otherwise divide by
-    zero."""
+    Degenerate strata: NULL-source rows are EXCLUDED before the
+    totals (round-7 ADVICE fix) — a NULL source has no stable stratum
+    identity and the samplers' inner join can never emit its rows, so
+    counting its mass into Σn would dilute every rate and silently
+    undershoot ``target_frac``'s budget. With the filter, the budget
+    is target_frac × (non-NULL mass) and is actually delivered;
+    ``shape_corpus`` still surfaces the dropped-NULL count. A source
+    whose total size is 0 (all ``size_col`` values NULL/0) is likewise
+    excluded — it holds no budgetable mass and would otherwise divide
+    by zero.
+
+    Cardinality guard (round-7): the per-source totals collect to the
+    driver — correct because mixture sources are few BY DEFINITION
+    (languages, domains-of-origin, dataset names). Passing a
+    high-cardinality column (e.g. web domain at 10^8 values) would
+    OOM the driver, so the collect is capped at ``max_sources``
+    (default 10^5 ≈ tens of MB) and raises loudly above it — the
+    guard is a ``limit(max_sources+1)`` on the aggregate itself, so
+    it costs no extra scan and never ships more than the cap."""
     if not 0.0 < target_frac:
         raise ValueError(f"target_frac must be > 0, got {target_frac}")
     size = (
         F.col(size_col).cast("long") if size_col is not None else F.lit(1)
     )
     rows = (
-        df.groupBy(source_col)
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(size).alias("n_size"),
         )
         .filter(F.col("n_size") > 0)
+        .limit(max_sources + 1)
         .collect()
     )
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"mixture_rates: > {max_sources} distinct non-empty values in "
+            f"{source_col!r} — this column is not a mixture stratum (rates "
+            "collect one row per source to the driver). Use a coarser "
+            "source column, or raise max_sources deliberately."
+        )
     # Driver-side rate arithmetic over the (tiny) per-source totals,
     # in plain python floats — IEEE doubles with the exact operand
     # values and operation order of the SQL oracle, so the results
