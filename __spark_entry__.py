@@ -656,6 +656,28 @@ def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (operators/spans.py, round 7): per-doc
+    duplicated-span fraction from corpus-frequent word-3-grams
+    (count ≥ 4 incl. multiplicity) — the Lee et al. 2022 shape built
+    from shipped primitives. Exact semantics: covered = union length
+    of duplicated [p, p+3) windows; dup_e4 = ⌊covered·10⁴/n_words⌋
+    (integer division both engines). Plan: one kernel pass, the
+    collapsing 8-byte-gram count scan, broadcast cuckoo gate BELOW
+    the posexplode, candidate-only verify join + per-doc window
+    (plan-asserted in tests/test_plans.py). Only the top-200 docs by
+    (dup_e4, doc) ship, plus a corpus-total row guard via agg in the
+    test suite."""
+    from cuckoofilter_spark.operators.spans import duplicated_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        duplicated_span_stats(docs, "doc_id", "text", k=3, min_count=4)
+        .orderBy(F.desc("dup_e4"), "doc")
+        .limit(200)
+    )
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128)+LSH(32×4) candidate generation with exact
     word-3-shingle jaccard verification at threshold 0.8. The oracle
@@ -1990,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_by_source": q_text_stats_by_source,
         "lang_id_counts": q_lang_id_counts,
         "exact_dedup_stats": q_exact_dedup_stats,
+        "duplicated_span_stats": q_duplicated_span_stats,
         "rolling_fingerprints": q_rolling_fingerprints,
         "events_hourly_window": q_events_hourly_window,
         "rollup_lineitem": q_rollup_lineitem,
@@ -2286,6 +2309,48 @@ def oracle_sql() -> dict[str, str]:
                                                      '\s+', ' ', 'g')))
                        AS n_distinct
             FROM documents
+        """,
+        "duplicated_span_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text),
+                                                       '\s+'),
+                                 x -> x != '') AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                         AS gram
+              FROM (SELECT doc_id, words,
+                           unnest(range(1, len(words) - 1)) AS i
+                    FROM w WHERE len(words) >= 3)),
+            f AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 4),
+            h AS (
+              SELECT g.doc_id, g.pos,
+                     lead(g.pos) OVER (PARTITION BY g.doc_id
+                                       ORDER BY g.pos) AS next_pos
+              FROM g JOIN f USING (gram)),
+            c AS (
+              SELECT doc_id,
+                     count(*) AS n_dup_grams,
+                     CAST(sum(least(3, coalesce(next_pos - pos, 3)))
+                          AS BIGINT) AS covered
+              FROM h GROUP BY doc_id),
+            base AS (
+              SELECT doc_id AS doc,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     CAST(greatest(len(words) - 2, 0) AS BIGINT)
+                         AS n_grams
+              FROM w)
+            SELECT b.doc, b.n_words, b.n_grams,
+                   COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+                   COALESCE(c.covered, 0) AS covered,
+                   CASE WHEN b.n_words > 0
+                        THEN COALESCE(c.covered, 0) * 10000 // b.n_words
+                        ELSE 0 END AS dup_e4
+            FROM base b LEFT JOIN c ON b.doc = c.doc_id
+            ORDER BY dup_e4 DESC, b.doc LIMIT 200
         """,
         "minhash_near_dups": r"""
             WITH sh AS (

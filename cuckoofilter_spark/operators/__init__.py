@@ -2,7 +2,8 @@
 
 Sketch lifecycle (build → merge → probe → delete), dedup (exact /
 MinHash-LSH / SimHash / exact n-gram prefix-filter / cluster
-resolution), similarity search (brute, LSH, IVF), text analysis,
+resolution / substring-level duplicated-span stats + span drop),
+similarity search (brute, LSH, IVF), text analysis,
 multimodal plumbing, and the corpus-shaping stage: deterministic
 sampling / train-holdout splits, benchmark decontamination,
 repetition quality stats, and token-bin packing.
@@ -62,6 +63,11 @@ from cuckoofilter_spark.operators.probe import (  # noqa: F401
 from cuckoofilter_spark.operators.rollup import (  # noqa: F401
     rollup_sketch_table,
     sketch_time_table,
+)
+from cuckoofilter_spark.operators.spans import (  # noqa: F401
+    drop_duplicated_spans,
+    duplicated_span_stats,
+    gram_table,
 )
 from cuckoofilter_spark.operators.sampling import (  # noqa: F401
     mixture_rates,

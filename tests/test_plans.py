@@ -463,3 +463,72 @@ def test_grouped_top_k_plan_blob_only_summary_shuffle(spark):
     assert first_agg < semi, (
         "final aggregate not above the candidate semi-join"
     )
+
+
+def test_duplicated_span_stats_plan_shape(spark):
+    """Substring-dedup scale contract (round-7 verdict item 4),
+    asserted on the physical plan: (a) no cartesian / nested-loop
+    joins; (b) the broadcast cuckoo gate (ArrowEvalPython probe)
+    filters BELOW the posexplode's downstream exchange — only
+    candidate positions are shuffled to the verify join/window, the
+    full gram stream is never exchanged un-gated; (c) the frequency
+    count is a collapsing scan: a partial HashAggregate on the
+    8-byte gram hashes runs before its exchange."""
+    from cuckoofilter_spark.operators.spans import duplicated_span_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(
+        duplicated_span_stats(docs, "doc_id", "text", k=3, min_count=4)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # (b) walk the plan TREE (section before the node details): the
+    # candidate-branch Generate (posexplode) must reach its join with
+    # an ArrowEvalPython (the probe gate) in its ancestor chain and
+    # NO Exchange below the gate — i.e. candidate positions are
+    # gated before anything is shuffled or broadcast-joined
+    tree = plan.split("\n(1) ")[0].splitlines()
+
+    def indent(line: str) -> int:
+        for mark in ("+- ", ":- "):
+            if mark in line:
+                return line.index(mark)
+        return -1
+
+    def ancestors_to_join(i: int) -> list[str]:
+        # walk to the nearest enclosing Join OR aggregate; a Generate
+        # whose chain ends at an aggregate is the counting branch
+        # (the sanctioned collapsing scan), not a candidate branch
+        chain, cur = [], indent(tree[i])
+        for j in range(i - 1, -1, -1):
+            ind = indent(tree[j])
+            if 0 <= ind < cur or (ind == -1 and "Join" in tree[j]):
+                chain.append(tree[j])
+                cur = ind if ind != -1 else cur
+                if "Join" in tree[j] or "HashAggregate" in tree[j]:
+                    break
+        return chain
+
+    gated = []
+    for i, line in enumerate(tree):
+        if "Generate" not in line:
+            continue
+        chain = ancestors_to_join(i)
+        if not any("Join" in c for c in chain):
+            continue  # the counting-branch Generate (ends at an agg)
+        has_gate = any("ArrowEvalPython" in c for c in chain)
+        below_gate = []
+        for c in chain:
+            if "ArrowEvalPython" in c:
+                break
+            below_gate.append(c)
+        gated.append(
+            has_gate and not any("Exchange" in c for c in below_gate)
+        )
+    assert gated and all(gated), (
+        "candidate posexplode reaches the verify join without the "
+        "cuckoo probe gate (or is exchanged below it)"
+    )
+    # (c) collapsing scan: the gram-count aggregate runs its partial
+    # before the exchange (map-side combine over 8-byte hashes)
+    assert "partial_count" in plan

@@ -1,0 +1,126 @@
+"""Substring-level dedup (operators/spans.py, round 7): exact
+duplicated-span semantics on hand-computed corpora, the span-drop
+transform, and keyed-kernel compatibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.spans import (
+    drop_duplicated_spans,
+    duplicated_span_stats,
+    gram_table,
+)
+
+ROWS = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "alpha beta gamma delta unique words here"),
+    (3, "totally different text with no repeats at all"),
+    (4, ""),
+    (5, "one two"),
+]
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_duplicated_span_stats_hand_computed(spark, corpus):
+    # docs 1 and 2 share 3-grams at positions 0 ('alpha beta gamma')
+    # and 1 ('beta gamma delta'): covered = |[0,3) u [1,4)| = 4 each
+    got = {
+        r["doc"]: r
+        for r in duplicated_span_stats(
+            corpus, "doc_id", "text", k=3, min_count=2
+        ).collect()
+    }
+    assert got[1]["n_words"] == 6 and got[1]["n_grams"] == 4
+    assert got[1]["n_dup_grams"] == 2 and got[1]["covered"] == 4
+    assert got[1]["dup_e4"] == 40000 // 6
+    assert got[2]["covered"] == 4 and got[2]["dup_e4"] == 40000 // 7
+    for d in (3, 4, 5):  # no dup spans; short/empty docs report zeros
+        assert got[d]["covered"] == 0 and got[d]["dup_e4"] == 0
+    assert got[4]["n_words"] == 0 and got[5]["n_grams"] == 0
+    assert len(got) == len(ROWS)  # one row per input doc, always
+
+
+def test_duplicated_span_window_merging(spark):
+    # one doc repeating its own 3-gram: 'a b c X a b c' has gram
+    # 'a b c' at positions 0 and 4 (count 2 within ONE doc -> corpus
+    # multiplicity counts); windows [0,3) and [4,7) do not overlap
+    df = spark.createDataFrame(
+        [(1, "a b c x a b c"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc"]: r
+        for r in duplicated_span_stats(
+            df, "doc_id", "text", k=3, min_count=3
+        ).collect()
+    }
+    # 'a b c' occurs 3x corpus-wide -> frequent
+    assert got[1]["covered"] == 6 and got[1]["n_dup_grams"] == 2
+    assert got[2]["covered"] == 3 and got[2]["n_dup_grams"] == 1
+
+
+def test_duplicated_span_stats_no_frequent_grams(spark, corpus):
+    got = duplicated_span_stats(
+        corpus, "doc_id", "text", k=3, min_count=99
+    ).collect()
+    assert len(got) == len(ROWS)
+    assert all(r["covered"] == 0 and r["dup_e4"] == 0 for r in got)
+
+
+def test_drop_duplicated_spans(spark, corpus):
+    got = {
+        r["doc_id"]: r
+        for r in drop_duplicated_spans(
+            corpus, "doc_id", "text", k=3, min_count=2
+        ).collect()
+    }
+    assert got[1]["text_dedup"] == "epsilon zeta"
+    assert got[1]["n_dropped_words"] == 4
+    assert got[2]["text_dedup"] == "unique words here"
+    assert got[3]["text_dedup"] == ROWS[2][1]  # untouched
+    assert got[3]["n_dropped_words"] == 0
+    assert got[4]["text_dedup"] == "" and got[5]["text_dedup"] == "one two"
+    # stats over the dropped corpus are clean at the same threshold:
+    # every duplicated span was removed
+    redone = duplicated_span_stats(
+        spark.createDataFrame(
+            [(k, v["text_dedup"]) for k, v in got.items()],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", k=3, min_count=2,
+    ).agg(F.sum("covered").alias("c")).collect()[0]["c"]
+    assert redone == 0
+
+
+def test_gram_table_positions_and_keyed_seed(spark):
+    from cuckoofilter_spark.operators.dedup import random_kernel_seed
+
+    df = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4")], "doc_id long, text string"
+    )
+    row = gram_table(df, "doc_id", "text", k=2).collect()[0]
+    assert row["n_words"] == 5 and len(row["ghs"]) == 4
+    # position order: gram p hashes the window [p, p+2) — check via a
+    # doc that repeats a window
+    df2 = spark.createDataFrame(
+        [(1, "x y z x y")], "doc_id long, text string"
+    )
+    g = gram_table(df2, "doc_id", "text", k=2).collect()[0]["ghs"]
+    assert g[0] == g[3] and g[0] != g[1]  # 'x y' at 0 and 3
+    # keyed mode flows through
+    s = random_kernel_seed()
+    a = duplicated_span_stats(
+        spark.createDataFrame(ROWS, "doc_id long, text string"),
+        "doc_id", "text", k=3, min_count=2, seed=s,
+    ).orderBy("doc").collect()
+    b = duplicated_span_stats(
+        spark.createDataFrame(ROWS, "doc_id long, text string"),
+        "doc_id", "text", k=3, min_count=2,
+    ).orderBy("doc").collect()
+    assert a == b  # counts/coverage are seed-invariant (no collisions)
