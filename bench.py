@@ -95,6 +95,32 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    # box-phase tracer BEFORE the suite (round-7): the end-of-run
+    # core_find tracer alone cannot tell whether an outlier row was a
+    # mid-run phase swing; pre+post bracket the record (quiet ≈ 29-31
+    # M/s, contended 17-26 — BENCH protocol note)
+    def _tracer_mkeys() -> float:
+        import numpy as _np
+
+        from cuckoofilter_spark.core.cuckoo import CuckooFilter as _CF
+        from cuckoofilter_spark.sources.keys import (
+            disjoint_key_sets as _dk, mix_in as _mi,
+        )
+
+        _ = (_np.uint64(3) * _np.ones(8, dtype=_np.uint64)).sum()
+        a, l = _dk(900_000, 500_000, seed=55)
+        f = _CF(1_000_000, 12, seed=55)
+        f.add_many(a)
+        q = _mi(a, l, 0.5, seed=5)
+        best = float("inf")
+        for _i in range(3):
+            t = time.time()
+            f.contains_many(q)
+            best = min(best, time.time() - t)
+        return round(len(q) / best / 1e6, 1)
+
+    extra["tracer_pre_mkeys_per_sec"] = _tracer_mkeys()
+
     spread: dict[str, dict] = {}
 
     def timed2(name, fn, n=RUNS):
@@ -279,6 +305,22 @@ def main() -> None:
 
     queries["text_stats"], _ = timed2("text_stats",
         lambda: with_text_stats(docs).agg(F.sum("quality_milli")).collect()
+    )
+
+    # -- q7b0: substring-level dedup (round 7) ---------------------------
+    # corpus-frequent 3-gram duplicated-span report: one kernel pass,
+    # the collapsing 8-byte count scan, cuckoo gate below the
+    # posexplode, candidate-only verify + window. The agg forces the
+    # full per-doc report; total covered mass doubles as a
+    # determinism tripwire across runs.
+    from cuckoofilter_spark.operators.spans import duplicated_span_stats
+
+    queries["dup_spans"], extra["dup_span_covered"] = timed2(
+        "dup_spans",
+        lambda: int(
+            duplicated_span_stats(docs, "doc_id", "text", k=3, min_count=4)
+            .agg(F.sum("covered")).collect()[0][0]
+        ),
     )
 
     # -- q7b1: temperature data-mix resample (round 6) -------------------

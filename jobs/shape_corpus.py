@@ -104,6 +104,19 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("shape-corpus").getOrCreate()
     t0 = time.time()
+    # per-stage wall clock (round-7 verdict item 7): each stage's
+    # count() is the action that executes it, so the marginal time
+    # between counts IS that stage's wall time — including the lineage
+    # recompute the lazy pipeline implies (stages are deliberately NOT
+    # cached: production runs write once at the end, and caching would
+    # report a pipeline nobody runs)
+    stage_sec: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        stage_sec[name] = round(now - _last[0], 2)
+        _last[0] = now
     if args.format == "jsonl":
         # count clean rows via the ingest stats (a bare count() on the
         # corrupt-filtered frame trips Spark's only-corrupt-column
@@ -131,6 +144,8 @@ def main(argv=None) -> int:
         df = spark.read.parquet(args.input)
         counts = {"rows_in": df.count()}
 
+    _mark("read")
+
     if args.auto_scale_conf:
         from cuckoofilter_spark.operators.approx import _plan_size_bytes
         from cuckoofilter_spark.session import scale_conf
@@ -146,6 +161,7 @@ def main(argv=None) -> int:
     # 1. exact dedup
     df = dedup_exact(df, args.id_col, args.text_col)
     counts["after_dedup"] = df.count()
+    _mark("dedup")
 
     # 2. decontamination (exact — only flagged ids are dropped)
     if args.eval_path:
@@ -156,6 +172,7 @@ def main(argv=None) -> int:
         ).select(args.id_col)
         df = df.join(flagged, args.id_col, "left_anti")
         counts["after_decontam"] = df.count()
+        _mark("decontam")
 
     # 3. PII redaction + quality/repetition gates
     df = df.withColumn(args.text_col, redact_pii(args.text_col))
@@ -169,6 +186,7 @@ def main(argv=None) -> int:
         ).drop("n_words", "dup_word_frac_e4", "top_word_frac_e4",
                "dup_bigram_frac_e4")
     counts["after_quality"] = df.count()
+    _mark("quality")
 
     # 3b. OOV gate: corpus frequent vocabulary (CMS floor -> cuckoo
     # filter, one-sided: truly-frequent words always in) scored per
@@ -203,6 +221,7 @@ def main(argv=None) -> int:
             .drop("_nt", "_h")
         )
         counts["after_oov"] = df.count()
+        _mark("oov")
 
     # 4. deterministic thinning (uniform or temperature mix) + holdout
     if args.mix_by:
@@ -229,6 +248,7 @@ def main(argv=None) -> int:
             target_frac=args.mix_budget_frac, seed=args.seed,
         ).drop("_mix_tok")
         counts["after_mix"] = df.count()
+        _mark("mix")
     elif args.sample_rate < 1.0:
         df = sample_hash(df, args.id_col, args.sample_rate,
                          seed=args.seed)
@@ -244,6 +264,7 @@ def main(argv=None) -> int:
             df = split_train_holdout(df, args.id_col, args.holdout,
                                      seed=args.seed + 1)
     counts["after_sample"] = df.count()
+    _mark("sample_holdout")
 
     # 5. packing
     df = df.withColumn("_n_tok", token_count_ws(args.text_col))
@@ -256,7 +277,9 @@ def main(argv=None) -> int:
     out = spark.read.parquet(f"{args.output}/data")
     counts["rows_out"] = out.count()
     counts["n_bins"] = out.select("stream", "bin_id").distinct().count()
+    _mark("pack_write")
     counts["sec"] = round(time.time() - t0, 2)
+    counts["stage_sec"] = stage_sec
     print(json.dumps(counts))
     return 0
 
