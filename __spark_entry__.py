@@ -616,6 +616,20 @@ def q_text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-based quality gate (Rae et al. 2021,
+    §A1.1): per-source doc counts, kept counts, and per-rule fail
+    counts. All seven rules are pure-integer comparisons (ratios
+    cross-multiplied) so Spark and DuckDB agree bit-for-bit. The
+    stopword list is parameterized to the synthetic corpus vocabulary
+    (the published rule is language/domain-specific; the default
+    8-word English list keeps zero synthetic docs)."""
+    from cuckoofilter_spark.operators.text import gopher_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_stats(docs, stopwords=["the", "a", "value", "table"])
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-family language-ID heuristic, doc counts per predicted
     language."""
@@ -689,6 +703,95 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_minhash(
         docs, "doc_id", "text", threshold=0.8, seed=2014
     ).orderBy("doc_a", "doc_b")
+
+
+def q_crosscorpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dedup: MinHash-LSH pairs BETWEEN a new
+    batch (doc_id % 5 == 0) and the existing corpus (the rest) via the
+    two-sided skew-tiled band join. Oracle is the exact O(n·m)
+    jaccard cross join — same LSH recall argument as
+    ``minhash_near_dups`` (recall at j≥0.8 is 1-5e-8)."""
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_crosscorpus
+
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return near_dup_pairs_crosscorpus(
+        new, old, "doc_id", "text", threshold=0.8, seed=2014
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_incremental_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental ingest (``dedup_against_corpus``): the
+    new batch minus exact dups (md5 fingerprint anti-join) minus
+    MinHash near-dups of the existing corpus. The exact-dup leg is
+    exercised by duplicating part of the corpus into the batch."""
+    from cuckoofilter_spark.operators.dedup import dedup_against_corpus
+    from cuckoofilter_spark.operators.text import fingerprint_md5
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    # new batch: the held-out fifth PLUS re-crawled copies of some
+    # existing docs (ids shifted past the corpus) — both gates fire
+    new = docs.filter(F.col("doc_id") % 5 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 25 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    kept = dedup_against_corpus(new, old, "doc_id", "text", threshold=0.8)
+    n_exact = (
+        new.withColumn("_fp", fingerprint_md5("text"))
+        .join(
+            old.select(fingerprint_md5("text").alias("_fp")).distinct(),
+            "_fp", "left_semi",
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(new.count(), n_exact, kept.count())],
+        "n_new long, n_exact_dup long, n_kept long",
+    )
+
+
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ingest: the new batch (same composition
+    as ``incremental_ingest_stats``) arrives as a file-source stream
+    in micro-batches; every batch dedups against the STATIC corpus
+    artifacts built once up front. Stateless per batch ⇒ the union of
+    per-batch outputs equals the one-shot batch answer, which the
+    oracle recomputes exactly (exact-fingerprint + O(n·m) jaccard)."""
+    import os
+    import tempfile
+
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_ingest,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 25 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    tmp = tempfile.mkdtemp(prefix="cfingest_")
+    src = os.path.join(tmp, "src")
+    new.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = os.path.join(tmp, "out")
+    run_streaming_ingest(
+        stream, old, "doc_id", "text", out_dir=out,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        threshold=0.8, seed=2014,
+    )
+    kept = spark.read.parquet(os.path.join(out, "kept", "batch=*"))
+    dropped = spark.read.parquet(os.path.join(out, "dropped", "batch=*"))
+    return dropped.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n")
+    ).unionByName(
+        kept.agg(F.lit("kept").alias("reason"), F.count(F.lit(1)).alias("n"))
+    ).orderBy("reason")
 
 
 def q_ngram_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2022,6 +2125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_merge_associativity": q_cf_merge_associativity,
         "mixture_sample_stats": q_mixture_sample_stats,
         "mixture_upsample_stats": q_mixture_upsample_stats,
+        # --- NEW round-7 operators (must be driver-checked) ----------
+        "gopher_quality_stats": q_gopher_quality_stats,
+        "crosscorpus_near_dups": q_crosscorpus_near_dups,
+        "incremental_ingest_stats": q_incremental_ingest_stats,
+        "streaming_ingest": q_streaming_ingest,
         # --- rotated back in (outside the r6 driver window) ----------
         "streaming_dedup_sliding": q_streaming_dedup_sliding,
         "hash_sample_stats": q_hash_sample_stats,
@@ -2053,12 +2161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_stats": q_vocab_oov_stats,
         "source_vocab_overlap": q_source_vocab_overlap,
         "frequent_vocab_filter": q_frequent_vocab_filter,
+        # --- rotated out (doubly proven, untouched this round;
+        # verified locally every round past the 50-row window) --------
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
         "pack_documents_stats": q_pack_documents_stats,
-        # --- rotated out (doubly proven, untouched this round;
-        # verified locally every round past the 50-row window) --------
         "cf_tabulation_zero_fn": q_cf_tabulation_zero_fn,
         "cf_hash_families_zero_fn": q_cf_hash_families_zero_fn,
         "tokens_array_zero_fn": q_tokens_array_zero_fn,
@@ -2264,6 +2372,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(quality) AS BIGINT) AS sum_quality
             FROM f GROUP BY source ORDER BY source
         """,
+        "gopher_quality_stats": r"""
+            WITH t AS (
+              SELECT source, text,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w != '') AS words,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) != '') AS lines
+              FROM documents),
+            f AS (
+              SELECT source,
+                     len(words) AS n_words,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS nonws,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, l -> regexp_matches(
+                         ltrim(l), '^[-*] '))) AS n_bullet,
+                     len(list_filter(lines, l -> ends_with(
+                         rtrim(l), '...'))) AS n_ell_lines,
+                     (length(text) - length(replace(text, '#', '')))
+                         AS n_hash,
+                     (length(text) - length(replace(text, '...', ''))) // 3
+                         AS n_ell,
+                     len(list_filter(words, w -> regexp_matches(
+                         w, '[a-zA-Z]'))) AS n_alpha,
+                     len(list_filter(['the','a','value','table'],
+                                     s -> list_contains(words, s))) AS n_stop
+              FROM t),
+            r AS (
+              SELECT source,
+                (n_words >= 50 AND n_words <= 100000) AS r_words,
+                (3*n_words <= nonws AND nonws <= 10*n_words) AS r_mean_wl,
+                (10*(n_hash + n_ell) <= n_words) AS r_symbol,
+                (10*n_bullet <= 9*n_lines) AS r_bullet,
+                (10*n_ell_lines <= 3*n_lines) AS r_ellipsis,
+                (10*n_alpha >= 8*n_words) AS r_alpha,
+                (n_stop >= 2) AS r_stop
+              FROM f)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN r_words AND r_mean_wl AND r_symbol
+                                  AND r_bullet AND r_ellipsis AND r_alpha
+                                  AND r_stop THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(sum(CASE WHEN NOT r_words THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fail_words,
+                   CAST(sum(CASE WHEN NOT r_mean_wl THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fail_mean_wl,
+                   CAST(sum(CASE WHEN NOT r_symbol THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fail_symbol,
+                   CAST(sum(CASE WHEN NOT r_bullet THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fail_bullet,
+                   CAST(sum(CASE WHEN NOT r_ellipsis THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fail_ellipsis,
+                   CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fail_alpha,
+                   CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fail_stop
+            FROM r GROUP BY source ORDER BY source
+        """,
         "lang_id_counts": r"""
             WITH w AS (
               SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -2379,6 +2544,151 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE n_int / greatest(n_union, 1) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "crosscorpus_near_dups": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM documents)),
+            j AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s)) AS n_int,
+                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                         AS n_union
+              FROM sh a JOIN sh b
+                ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+            SELECT doc_a, doc_b,
+                   CAST(round(n_int * 10000 / greatest(n_union, 1)) AS BIGINT)
+                       AS j_e4
+            FROM j
+            WHERE n_int / greatest(n_union, 1) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "incremental_ingest_stats": r"""
+            WITH newb AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 25 = 1),
+            old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+            oldfp AS (
+              SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g')) AS fp
+              FROM old),
+            newfp AS (
+              SELECT doc_id, text,
+                     md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS fp
+              FROM newb),
+            surv AS (
+              SELECT doc_id, text FROM newfp
+              WHERE fp NOT IN (SELECT fp FROM oldfp)),
+            shn AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM surv)),
+            sho AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM old)),
+            near AS (
+              SELECT DISTINCT a.doc_id
+              FROM shn a JOIN sho b
+                ON len(list_intersect(a.s, b.s))
+                   / greatest(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)), 1) >= 0.8)
+            SELECT (SELECT count(*) FROM newb) AS n_new,
+                   (SELECT count(*) FROM newfp
+                    WHERE fp IN (SELECT fp FROM oldfp)) AS n_exact_dup,
+                   (SELECT count(*) FROM surv)
+                   - (SELECT count(*) FROM near) AS n_kept
+        """,
+        "streaming_ingest": r"""
+            WITH newb AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 25 = 1),
+            old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+            oldfp AS (
+              SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g')) AS fp
+              FROM old),
+            newfp AS (
+              SELECT doc_id, text,
+                     md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS fp
+              FROM newb),
+            surv AS (
+              SELECT doc_id, text FROM newfp
+              WHERE fp NOT IN (SELECT fp FROM oldfp)),
+            shn AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM surv)),
+            sho AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM old)),
+            near AS (
+              SELECT DISTINCT a.doc_id
+              FROM shn a JOIN sho b
+                ON len(list_intersect(a.s, b.s))
+                   / greatest(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)), 1) >= 0.8),
+            counts AS (
+              SELECT 'exact' AS reason,
+                     (SELECT count(*) FROM newfp
+                      WHERE fp IN (SELECT fp FROM oldfp)) AS n
+              UNION ALL
+              SELECT 'kept',
+                     (SELECT count(*) FROM surv)
+                     - (SELECT count(*) FROM near)
+              UNION ALL
+              SELECT 'near_dup', (SELECT count(*) FROM near))
+            SELECT reason, n FROM counts ORDER BY reason
         """,
         "ngram_near_dups": r"""
             WITH sh AS (

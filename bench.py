@@ -307,6 +307,35 @@ def main() -> None:
         lambda: with_text_stats(docs).agg(F.sum("quality_milli")).collect()
     )
 
+    # -- q7a1: Gopher rule gate (round 7) --------------------------------
+    # seven-rule quality filter as one narrow JVM projection + tiny
+    # per-source agg — the first-pass web-corpus gate; kept-count is
+    # the determinism tripwire
+    from cuckoofilter_spark.operators.text import gopher_stats
+
+    queries["gopher"], extra["gopher_kept"] = timed2(
+        "gopher",
+        lambda: int(
+            gopher_stats(docs, stopwords=["the", "a", "value", "table"])
+            .agg(F.sum("n_kept")).collect()[0][0]
+        ),
+    )
+
+    # -- q7a2: incremental ingest (round 7) ------------------------------
+    # cross-corpus near-dedup: new batch (1/5 of the corpus) against
+    # the rest — two fused kernel passes, two-sided skew-tiled band
+    # join, per-side verify broadcast polarity
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_crosscorpus
+
+    queries["crosscorpus_dedup"], extra["crosscorpus_pairs"] = timed2(
+        "crosscorpus_dedup",
+        lambda: near_dup_pairs_crosscorpus(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+            "doc_id", "text", threshold=0.8,
+        ).count(),
+    )
+
     # -- q7b0: substring-level dedup (round 7) ---------------------------
     # corpus-frequent 3-gram duplicated-span report: one kernel pass,
     # the collapsing 8-byte count scan, cuckoo gate below the

@@ -11,10 +11,12 @@ repetition quality stats, and token-bin packing.
 
 from cuckoofilter_spark.operators.build import build_sketch_shards  # noqa: F401
 from cuckoofilter_spark.operators.dedup import (  # noqa: F401
+    dedup_against_corpus,
     dedup_exact,
     dedup_near,
     duplicate_clusters,
     exact_duplicate_groups,
+    near_dup_pairs_crosscorpus,
     near_dup_pairs_minhash,
     near_dup_pairs_ngram,
     near_dup_pairs_simhash,

@@ -643,6 +643,85 @@ def tiled_band_self_join(
     )
 
 
+def tiled_band_cross_join(
+    left: DataFrame, right: DataFrame, doc_col: str = "doc", *,
+    band_cols: tuple = ("band", "bh"), bucket_cap: int | None = 8192,
+    filter_cols: tuple = (), pair_pre_filter=None,
+) -> DataFrame:
+    """Distinct (doc_a ∈ left, doc_b ∈ right) pairs sharing a band
+    bucket — the TWO-corpus sibling of ``tiled_band_self_join`` for
+    incremental ingest (new batch × existing corpus). No ``<`` doc
+    ordering: the sides are distinct corpora and every cross pair is
+    wanted exactly once.
+
+    Skew guard is the blocked cross product: a bucket with m left and
+    n right rows splits into g_l = ⌈m/cap⌉ × g_r = ⌈n/cap⌉ tiles; a
+    left row in chunk c_l replicates to tiles (c_l, 0..g_r-1), a right
+    row in chunk c_r to (0..g_l-1, c_r), so the pair (a, b) meets in
+    EXACTLY one tile (c_l(a), c_r(b)) and every join task sees ≤ ~2·cap
+    rows. The hot-bucket list is an inner join of the two per-side
+    count aggregates (a bucket absent from either side yields no pairs)
+    and stays tiny → broadcast. ``filter_cols`` / ``pair_pre_filter``
+    behave as in the self-join (map-side first-matching-band dedup
+    hook); the final ``distinct`` collapses multi-band duplicates the
+    pre-filter didn't."""
+    bc = list(band_cols)
+    fc = list(filter_cols)
+    join_keys = bc
+    if bucket_cap:
+        cnt_l = left.groupBy(*bc).count().withColumnRenamed("count", "m")
+        cnt_r = right.groupBy(*bc).count().withColumnRenamed("count", "n")
+        hot = (
+            cnt_l.join(cnt_r, bc)
+            .filter((F.col("m") > bucket_cap) | (F.col("n") > bucket_cap))
+            .select(
+                *bc,
+                F.ceil(F.col("m") / bucket_cap).cast("int").alias("g_l"),
+                F.ceil(F.col("n") / bucket_cap).cast("int").alias("g_r"),
+            )
+        )
+        tile_base = F.lit(_TILE_K).cast("long")
+
+        def _tiled(side: DataFrame, own_g: str, other_g: str, row_major: bool):
+            tiles = F.transform(
+                F.sequence(F.lit(0), F.col(other_g) - 1),
+                lambda j: (
+                    F.col("c").cast("long") * tile_base + j.cast("long")
+                    if row_major
+                    else j.cast("long") * tile_base + F.col("c").cast("long")
+                ),
+            )
+            return (
+                side.join(F.broadcast(hot), bc, "left")
+                .withColumns({
+                    "g_l": F.coalesce("g_l", F.lit(1)),
+                    "g_r": F.coalesce("g_r", F.lit(1)),
+                })
+                .withColumn("c", F.pmod(F.hash(doc_col), F.col(own_g)))
+                .select(
+                    doc_col, *fc, *bc, F.explode(tiles).alias("tile")
+                )
+            )
+
+        left = _tiled(left, "g_l", "g_r", row_major=True)
+        right = _tiled(right, "g_r", "g_l", row_major=False)
+        join_keys = bc + ["tile"]
+    l, r = left.alias("l"), right.alias("r")
+    cond = F.lit(True)
+    for k in join_keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    joined = l.join(r, cond)
+    if pair_pre_filter is not None:
+        joined = joined.filter(pair_pre_filter)
+    return (
+        joined.select(
+            F.col(f"l.{doc_col}").alias("doc_a"),
+            F.col(f"r.{doc_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, *, bands: int = 32, rows_per_band: int = 4,
     bucket_cap: int | None = 8192,
@@ -706,7 +785,8 @@ def _lsh_pairs_from_banded(
 
 def verified_jaccard_pairs_from_sets(
     sets: DataFrame, pairs: DataFrame, *, threshold: float = 0.8,
-    broadcast_sets: bool = False,
+    broadcast_sets: bool | tuple[bool, bool] = False,
+    sets_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle jaccard on candidate pairs; keep ≥ threshold.
 
@@ -751,10 +831,24 @@ def verified_jaccard_pairs_from_sets(
     # the same work in-place with zero boundary crossings. Rounding is
     # ``F.round`` (HALF_UP) == DuckDB ``round`` — banker's rounding
     # here would diverge from the oracle on exact .5 ties.
+    # ``sets_b`` (round 7): cross-corpus callers verify doc_a against
+    # one sets table (the new batch) and doc_b against another (the
+    # existing corpus); defaults keep the self-join shape. A
+    # (bool, bool) ``broadcast_sets`` broadcasts each side
+    # independently — the 100 TB incremental-ingest shape is a SMALL
+    # new batch against a corpus that can never be broadcast.
     s_a = sets.withColumnsRenamed({"doc": "doc_a", "sh": "s_a"})
-    s_b = sets.withColumnsRenamed({"doc": "doc_b", "sh": "s_b"})
-    if broadcast_sets:
-        s_a, s_b = F.broadcast(s_a), F.broadcast(s_b)
+    s_b = (sets if sets_b is None else sets_b).withColumnsRenamed(
+        {"doc": "doc_b", "sh": "s_b"}
+    )
+    bc_a, bc_b = (
+        broadcast_sets if isinstance(broadcast_sets, tuple)
+        else (broadcast_sets, broadcast_sets)
+    )
+    if bc_a:
+        s_a = F.broadcast(s_a)
+    if bc_b:
+        s_b = F.broadcast(s_b)
     n_int = F.size(F.array_intersect("s_a", "s_b")).cast("long")
     n_union = (
         F.size("s_a").cast("long") + F.size("s_b").cast("long") - n_int
@@ -819,6 +913,103 @@ def near_dup_pairs_minhash(
         tbl.select("doc", "sh"), cands, threshold=threshold,
         broadcast_sets=n_docs <= _VERIFY_BROADCAST_MAX_DOCS,
     )
+
+
+def near_dup_pairs_crosscorpus(
+    new_df: DataFrame, existing_df: DataFrame, id_col: str, text: str, *,
+    threshold: float = 0.8, num_hashes: int = 128, bands: int = 32,
+    rows_per_band: int = 4, shingle_k: int = 3, seed: int = 2014,
+    bucket_cap: int | None = 8192,
+) -> DataFrame:
+    """(doc_a ∈ new, doc_b ∈ existing, j_e4): MinHash-LSH near-dup
+    pairs BETWEEN two corpora — the incremental-ingest primitive: a
+    monthly crawl snapshot deduped against the already-curated corpus
+    without recomputing the corpus self-join. Both sides run the same
+    fused ``minhash_table`` kernel (same seed ⇒ comparable band keys);
+    candidates come from the two-sided skew-tiled band join with the
+    map-side first-matching-band dedup; verification is the exact
+    JVM-set jaccard with per-side sets tables.
+
+    Scale shape (100 TB corpus + 1 TB batch): the existing side's
+    minhash table is computed once and is bucketed-table-persistable
+    by the caller; the band join shuffles band keys (16 bytes/row),
+    never texts; broadcast polarity is PER SIDE — the small new batch
+    broadcasts into the verify join, the existing corpus never does."""
+    tbl_n = minhash_table(
+        new_df, id_col, text, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, shingle_k=shingle_k, seed=seed,
+    ).persist()
+    tbl_e = minhash_table(
+        existing_df, id_col, text, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, shingle_k=shingle_k, seed=seed,
+    ).persist()
+    n_new, n_old = tbl_n.count(), tbl_e.count()
+    return crosscorpus_pairs_from_tables(
+        tbl_n, tbl_e, bands=bands, threshold=threshold,
+        bucket_cap=bucket_cap,
+        broadcast_sets=(
+            n_new <= _VERIFY_BROADCAST_MAX_DOCS,
+            n_old <= _VERIFY_BROADCAST_MAX_DOCS,
+        ),
+    )
+
+
+def crosscorpus_pairs_from_tables(
+    tbl_n: DataFrame, tbl_e: DataFrame, *, bands: int = 32,
+    threshold: float = 0.8, bucket_cap: int | None = 8192,
+    broadcast_sets: bool | tuple[bool, bool] = False,
+) -> DataFrame:
+    """Cross-corpus pairs from two PRE-BUILT ``minhash_table`` frames
+    (same seed/geometry on both sides). Split out so incremental
+    pipelines — the streaming ingest job above all — can compute and
+    persist the existing corpus's table ONCE (e.g. as parquet) and
+    join every new batch against it without re-running the kernel
+    over 100 TB per batch."""
+    banded_n = tbl_n.select(
+        "doc", "bhs", F.posexplode("bhs").alias("band", "bh")
+    )
+    banded_e = tbl_e.select(
+        "doc", "bhs", F.posexplode("bhs").alias("band", "bh")
+    )
+    first_band = F.when(
+        F.col("l.bhs")[0] == F.col("r.bhs")[0], F.lit(0)
+    )
+    for j in range(1, bands):
+        first_band = first_band.when(
+            F.col("l.bhs")[j] == F.col("r.bhs")[j], F.lit(j)
+        )
+    cands = tiled_band_cross_join(
+        banded_n, banded_e, "doc", band_cols=("band", "bh"),
+        bucket_cap=bucket_cap, filter_cols=("bhs",),
+        pair_pre_filter=F.col("l.band") == first_band,
+    )
+    return verified_jaccard_pairs_from_sets(
+        tbl_n.select("doc", "sh"), cands, threshold=threshold,
+        sets_b=tbl_e.select("doc", "sh"), broadcast_sets=broadcast_sets,
+    )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame, existing_df: DataFrame, id_col: str, text: str, *,
+    threshold: float = 0.8, shingle_k: int = 3, seed: int = 2014,
+    bucket_cap: int | None = 8192,
+) -> DataFrame:
+    """Incremental ingest: rows of ``new_df`` that are neither EXACT
+    duplicates (md5 of normalized text) nor MinHash near-duplicates
+    (jaccard ≥ ``threshold``) of any ``existing_df`` document. The
+    composition a 100 TB pipeline runs on every new crawl snapshot:
+    both gates are anti-joins keyed on 16-byte digests / doc ids —
+    no text ever crosses a shuffle."""
+    from cuckoofilter_spark.operators.text import fingerprint_md5
+
+    new_fp = new_df.withColumn("_fp", fingerprint_md5(text))
+    old_fp = existing_df.select(fingerprint_md5(text).alias("_fp")).distinct()
+    survivors = new_fp.join(old_fp, "_fp", "left_anti")
+    near = near_dup_pairs_crosscorpus(
+        survivors, existing_df, id_col, text, threshold=threshold,
+        shingle_k=shingle_k, seed=seed, bucket_cap=bucket_cap,
+    ).select(F.col("doc_a").alias(id_col)).distinct()
+    return survivors.join(near, id_col, "left_anti").drop("_fp")
 
 
 def _large_star(e: DataFrame) -> DataFrame:

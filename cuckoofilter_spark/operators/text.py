@@ -341,3 +341,129 @@ def with_pii_stats(df: DataFrame, text: str = "text") -> DataFrame:
     cols = dict(pii_counts(text))
     cols["redacted_text"] = redact_pii(text)
     return df.withColumns(cols)
+
+
+# ------------------------------------------------ Gopher quality rules
+# Rule-based document filter from the published Gopher/MassiveText
+# recipe (Rae et al. 2021, appendix A1.1) — the standard first-pass
+# web-corpus gate (also the shape FineWeb/Dolma use). Every rule is a
+# pure-integer comparison (ratios cross-multiplied, never divided) so
+# the Spark plan and the DuckDB oracle agree bit-for-bit, and every
+# rule is a JVM Column expression — at 100 TB this is one narrow
+# projection in the same scan that computes the other text features.
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+GOPHER_RULES = (
+    "r_words", "r_mean_wl", "r_symbol", "r_bullet", "r_ellipsis",
+    "r_alpha", "r_stop",
+)
+
+
+def _nonoverlap_count(c: Column, literal: str, width: int) -> Column:
+    """Occurrences of a fixed substring (non-overlapping, leftmost —
+    both engines' replace semantics)."""
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(literal), F.lit(""))))
+        / width
+    ).cast("long")
+
+
+def gopher_flags(
+    text: str | Column, *, stopwords: list[str] | None = None
+) -> dict[str, Column]:
+    """The seven deterministic Gopher rules as boolean Columns.
+
+    * ``r_words``    — 50 ≤ word count ≤ 100 000
+    * ``r_mean_wl``  — mean word length in [3, 10] chars
+                       (3·n_words ≤ non-ws chars ≤ 10·n_words)
+    * ``r_symbol``   — (#-count + '...'-count) / words ≤ 0.1
+    * ``r_bullet``   — ≤ 90% of non-blank lines start with a bullet
+    * ``r_ellipsis`` — ≤ 30% of non-blank lines end with '...'
+    * ``r_alpha``    — ≥ 80% of words contain an alphabetic char
+    * ``r_stop``     — ≥ 2 of the ``stopwords`` present (default: the
+      paper's 8-word English list; pass a corpus-appropriate list for
+      other domains — the published rule is language-specific)
+
+    Blank lines are excluded from the line rules on both engines
+    (Spark ``split`` keeps trailing empties, DuckDB ``string_split``
+    likewise — filtering empties makes the two identical AND is the
+    intended semantics: blank lines aren't content)."""
+    if stopwords is None:
+        stopwords = GOPHER_STOPWORDS
+    c = F.col(text) if isinstance(text, str) else text
+    words = words_col(c)
+    n_words = F.size(words).cast("long")
+    nonws = F.length(F.regexp_replace(c, r"\s+", "")).cast("long")
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*] "))
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
+    ).cast("long")
+    n_hash = _nonoverlap_count(c, "#", 1)
+    n_ell = _nonoverlap_count(c, "...", 3)
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stopwords]),
+            lambda s: F.array_contains(words, s),
+        )
+    ).cast("long")
+    return {
+        "r_words": (n_words >= 50) & (n_words <= 100_000),
+        "r_mean_wl": (3 * n_words <= nonws) & (nonws <= 10 * n_words),
+        "r_symbol": 10 * (n_hash + n_ell) <= n_words,
+        "r_bullet": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis": 10 * n_ell_lines <= 3 * n_lines,
+        "r_alpha": 10 * n_alpha >= 8 * n_words,
+        "r_stop": n_stop >= 2,
+    }
+
+
+def with_gopher_flags(
+    df: DataFrame, text: str = "text", *,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Attach the seven rule booleans plus ``gopher_keep`` (AND of
+    all) in one projection."""
+    flags = gopher_flags(text, stopwords=stopwords)
+    keep = F.lit(True)
+    for r in GOPHER_RULES:
+        keep = keep & flags[r]
+    flags["gopher_keep"] = keep
+    return df.withColumns(flags)
+
+
+def gopher_filter(
+    df: DataFrame, text: str = "text", *,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Rows passing all seven rules (flag columns not retained)."""
+    return with_gopher_flags(df, text, stopwords=stopwords).filter(
+        "gopher_keep"
+    ).drop(
+        *GOPHER_RULES, "gopher_keep"
+    )
+
+
+def gopher_stats(
+    df: DataFrame, text: str = "text", by: str = "source", *,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-``by`` acceptance report: docs, kept, and per-rule fail
+    counts — the corpus-curation dashboard row. One scan, one
+    tiny-result aggregation (#groups = #sources)."""
+    flagged = with_gopher_flags(df, text, stopwords=stopwords)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gopher_keep").cast("long")).alias("n_kept"),
+    ] + [
+        F.sum((~F.col(r)).cast("long")).alias(f"fail_{r[2:]}")
+        for r in GOPHER_RULES
+    ]
+    return flagged.groupBy(by).agg(*aggs).orderBy(by)

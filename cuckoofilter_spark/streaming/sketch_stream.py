@@ -1073,3 +1073,92 @@ def _window_delta(window: str):
     key = {"second": "seconds", "minute": "minutes",
            "hour": "hours", "day": "days"}[unit.rstrip("s")]
     return _dt.timedelta(**{key: int(qty)})
+
+
+def run_streaming_ingest(
+    stream_df: DataFrame, existing_df: DataFrame, id_col: str,
+    text_col: str, *, out_dir: str, checkpoint_dir: str,
+    threshold: float = 0.8, shingle_k: int = 3, seed: int = 2014,
+    num_hashes: int = 128, bands: int = 32, rows_per_band: int = 4,
+    bucket_cap: int | None = 8192, trigger_available_now: bool = True,
+) -> None:
+    """Continuous incremental ingest (round 7): each micro-batch of
+    newly crawled documents is deduplicated against a STATIC existing
+    corpus — exact first (md5-fingerprint anti-join), then MinHash
+    near-dup (``crosscorpus_pairs_from_tables``) — and routed to
+    ``kept/batch=<id>`` or ``dropped/batch=<id>`` (dropped rows carry
+    a ``reason`` ∈ {exact, near_dup}).
+
+    Corpus artifacts are built ONCE before the stream starts and
+    parked under ``<out_dir>/_corpus/``: the distinct fingerprint set
+    and the fused minhash table (doc, sh, bhs — the expensive kernel
+    pass over the full corpus never reruns per batch; at 100 TB this
+    is the difference between a per-batch corpus scan and a per-batch
+    band join against a prebuilt table). Batches are NOT added to the
+    corpus mid-stream: intra-stream duplicates are a different concern
+    (``run_streaming_dedup``'s stateful exact path); the production
+    pattern for near-dup state is a periodic corpus-table rebuild.
+    Consequences: no cross-batch mutable state, redelivery is
+    idempotent (per-batch dirs overwrite), state never grows.
+
+    The verify join broadcasts the BATCH side only when it is small
+    enough; the corpus sets table always stays shuffle-side — the
+    polarity that survives a corpus that can never be broadcast."""
+    from cuckoofilter_spark.operators.dedup import (
+        _VERIFY_BROADCAST_MAX_DOCS, crosscorpus_pairs_from_tables,
+        minhash_table,
+    )
+    from cuckoofilter_spark.operators.text import fingerprint_md5
+
+    mh_kw = dict(
+        num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
+        shingle_k=shingle_k, seed=seed,
+    )
+    fp_dir = os.path.join(out_dir, "_corpus", "fps")
+    existing_df.select(
+        fingerprint_md5(text_col).alias("fp")
+    ).distinct().write.mode("overwrite").parquet(fp_dir)
+    mh_dir = os.path.join(out_dir, "_corpus", "minhash")
+    minhash_table(existing_df, id_col, text_col, **mh_kw) \
+        .write.mode("overwrite").parquet(mh_dir)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        fps = spark.read.parquet(fp_dir)
+        fp_b = batch_df.withColumn("_fp", fingerprint_md5(text_col))
+        exact = fp_b.join(
+            fps, fp_b["_fp"] == fps["fp"], "left_semi"
+        ).drop("_fp")
+        surv = fp_b.join(
+            fps, fp_b["_fp"] == fps["fp"], "left_anti"
+        ).drop("_fp").persist()
+        tbl_b = minhash_table(surv, id_col, text_col, **mh_kw).persist()
+        n_b = tbl_b.count()
+        near_ids = crosscorpus_pairs_from_tables(
+            tbl_b, spark.read.parquet(mh_dir), bands=bands,
+            threshold=threshold, bucket_cap=bucket_cap,
+            broadcast_sets=(n_b <= _VERIFY_BROADCAST_MAX_DOCS, False),
+        ).select(F.col("doc_a").alias(id_col)).distinct()
+        near = surv.join(near_ids, id_col, "left_semi")
+        kept = surv.join(near_ids, id_col, "left_anti")
+        dropped = exact.withColumn("reason", F.lit("exact")).unionByName(
+            near.withColumn("reason", F.lit("near_dup"))
+        )
+        dropped.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"dropped/batch={batch_id}")
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"kept/batch={batch_id}")
+        )
+        tbl_b.unpersist()
+        surv.unpersist()
+        batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(per_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer.trigger(availableNow=True).start().awaitTermination()
+    else:
+        writer.trigger(processingTime="10 seconds").start()

@@ -58,6 +58,15 @@ def main(argv=None) -> int:
     ap.add_argument("--vocab-min-count", type=int, default=10,
                     help="frequency floor for the OOV gate's corpus "
                          "vocabulary (frequent_keys_filter)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the seven-rule Gopher/MassiveText "
+                         "quality gate (Rae et al. 2021 A1.1) before "
+                         "the score-based gates")
+    ap.add_argument("--gopher-stopwords", default=None,
+                    help="comma-separated stopword list for the "
+                         "Gopher r_stop rule (default: the published "
+                         "8-word English list; set per corpus "
+                         "language/domain)")
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--mix-by", default=None,
                     help="source/stratum column: replace uniform "
@@ -173,6 +182,20 @@ def main(argv=None) -> int:
         df = df.join(flagged, args.id_col, "left_anti")
         counts["after_decontam"] = df.count()
         _mark("decontam")
+
+    # 3a. Gopher rule gate (opt-in) — runs on RAW text before PII
+    # redaction: the published rules are defined over the original
+    # document, and redaction tokens would perturb word statistics
+    if args.gopher:
+        from cuckoofilter_spark.operators.text import gopher_filter
+
+        sw = (
+            args.gopher_stopwords.split(",")
+            if args.gopher_stopwords else None
+        )
+        df = gopher_filter(df, args.text_col, stopwords=sw)
+        counts["after_gopher"] = df.count()
+        _mark("gopher")
 
     # 3. PII redaction + quality/repetition gates
     df = df.withColumn(args.text_col, redact_pii(args.text_col))

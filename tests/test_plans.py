@@ -532,3 +532,19 @@ def test_duplicated_span_stats_plan_shape(spark):
     # (c) collapsing scan: the gram-count aggregate runs its partial
     # before the exchange (map-side combine over 8-byte hashes)
     assert "partial_count" in plan
+
+
+def test_crosscorpus_near_dup_plan_shape(spark):
+    """The two-corpus candidate join must be equi-join shaped (band
+    keys, never CartesianProduct/BNLJ), and with a small new batch the
+    verify join must broadcast the NEW side only — the existing-corpus
+    sets table stays shuffle-side (the 100 TB polarity)."""
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_crosscorpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    pairs = near_dup_pairs_crosscorpus(new, old, "doc_id", "text")
+    plan = explain_str(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

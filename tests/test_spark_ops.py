@@ -1360,3 +1360,176 @@ def test_verify_broadcast_matches_shuffle(spark):
     assert rows_b == rows_s
     assert rows_b, "fixture produced no qualifying pairs"
     sets.unpersist()
+
+
+def test_gopher_rules_crafted(spark):
+    """Each Gopher rule fires on exactly the crafted doc built to
+    violate it (and the good doc passes all seven)."""
+    from cuckoofilter_spark.operators.text import with_gopher_flags
+
+    good = ("the cat sat with the dog and that was fine to see of all "
+            "things have been good here today " * 5)  # 80 words, all rules ok
+    docs = [
+        ("good", good),
+        ("short", "the of and that have with be to"),     # < 50 words
+        ("longwl", " ".join(["abcdefghijklmnop"] * 60)    # mean wl > 10
+         + " the of"),
+        ("symbols", good + " " + "# " * 40),              # > 0.1 #/word
+        ("bullets", "\n".join(["- item the of"] * 10)),   # 100% bullet lines
+        ("ellipses", "\n".join([good[:40] + "..."] * 10)),  # all lines ...
+        ("numeric", " ".join(["123"] * 60) + " the of"),  # < 80% alpha words
+        ("nostop", " ".join(["zork"] * 60)),              # < 2 stopwords
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in with_gopher_flags(df).collect()}
+
+    assert rows["good"]["gopher_keep"]
+    for did, rule in [
+        ("short", "r_words"), ("longwl", "r_mean_wl"),
+        ("symbols", "r_symbol"), ("bullets", "r_bullet"),
+        ("ellipses", "r_ellipsis"), ("numeric", "r_alpha"),
+        ("nostop", "r_stop"),
+    ]:
+        assert not rows[did][rule], (did, rule)
+        assert not rows[did]["gopher_keep"], did
+
+
+def test_gopher_filter_and_stats(spark):
+    """gopher_filter row set == flag-derived keep set; gopher_stats
+    counts reconcile with the per-doc flags; custom stopword list is
+    honored."""
+    from cuckoofilter_spark.operators.text import (
+        gopher_filter, gopher_stats, with_gopher_flags,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    sw = ["the", "a", "value", "table"]
+    flagged = with_gopher_flags(docs, stopwords=sw)
+    kept_ids = {r["doc_id"] for r in
+                flagged.filter("gopher_keep").select("doc_id").collect()}
+    filt_ids = {r["doc_id"] for r in
+                gopher_filter(docs, stopwords=sw).select("doc_id").collect()}
+    assert kept_ids == filt_ids and len(filt_ids) > 0
+    # custom stopwords must change the verdict vs the English default
+    # (the synthetic vocab has only 'the' from the canonical list)
+    default_kept = gopher_filter(docs).count()
+    assert default_kept == 0 and len(filt_ids) > 0
+
+    stats = gopher_stats(docs, stopwords=sw).collect()
+    assert sum(r["n_kept"] for r in stats) == len(kept_ids)
+    assert sum(r["n_docs"] for r in stats) == 200
+    # filter drops the flag columns
+    assert "r_words" not in gopher_filter(docs, stopwords=sw).columns
+
+
+def test_crosscorpus_pairs_match_selfjoin_restriction(spark):
+    """Cross-corpus pairs over a (new, existing) split == the full
+    self-join pair set restricted to cross pairs (either orientation):
+    same kernel, same LSH family, no pair invented or lost by the
+    two-sided band join."""
+    from cuckoofilter_spark.operators.dedup import (
+        near_dup_pairs_crosscorpus, near_dup_pairs_minhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    cross = {
+        (r["doc_a"], r["doc_b"], r["j_e4"])
+        for r in near_dup_pairs_crosscorpus(
+            new, old, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], r["j_e4"])
+        for r in near_dup_pairs_minhash(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    expect = {
+        (a, b, j) for (a, b, j) in full if a % 5 == 0 and b % 5 != 0
+    } | {
+        (b, a, j) for (a, b, j) in full if a % 5 != 0 and b % 5 == 0
+    }
+    assert cross == expect and len(cross) > 0
+
+
+def test_crosscorpus_tiling_invariant(spark):
+    """Forcing the skew guard (bucket_cap=2 → every bucket is 'hot'
+    and splits on both sides) must not change the emitted pair set."""
+    from cuckoofilter_spark.operators.dedup import near_dup_pairs_crosscorpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    kw = dict(threshold=0.7)
+    a = {(r["doc_a"], r["doc_b"]) for r in near_dup_pairs_crosscorpus(
+        new, old, "doc_id", "text", bucket_cap=2, **kw).collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in near_dup_pairs_crosscorpus(
+        new, old, "doc_id", "text", bucket_cap=None, **kw).collect()}
+    assert a == b
+
+
+def test_dedup_against_corpus_gates(spark):
+    """Exact duplicate, near duplicate, and novel docs in a new batch:
+    only the novel one survives incremental ingest."""
+    from cuckoofilter_spark.operators.dedup import dedup_against_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail " * 4)
+    existing = spark.createDataFrame(
+        [(1, base), (2, "totally different corpus text here " * 10)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                           # exact dup of 1
+            (101, base + " tiny tail change"),     # near dup of 1
+            (102, "completely novel content " * 20),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in dedup_against_corpus(
+        new, existing, "doc_id", "text", threshold=0.8
+    ).collect()}
+    assert kept == {102}
+
+
+def test_streaming_ingest_equals_batch(spark, tmp_path):
+    """run_streaming_ingest over micro-batches routes exactly the
+    same kept set as the one-shot dedup_against_corpus (stateless per
+    batch vs a static corpus ⇒ batch-size invariant), and dropped
+    reasons partition the dropped set."""
+    import os
+
+    from cuckoofilter_spark.operators.dedup import dedup_against_corpus
+    from cuckoofilter_spark.streaming.sketch_stream import (
+        run_streaming_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 25 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    src = str(tmp_path / "src")
+    new.repartition(4).write.parquet(src)
+    out = str(tmp_path / "out")
+    run_streaming_ingest(
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        old, "doc_id", "text", out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(out, "kept", "batch=*")).collect()}
+    want = {r["doc_id"] for r in dedup_against_corpus(
+        new, old, "doc_id", "text").collect()}
+    assert kept == want and len(kept) > 0
+    dropped = spark.read.parquet(os.path.join(out, "dropped", "batch=*"))
+    reasons = {r["reason"] for r in dropped.select("reason")
+               .distinct().collect()}
+    assert reasons == {"exact", "near_dup"}
+    assert dropped.count() + len(kept) == new.count()

@@ -274,3 +274,35 @@ def test_shape_corpus_job_is_deterministic(spark, tmp_path):
                         "n_tok").collect()}
         outs.append(rows)
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_shape_corpus_gopher_stage(spark, tmp_path):
+    """--gopher gates the pipeline with the rule filter: after_gopher
+    appears between dedup and quality in the monotone chain, and the
+    custom stopword list is honored (the default English list would
+    keep zero synthetic docs)."""
+    import json as _json
+    import sys
+    from io import StringIO
+
+    import jobs.shape_corpus as job
+
+    out = str(tmp_path / "shaped_gopher")
+    cap = StringIO()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        rc = job.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--gopher", "--gopher-stopwords", "the,a,value,table",
+            "--max-tokens", "1024", "--streams", "2",
+            "--output", out,
+        ])
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    stats = _json.loads(cap.getvalue().strip().splitlines()[-1])
+    assert (stats["rows_in"] >= stats["after_dedup"]
+            >= stats["after_gopher"] >= stats["after_quality"]
+            >= stats["after_sample"] == stats["rows_out"])
+    assert 0 < stats["after_gopher"] < stats["after_dedup"]
