@@ -831,6 +831,27 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one dedup: clusters from the exact
+    n-gram-Jaccard pair set (recall theorem ⇒ deterministic), survivor
+    = highest ``n_chars`` member (ties → smallest id). The oracle
+    recomputes components with a recursive CTE and the same window."""
+    from cuckoofilter_spark.operators.dedup import (
+        dedup_near, near_dup_pairs_ngram,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_ngram(docs, "doc_id", "text", threshold=0.6)
+    kept = dedup_near(
+        docs, pairs, "doc_id", keep="best", quality_col="n_chars"
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+        F.sum("n_chars").alias("sum_kept_chars"),
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 3, checked two
     independent SCALE-SHAPED ways inside Spark: (a) the production
@@ -2130,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscorpus_near_dups": q_crosscorpus_near_dups,
         "incremental_ingest_stats": q_incremental_ingest_stats,
         "streaming_ingest": q_streaming_ingest,
+        "dedup_keep_best_stats": q_dedup_keep_best_stats,
         # --- rotated back in (outside the r6 driver window) ----------
         "streaming_dedup_sliding": q_streaming_dedup_sliding,
         "hash_sample_stats": q_hash_sample_stats,
@@ -2160,9 +2182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_hll_bound": q_streaming_session_hll,
         "vocab_oov_stats": q_vocab_oov_stats,
         "source_vocab_overlap": q_source_vocab_overlap,
-        "frequent_vocab_filter": q_frequent_vocab_filter,
         # --- rotated out (doubly proven, untouched this round;
         # verified locally every round past the 50-row window) --------
+        "frequent_vocab_filter": q_frequent_vocab_filter,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
         "pack_firstfit_stats": q_pack_firstfit_stats,
@@ -2749,6 +2771,47 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM documents) - count(*)
                        + count(DISTINCT rep) AS n_kept
             FROM labels
+        """,
+        "dedup_keep_best_stats": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                      || words[i+2]
+                                      for i in range(1, len(words) - 1)])
+                     ELSE [] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text),
+                                                             '\s+'),
+                                       w -> w != '') AS words
+                    FROM documents)),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))
+                    / greatest(len(a.s) + len(b.s)
+                               - len(list_intersect(a.s, b.s)), 1) >= 0.6),
+            e AS (
+              SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM p),
+            reach(doc, r) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc),
+            labels AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc),
+            win AS (
+              SELECT l.doc,
+                     row_number() OVER (
+                       PARTITION BY l.rep
+                       ORDER BY d.n_chars DESC, l.doc ASC) AS rn
+              FROM labels l JOIN documents d ON d.doc_id = l.doc),
+            dropped AS (SELECT doc FROM win WHERE rn > 1)
+            SELECT count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_kept_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc FROM dropped)
         """,
         "simhash_near_dups": """
             SELECT count(*) AS n_docs, true AS pairs_agree

@@ -1169,17 +1169,51 @@ def duplicate_clusters(
 
 def dedup_near(
     df: DataFrame, pairs: DataFrame, id_col: str,
-    pair_cols: tuple = ("doc_a", "doc_b"),
+    pair_cols: tuple = ("doc_a", "doc_b"), *,
+    keep: str = "min_id", quality_col: str | None = None,
 ) -> DataFrame:
-    """Keep-one near-dup dedup: drop every doc whose cluster rep is a
-    different (smaller) id; docs in no pair survive untouched. Works
-    over any pair source (minhash/simhash/ngram text pairs, or
-    embedding pairs via ``pair_cols=("id_a", "id_b")``)."""
-    drop = (
-        duplicate_clusters(pairs, pair_cols=pair_cols)
-        .filter(F.col("doc") != F.col("rep"))
-        .select(F.col("doc").alias(id_col))
-    )
+    """Keep-one near-dup dedup; docs in no pair survive untouched.
+    Works over any pair source (minhash/simhash/ngram text pairs, or
+    embedding pairs via ``pair_cols=("id_a", "id_b")``).
+
+    ``keep``:
+    * ``"min_id"`` (default) — survivor is the smallest id in each
+      connected component (cheap, deterministic).
+    * ``"best"`` — survivor is the component member with the highest
+      ``quality_col`` value (ties broken by smallest id) — the
+      production policy: near-dup clusters usually mix a clean
+      original with truncated/boilerplated copies, and keep-best
+      retains the clean one. Cost: one extra join + window over
+      CLUSTER MEMBERS ONLY (a small fraction of the corpus), never
+      the full frame."""
+    clusters = duplicate_clusters(pairs, pair_cols=pair_cols)
+    if keep == "min_id":
+        drop = (
+            clusters.filter(F.col("doc") != F.col("rep"))
+            .select(F.col("doc").alias(id_col))
+        )
+    elif keep == "best":
+        if quality_col is None:
+            raise ValueError("keep='best' requires quality_col")
+        from pyspark.sql import Window
+
+        members = clusters.join(
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.col(quality_col).alias("_q"),
+            ),
+            "doc",
+        )
+        w = Window.partitionBy("rep").orderBy(
+            F.col("_q").desc(), F.col("doc").asc()
+        )
+        drop = (
+            members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col("doc").alias(id_col))
+        )
+    else:
+        raise ValueError(f"unknown keep policy: {keep!r}")
     return df.join(drop, id_col, "left_anti")
 
 

@@ -1533,3 +1533,30 @@ def test_streaming_ingest_equals_batch(spark, tmp_path):
                .distinct().collect()}
     assert reasons == {"exact", "near_dup"}
     assert dropped.count() + len(kept) == new.count()
+
+
+def test_dedup_near_keep_best(spark):
+    """keep='best' retains the highest-quality member per cluster
+    (ties -> smallest id); min_id default unchanged; missing
+    quality_col is a loud error."""
+    import pytest as _pt
+
+    from cuckoofilter_spark.operators.dedup import dedup_near
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (9, 5)],  # 9: not in any pair
+        ["doc_id", "quality"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["doc_a", "doc_b"]
+    )
+    best = {r["doc_id"] for r in dedup_near(
+        df, pairs, "doc_id", keep="best", quality_col="quality"
+    ).collect()}
+    assert best == {2, 9}  # 2 and 3 tie at 99 -> smaller id 2 wins
+    minid = {r["doc_id"] for r in dedup_near(df, pairs, "doc_id").collect()}
+    assert minid == {1, 9}
+    with _pt.raises(ValueError, match="quality_col"):
+        dedup_near(df, pairs, "doc_id", keep="best")
+    with _pt.raises(ValueError, match="keep"):
+        dedup_near(df, pairs, "doc_id", keep="nope")
