@@ -787,10 +787,19 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = spark.read.parquet(os.path.join(out, "kept", "batch=*"))
     dropped = spark.read.parquet(os.path.join(out, "dropped", "batch=*"))
-    return dropped.groupBy("reason").agg(
+    observed = dropped.groupBy("reason").agg(
         F.count(F.lit(1)).alias("n")
     ).unionByName(
         kept.agg(F.lit("kept").alias("reason"), F.count(F.lit(1)).alias("n"))
+    )
+    # the oracle emits all three reasons unconditionally; left-join
+    # onto the literal reason frame so a zero class (e.g. no near-dup
+    # at some SF) still yields its row (round-7 review finding)
+    reasons = spark.createDataFrame(
+        [("exact",), ("kept",), ("near_dup",)], "reason string"
+    )
+    return reasons.join(observed, "reason", "left").select(
+        "reason", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     ).orderBy("reason")
 
 

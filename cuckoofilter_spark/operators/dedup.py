@@ -348,36 +348,49 @@ def _seq_hashes(wh, counts, offs, mult: np.uint64 = _POLY_C) -> np.ndarray:
     return out
 
 
-def _shingle_hashes_batch(texts, k: int, seed: int) -> list[np.ndarray]:
-    """Distinct word-k-shingle hashes for every document of an Arrow
-    batch (list of uint64 arrays, sorted per doc). Shingle SET
-    definition matches ``shingles_col``/the SQL oracles exactly:
-    ASCII-whitespace words, k-grams, de-duplicated."""
+def _gram_window_seq(texts, k: int, seed: int):
+    """Shared kernel prefix for every word-k-gram consumer: per-doc
+    word ``counts``, per-doc gram counts ``lengths`` (= max(words −
+    (k−1), 0)), and the FLAT positional gram-hash sequence ``grams``
+    (each doc's in-order window hashes, multiplicity kept;
+    ``lengths[i]`` entries for doc i) — or ``grams=None`` when no doc
+    reaches k words. Factored out (round-7 review) so the de-duping
+    shingle kernel here and the positional kernel in
+    ``operators/spans`` share every stage by construction, keeping the
+    "a gram hashes identically everywhere" guarantee a code property
+    instead of a copy-paste discipline. Cross-document windows are
+    excluded by the per-doc ``lengths`` arithmetic (words are emitted
+    in byte order, so each doc's words are contiguous)."""
     texts = list(texts)
     n_docs = len(texts)
     u8, doc_offs = _utf8_concat(texts)
     w_starts, w_lens = _word_spans(u8)
-    total = len(w_starts)
-    if total < k:
-        return [np.empty(0, dtype=np.uint64)] * n_docs
-    wh = _span_hashes(u8, w_starts, w_lens, seed)
-    # word -> document, then per-doc word counts (words are emitted in
-    # byte order, so each doc's words are contiguous in wh)
     doc_of = np.searchsorted(doc_offs, w_starts, side="right") - 1
     counts = np.bincount(doc_of, minlength=n_docs)
-    acc = _window_gram_hashes(wh, k, _kernel_key(seed)[1])
     lengths = np.maximum(counts - (k - 1), 0)
+    m = int(lengths.sum())
+    if len(w_starts) < k or m == 0:
+        return counts, lengths, None
+    wh = _span_hashes(u8, w_starts, w_lens, seed)
+    acc = _window_gram_hashes(wh, k, _kernel_key(seed)[1])
     offs = np.cumsum(counts) - counts  # doc start offsets (word index)
     starts = np.cumsum(lengths) - lengths
-    m = int(lengths.sum())
-    if m == 0:
-        return [np.empty(0, dtype=np.uint64)] * n_docs
     idx = (
         np.arange(m, dtype=np.int64)
         - np.repeat(starts, lengths)
         + np.repeat(offs, lengths)
     )
-    grams = acc[idx]
+    return counts, lengths, acc[idx]
+
+
+def _shingle_hashes_batch(texts, k: int, seed: int) -> list[np.ndarray]:
+    """Distinct word-k-shingle hashes for every document of an Arrow
+    batch (list of uint64 arrays, sorted per doc). Shingle SET
+    definition matches ``shingles_col``/the SQL oracles exactly:
+    ASCII-whitespace words, k-grams, de-duplicated."""
+    counts, lengths, grams = _gram_window_seq(texts, k, seed)
+    if grams is None:
+        return [np.empty(0, dtype=np.uint64)] * len(counts)
     out, s = [], 0
     for length in lengths.tolist():
         out.append(np.unique(grams[s:s + length]))
@@ -755,6 +768,19 @@ def lsh_candidate_pairs(
     return _lsh_pairs_from_banded(banded, bands=bands, bucket_cap=bucket_cap)
 
 
+def _first_band_col(bands: int):
+    """First band index at which the joined l/r docs' band-hash
+    arrays agree — the map-side pair-dedup predicate shared by the
+    self-join (``_lsh_pairs_from_banded``) and cross-corpus
+    (``crosscorpus_pairs_from_tables``) candidate joins. Flat
+    GetArrayItem comparisons (not zip_with/aggregate) keep the CASE
+    chain inside WholeStageCodegen."""
+    fb = F.when(F.col("l.bhs")[0] == F.col("r.bhs")[0], F.lit(0))
+    for j in range(1, bands):
+        fb = fb.when(F.col("l.bhs")[j] == F.col("r.bhs")[j], F.lit(j))
+    return fb
+
+
 def _lsh_pairs_from_banded(
     banded: DataFrame, *, bands: int, bucket_cap: int | None,
 ) -> DataFrame:
@@ -770,16 +796,10 @@ def _lsh_pairs_from_banded(
     die inside the join stage instead of crossing the shuffle. Flat
     GetArrayItem comparisons (not zip_with/aggregate) keep the
     predicate inside WholeStageCodegen."""
-    first_band = F.when(
-        F.col("l.bhs")[0] == F.col("r.bhs")[0], F.lit(0)
-    )
-    for j in range(1, bands):
-        first_band = first_band.when(
-            F.col("l.bhs")[j] == F.col("r.bhs")[j], F.lit(j)
-        )
     return tiled_band_self_join(
         banded, "doc", band_cols=("band", "bh"), bucket_cap=bucket_cap,
-        filter_cols=("bhs",), pair_pre_filter=F.col("l.band") == first_band,
+        filter_cols=("bhs",),
+        pair_pre_filter=F.col("l.band") == _first_band_col(bands),
     )
 
 
@@ -971,17 +991,10 @@ def crosscorpus_pairs_from_tables(
     banded_e = tbl_e.select(
         "doc", "bhs", F.posexplode("bhs").alias("band", "bh")
     )
-    first_band = F.when(
-        F.col("l.bhs")[0] == F.col("r.bhs")[0], F.lit(0)
-    )
-    for j in range(1, bands):
-        first_band = first_band.when(
-            F.col("l.bhs")[j] == F.col("r.bhs")[j], F.lit(j)
-        )
     cands = tiled_band_cross_join(
         banded_n, banded_e, "doc", band_cols=("band", "bh"),
         bucket_cap=bucket_cap, filter_cols=("bhs",),
-        pair_pre_filter=F.col("l.band") == first_band,
+        pair_pre_filter=F.col("l.band") == _first_band_col(bands),
     )
     return verified_jaccard_pairs_from_sets(
         tbl_n.select("doc", "sh"), cands, threshold=threshold,

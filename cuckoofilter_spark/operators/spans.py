@@ -66,40 +66,16 @@ def _gram_seq_batch(texts, k: int, seed: int):
     """Per-document (word count, gram hashes IN POSITION ORDER, with
     multiplicity) for an Arrow batch — the positional sibling of
     ``dedup._shingle_hashes_batch`` (which de-duplicates per doc).
-    Shares every kernel stage, so a gram here hashes identically to
+    Both are thin tails over the SHARED kernel prefix
+    ``dedup._gram_window_seq`` (round-7 review: sharing by
+    construction, not by copy), so a gram here hashes identically to
     the same word window everywhere else."""
-    from cuckoofilter_spark.operators.dedup import (
-        _kernel_key,
-        _span_hashes,
-        _utf8_concat,
-        _window_gram_hashes,
-        _word_spans,
-    )
+    from cuckoofilter_spark.operators.dedup import _gram_window_seq
 
-    texts = list(texts)
-    n_docs = len(texts)
-    u8, doc_offs = _utf8_concat(texts)
-    w_starts, w_lens = _word_spans(u8)
-    total = len(w_starts)
-    doc_of = np.searchsorted(doc_offs, w_starts, side="right") - 1
-    counts = np.bincount(doc_of, minlength=n_docs)
+    counts, lengths, grams = _gram_window_seq(texts, k, seed)
     empty = np.empty(0, dtype=np.uint64)
-    if total < k:
-        return counts, [empty] * n_docs
-    wh = _span_hashes(u8, w_starts, w_lens, seed)
-    acc = _window_gram_hashes(wh, k, _kernel_key(seed)[1])
-    lengths = np.maximum(counts - (k - 1), 0)
-    offs = np.cumsum(counts) - counts
-    starts = np.cumsum(lengths) - lengths
-    m = int(lengths.sum())
-    if m == 0:
-        return counts, [empty] * n_docs
-    idx = (
-        np.arange(m, dtype=np.int64)
-        - np.repeat(starts, lengths)
-        + np.repeat(offs, lengths)
-    )
-    grams = acc[idx]
+    if grams is None:
+        return counts, [empty] * len(counts)
     out, s = [], 0
     for length in lengths.tolist():
         out.append(grams[s:s + length])
@@ -271,6 +247,11 @@ def drop_duplicated_spans(
             "text_dedup": F.array_join(words, " "),
             "n_dropped_words": F.lit(0).cast("long"),
         })
+    # keyed "_span_doc", not "doc": an input frame whose id column is
+    # literally "doc" (the package's own canonical output name) would
+    # otherwise make the join condition ambiguous — and only on dirty
+    # corpora, since the hits-is-None early return skips the join
+    # (round-7 review finding)
     covered = hits.groupBy("doc").agg(
         F.array_sort(
             F.array_distinct(
@@ -283,7 +264,7 @@ def drop_duplicated_spans(
                 )
             )
         ).alias("_cov")
-    )
+    ).withColumnRenamed("doc", "_span_doc")
     kept = F.filter(
         F.arrays_zip(
             words.alias("w"),
@@ -296,7 +277,7 @@ def drop_duplicated_spans(
         ),
     )
     out = (
-        df.join(covered, F.col(id_col) == F.col("doc"), "left")
+        df.join(covered, F.col(id_col) == F.col("_span_doc"), "left")
         .withColumns({
             "text_dedup": F.when(
                 F.size(words) > 0,
@@ -308,6 +289,6 @@ def drop_duplicated_spans(
                 F.size("_cov"), F.lit(0)
             ).cast("long"),
         })
-        .drop("doc", "_cov")
+        .drop("_span_doc", "_cov")
     )
     return out

@@ -1081,7 +1081,7 @@ def run_streaming_ingest(
     threshold: float = 0.8, shingle_k: int = 3, seed: int = 2014,
     num_hashes: int = 128, bands: int = 32, rows_per_band: int = 4,
     bucket_cap: int | None = 8192, trigger_available_now: bool = True,
-) -> None:
+):
     """Continuous incremental ingest (round 7): each micro-batch of
     newly crawled documents is deduplicated against a STATIC existing
     corpus — exact first (md5-fingerprint anti-join), then MinHash
@@ -1160,5 +1160,8 @@ def run_streaming_ingest(
     )
     if trigger_available_now:
         writer.trigger(availableNow=True).start().awaitTermination()
-    else:
-        writer.trigger(processingTime="10 seconds").start()
+        return None
+    # continuous mode: hand the StreamingQuery back so the caller can
+    # monitor/stop/await it (round-7 review finding — a discarded
+    # handle leaves spark.streams.active as the only control path)
+    return writer.trigger(processingTime="10 seconds").start()

@@ -190,7 +190,8 @@ def main(argv=None) -> int:
         from cuckoofilter_spark.operators.text import gopher_filter
 
         sw = (
-            args.gopher_stopwords.split(",")
+            [w.strip() for w in args.gopher_stopwords.split(",")
+             if w.strip()]
             if args.gopher_stopwords else None
         )
         df = gopher_filter(df, args.text_col, stopwords=sw)

@@ -124,3 +124,20 @@ def test_gram_table_positions_and_keyed_seed(spark):
         "doc_id", "text", k=3, min_count=2,
     ).orderBy("doc").collect()
     assert a == b  # counts/coverage are seed-invariant (no collisions)
+
+
+def test_drop_duplicated_spans_doc_named_id(spark, corpus):
+    """Regression (round-7 review): an input frame whose id column is
+    literally 'doc' used to make the covered-join ambiguous — and
+    only on corpora that HAVE duplicated spans (the clean-corpus
+    early return skipped the join)."""
+    renamed = corpus.withColumnRenamed("doc_id", "doc")
+    got = {
+        r["doc"]: r
+        for r in drop_duplicated_spans(
+            renamed, "doc", "text", k=3, min_count=2
+        ).collect()
+    }
+    assert got[1]["text_dedup"] == "epsilon zeta"
+    assert got[1]["n_dropped_words"] == 4
+    assert "_span_doc" not in next(iter(got.values())).asDict()
