@@ -861,6 +861,24 @@ def q_dedup_keep_best_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SemDeDup over the embeddings table: cosine-≥0.44 pairs
+    (blocked GEMM; 0.44 sits in the measured similarity-distribution
+    gap — see ``q_embedding_near_dups``) → connected components →
+    min-id survivor. The oracle recomputes pairs with DuckDB's
+    ``list_cosine_similarity``, components with a recursive CTE, and
+    the same survivor rule; ``sum_kept_ids`` pins the exact survivor
+    set, not just its size."""
+    from cuckoofilter_spark.operators.similarity import dedup_semantic
+
+    emb = _read(spark, sf_dir, "embeddings")
+    kept = dedup_semantic(emb, threshold=0.44, n_blocks=16)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("sum_kept_ids"),
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 3, checked two
     independent SCALE-SHAPED ways inside Spark: (a) the production
@@ -2161,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ingest_stats": q_incremental_ingest_stats,
         "streaming_ingest": q_streaming_ingest,
         "dedup_keep_best_stats": q_dedup_keep_best_stats,
+        "semantic_dedup_stats": q_semantic_dedup_stats,
         # --- rotated back in (outside the r6 driver window) ----------
         "streaming_dedup_sliding": q_streaming_dedup_sliding,
         "hash_sample_stats": q_hash_sample_stats,
@@ -2182,7 +2201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
         # --- recent operators keeping driver coverage ----------------
-        "heavy_hitters_exact": q_heavy_hitters_exact,
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "top_users_exact": q_top_users_exact,
         "top_users_by_type": q_top_users_by_type,
@@ -2193,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": q_source_vocab_overlap,
         # --- rotated out (doubly proven, untouched this round;
         # verified locally every round past the 50-row window) --------
+        "heavy_hitters_exact": q_heavy_hitters_exact,
         "frequent_vocab_filter": q_frequent_vocab_filter,
         "weighted_sample_stats": q_weighted_sample_stats,
         "repetition_by_source": q_repetition_by_source,
@@ -2780,6 +2799,28 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM documents) - count(*)
                        + count(DISTINCT rep) AS n_kept
             FROM labels
+        """,
+        "semantic_dedup_stats": r"""
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.44),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM p),
+            reach(doc, r) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc),
+            labels AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc),
+            dropped AS (SELECT doc FROM labels WHERE doc != rep)
+            SELECT count(*) AS n_kept,
+                   CAST(sum(vec_id) AS BIGINT) AS sum_kept_ids
+            FROM embeddings
+            WHERE vec_id NOT IN (SELECT doc FROM dropped)
         """,
         "dedup_keep_best_stats": r"""
             WITH RECURSIVE sh AS (

@@ -89,7 +89,10 @@ from cuckoofilter_spark.operators.semijoin import (  # noqa: F401
 )
 from cuckoofilter_spark.operators.similarity import (  # noqa: F401
     cosine_near_dup_pairs_blocked,
+    cosine_near_dup_pairs_celled,
     cosine_topk,
+    dedup_semantic,
+    dedup_semantic_ivf,
     ivf_topk,
     lsh_ann_topk,
 )

@@ -650,3 +650,118 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
         )
         .select("query_id", "recall_e4")
     )
+
+
+# ------------------------------------------------ semantic dedup
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): drop all but one member
+# of each cluster of semantically-near-identical documents, measured
+# in embedding space. Composition of shipped parts: exact cosine
+# pairs (blocked GEMM) or within-IVF-cell pairs (the paper's k-means
+# restriction) → connected components → keep-one (min-id or
+# quality-keep-best via operators/dedup.dedup_near).
+
+
+def cosine_near_dup_pairs_celled(
+    corpus: DataFrame, centroids: np.ndarray, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.44, chunk: int = 4096,
+) -> DataFrame:
+    """(id_a, id_b) cosine-≥-threshold pairs restricted to vectors in
+    the SAME IVF cell — the SemDeDup candidate restriction: cross-cell
+    pairs are deliberately not considered (the paper's k-means
+    clustering step). One ``groupBy(cell).applyInPandas``; each task
+    GEMMs its own cell in ``chunk``-row slabs, so task memory is
+    O(cell·d + chunk·cell) regardless of cell size. Cell balance (and
+    therefore the recall/task-size trade) is the quantizer's job —
+    pass ``ivf_centroids(..., refine_iters>0)`` output."""
+    from pyspark.sql.types import StructField, StructType
+
+    assign = ivf_assign_udf(centroids, nprobe=1)
+    cells = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        _as_double(vec_col).alias("v"),
+        assign(F.col(vec_col))[0].alias("cell"),
+    )
+    out_schema = StructType([
+        StructField("id_a", LongType()), StructField("id_b", LongType()),
+    ])
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True) + _EPS
+        n = len(ids)
+        a_out, b_out = [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = M[s:e] @ M.T                      # (slab, n)
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + s
+            keep = gi < jj                           # i < j, no self
+            a, b = ids[gi[keep]], ids[jj[keep]]
+            swap = a > b                             # emit id_a < id_b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            a_out.append(a2)
+            b_out.append(b2)
+        return pd.DataFrame({
+            "id_a": np.concatenate(a_out) if a_out else
+            np.empty(0, dtype=np.int64),
+            "id_b": np.concatenate(b_out) if b_out else
+            np.empty(0, dtype=np.int64),
+        })
+
+    return cells.groupBy("cell").applyInPandas(cell_pairs, out_schema)
+
+
+def dedup_semantic(
+    emb_df: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", threshold: float = 0.44,
+    n_blocks: int = 16, keep: str = "min_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """EXACT SemDeDup: keep one member of every cosine-≥-threshold
+    connected component. Pairs come from the block-tiled exact GEMM
+    (no CartesianProduct; Θ(n²) work well-shaped into bounded BLAS
+    tiles); survivor policy is ``dedup_near``'s (min-id, or
+    ``keep='best'`` with a quality column)."""
+    from cuckoofilter_spark.operators.dedup import dedup_near
+
+    pairs = cosine_near_dup_pairs_blocked(
+        emb_df, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, n_blocks=n_blocks,
+    )
+    return dedup_near(
+        emb_df, pairs, id_col, pair_cols=("id_a", "id_b"),
+        keep=keep, quality_col=quality_col,
+    )
+
+
+def dedup_semantic_ivf(
+    emb_df: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", threshold: float = 0.44,
+    n_cells: int = 64, refine_iters: int = 2, seed: int = 2014,
+    keep: str = "min_id", quality_col: str | None = None,
+) -> DataFrame:
+    """The SemDeDup SCALE path — the paper's actual recipe: k-means
+    the embeddings (spherical Lloyd via ``ivf_centroids``), then
+    near-dup candidates only WITHIN each cell. Work drops from
+    Θ(n²/B) tiles to Σ cell² ≈ n²/n_cells; the approximation is
+    explicit and one-sided — a cross-cell near-dup pair is missed
+    (the paper accepts this; tight duplicates co-assign almost
+    surely, and recall rises with ``refine_iters``). Survivor policy
+    as in ``dedup_semantic``."""
+    from cuckoofilter_spark.operators.dedup import dedup_near
+
+    C = ivf_centroids(
+        emb_df, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        seed=seed, refine_iters=refine_iters,
+    )
+    pairs = cosine_near_dup_pairs_celled(
+        emb_df, C, id_col=id_col, vec_col=vec_col, threshold=threshold,
+    )
+    return dedup_near(
+        emb_df, pairs, id_col, pair_cols=("id_a", "id_b"),
+        keep=keep, quality_col=quality_col,
+    )

@@ -1560,3 +1560,73 @@ def test_dedup_near_keep_best(spark):
         dedup_near(df, pairs, "doc_id", keep="best")
     with _pt.raises(ValueError, match="keep"):
         dedup_near(df, pairs, "doc_id", keep="nope")
+
+
+def test_dedup_semantic_exact(spark):
+    """Exact SemDeDup == brute-force pairs -> components -> keep-one;
+    keep='best' honors the quality column."""
+    from cuckoofilter_spark.operators.dedup import (
+        dedup_near, duplicate_clusters,
+    )
+    from cuckoofilter_spark.operators.similarity import (
+        cosine_near_dup_pairs, dedup_semantic,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {r["vec_id"] for r in dedup_semantic(
+        emb, threshold=0.44).select("vec_id").collect()}
+    brute = cosine_near_dup_pairs(emb, threshold=0.44)
+    want = {r["vec_id"] for r in dedup_near(
+        emb, brute, "vec_id", pair_cols=("id_a", "id_b")
+    ).select("vec_id").collect()}
+    assert got == want
+    n_total = emb.count()
+    n_paired = duplicate_clusters(
+        brute, pair_cols=("id_a", "id_b")).count()
+    assert len(got) < n_total and n_paired > 0
+
+    # keep-best: the max-label member of each cluster survives
+    best = {r["vec_id"] for r in dedup_semantic(
+        emb, threshold=0.44, keep="best", quality_col="label"
+    ).select("vec_id").collect()}
+    assert len(best) == len(got)
+
+
+def test_dedup_semantic_ivf_planted(spark):
+    """IVF-celled SemDeDup on planted tight duplicates (cos ~0.999):
+    celled pairs are a subset of exact pairs, and at high threshold
+    the planted pairs co-assign so the two variants keep the same
+    survivor set."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 16))
+    rows = []
+    vid = 0
+    for i in range(80):
+        rows.append((vid, base[i].tolist())); vid += 1
+    for i in range(25):  # tight dup of the first 25
+        rows.append((vid, (base[i] + 0.005 * rng.standard_normal(16))
+                     .tolist())); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from cuckoofilter_spark.operators.similarity import (
+        cosine_near_dup_pairs, cosine_near_dup_pairs_celled,
+        dedup_semantic, dedup_semantic_ivf, ivf_centroids,
+    )
+
+    C = ivf_centroids(emb, n_cells=8, seed=3, refine_iters=2)
+    celled = {(r["id_a"], r["id_b"]) for r in
+              cosine_near_dup_pairs_celled(
+                  emb, C, threshold=0.98).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             cosine_near_dup_pairs(emb, threshold=0.98).collect()}
+    assert celled <= exact and len(exact) >= 25
+    assert len(celled) == len(exact)  # tight dups co-assign
+
+    got = {r["vec_id"] for r in dedup_semantic_ivf(
+        emb, threshold=0.98, n_cells=8, refine_iters=2, seed=3
+    ).select("vec_id").collect()}
+    want = {r["vec_id"] for r in dedup_semantic(
+        emb, threshold=0.98).select("vec_id").collect()}
+    assert got == want and len(got) == 80
