@@ -2150,10 +2150,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # chunked merge path (cf_merge_associativity), the NULL-source +
     # cardinality-guard mixture planner (both mixture rows, oracles
     # edited), and the NEW substring-dedup operator
-    # (duplicated_span_stats). The 20 rotated OUT to positions 51-70
-    # are doubly proven (driver-green in two recent rounds) and touch
-    # no code changed this round; they are still verified locally by
-    # scripts/check_queries.py each round.
+    # (duplicated_span_stats). The SIX operators built later in round
+    # 7 (gopher_quality_stats, crosscorpus_near_dups,
+    # incremental_ingest_stats, streaming_ingest,
+    # dedup_keep_best_stats, semantic_dedup_stats) also sit inside the
+    # window — every new operator's first driver check happens the
+    # round it ships. The 26 rotated OUT to positions 51-76 are doubly
+    # proven (driver-green in two recent rounds) and touch no code
+    # changed this round; they are still verified locally by
+    # scripts/check_queries.py each round (76/76 green this round).
     return {
         # --- flagship + rows over code changed THIS round ------------
         "cf_zero_false_negatives": q_cf_zero_false_negatives,
