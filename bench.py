@@ -419,6 +419,19 @@ def main() -> None:
         ).count()
     )
 
+    # -- q7g2: SemDeDup scale path (round 7) -----------------------------
+    # IVF-celled semantic dedup: spherical-Lloyd cells then per-cell
+    # slab-chunked GEMM pairs -> components -> keep-one; kept-count is
+    # the determinism tripwire (given the fixed seed)
+    from cuckoofilter_spark.operators.similarity import dedup_semantic_ivf
+
+    queries["semantic_dedup"], extra["semantic_kept"] = timed2(
+        "semantic_dedup",
+        lambda: dedup_semantic_ivf(
+            emb, threshold=0.44, n_cells=64, refine_iters=1, seed=7
+        ).count(),
+    )
+
     # -- q7e: simhash near-dup pairs (banded, skew-tiled) -----------------
     from cuckoofilter_spark.operators.dedup import near_dup_pairs_simhash
 
