@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 from cuckoofilter_spark.core.cuckoo import suggest_capacity as _suggest_capacity
 from cuckoofilter_spark.operators.build import build_sketch_shards
 from cuckoofilter_spark.operators.merge import merge_shards_to_blob
-from cuckoofilter_spark.operators.text import shingles_col
 
 
 def _ngram_hash_udf(seed: int):
@@ -146,6 +145,74 @@ def ngram_stats_udf(spark, blob: bytes, *, n: int, seed: int):
     return apply
 
 
+def ngram_hit_stats_udf(spark, blob: bytes, *, n: int, seed: int):
+    """Column-function ``f(text) -> struct<n_total int, n_hits int,
+    hits array<long>>`` — the FUSED gate (round 8): one tokenize →
+    shingle → hash → batch-probe pass that also RETURNS the distinct
+    gram hashes the broadcast filter contained, so the exact verify
+    join can explode 8-byte candidate hashes instead of re-shingling
+    candidate documents with the interpreted JVM ``shingles_col``
+    (CodegenFallback, ~2 ms/doc — it dominated the decontam row).
+    Non-candidate documents return an empty array — the per-row cost
+    of the clean bulk is unchanged."""
+    import uuid
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from cuckoofilter_spark.operators.dedup import _shingle_hashes_batch
+    from cuckoofilter_spark.operators.probe import _get_filter
+
+    bc = spark.sparkContext.broadcast(bytes(blob))
+    cache_key = uuid.uuid4().hex
+    out_type = StructType([
+        StructField("n_total", IntegerType()),
+        StructField("n_hits", IntegerType()),
+        StructField("hits", ArrayType(LongType())),
+    ])
+    _empty = np.empty(0, dtype=np.int64)
+
+    @F.pandas_udf(out_type)
+    def stats(s: pd.Series) -> pd.DataFrame:
+        sk = _get_filter(bc, cache_key)
+        arrs = _shingle_hashes_batch(s, n, seed)
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        if len(arrs) == 0 or int(lens.sum()) == 0:
+            z = np.zeros(len(arrs), dtype=np.int32)
+            return pd.DataFrame(
+                {"n_total": z, "n_hits": z, "hits": [_empty] * len(arrs)}
+            )
+        flat = np.concatenate(arrs)
+        hv = sk.contains_many(flat)
+        h64 = hv.astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(h64)))
+        ends = np.cumsum(lens)
+        hits_n = (csum[ends] - csum[ends - lens]).astype(np.int32)
+        out_hits = []
+        pos = 0
+        for i, ln in enumerate(lens):
+            if hits_n[i]:
+                out_hits.append(
+                    flat[pos:pos + ln][hv[pos:pos + ln]].view(np.int64)
+                )
+            else:
+                out_hits.append(_empty)
+            pos += ln
+        return pd.DataFrame({
+            "n_total": lens.astype(np.int32),
+            "n_hits": hits_n,
+            "hits": out_hits,
+        })
+
+    def apply(col):
+        return stats(F.col(col) if isinstance(col, str) else col)
+
+    return apply
+
+
 def novelty_report(
     corpus: DataFrame, ref_df: DataFrame, id_col: str, text_col: str, *,
     n: int = 3, bits_per_item: int = 16, seed: int = 7,
@@ -175,31 +242,39 @@ def novelty_report(
     reference, but a loop over MANY references should call
     ``spark.catalog.clearCache()`` between iterations (as bench.py
     does) or unpersist after materializing the result."""
-    blob, ref_ngrams = eval_ngram_filter(
+    blob, ref_grams = eval_ngram_filter(
         ref_df, text_col, n=n, bits_per_item=bits_per_item, seed=seed
     )
     spark = corpus.sparkSession
-    stats = ngram_stats_udf(spark, blob, n=n, seed=seed)
+    from cuckoofilter_spark.session import fan_out
 
-    base = corpus.select(
-        F.col(id_col), F.col(text_col).alias("__text"),
-        stats(text_col).alias("__st"),
+    stats = ngram_hit_stats_udf(spark, blob, n=n, seed=seed)
+
+    # Round 8: the fused gate returns the candidate gram HASHES, so
+    # the exact join explodes 8-byte longs and joins the broadcast
+    # hashed reference set — no document is ever re-shingled by the
+    # interpreted JVM shingles_col, and the corpus is touched by
+    # exactly one Arrow pass. fan_out: single-row-group scans would
+    # otherwise run that pass on one core.
+    base = fan_out(corpus).select(
+        F.col(id_col), stats(text_col).alias("__st")
     ).select(
-        id_col, "__text",
+        id_col,
         F.col("__st.n_total").alias("n_total"),
         F.col("__st.n_hits").alias("__hits"),
+        F.col("__st.hits").alias("__hit_ghs"),
     )
     base.persist()
 
     exact = (
         base.filter(F.col("__hits") >= 1)
-        .select(id_col, F.explode(shingles_col("__text", n)).alias("ngram"))
-        .join(F.broadcast(ref_ngrams), "ngram")
+        .select(id_col, F.explode("__hit_ghs").alias("gh"))
+        .join(F.broadcast(ref_grams), "gh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__n_seen"))
     )
     out = (
-        base.drop("__text")
+        base.drop("__hit_ghs")
         .join(exact, id_col, "left")
         .select(
             id_col,
@@ -216,33 +291,67 @@ def novelty_report(
     return out
 
 
+# eval n-gram sets at or below this distinct count build the filter
+# DRIVER-SIDE from one collect (8 bytes/gram: 4M grams = 32 MB on the
+# driver) instead of paying a 32-task shard build + merge round for a
+# KB-scale filter — the eval side of decontamination is small by
+# contract. Larger sets keep the distributed shard build.
+_DRIVER_EVAL_BUILD_MAX = 1 << 22
+
+
 def eval_ngram_filter(
     eval_df: DataFrame, text_col: str, *, n: int = 3,
     bits_per_item: int = 16, seed: int = 7, capacity: int | None = None,
 ) -> tuple[bytes, DataFrame]:
     """Build the broadcastable eval-side artifacts: (filter blob,
-    distinct-n-gram DataFrame).
+    distinct-gram-HASH DataFrame, column ``gh`` long).
 
-    The n-gram table is returned as well because the exact
-    verification join needs the true strings — the filter alone can
-    only bound membership. ``capacity`` defaults to the exact distinct
-    count (one aggregation over the eval set, which is small by
-    definition); pass it explicitly to skip that pass."""
-    ngrams = (
-        eval_df.select(F.explode(shingles_col(text_col, n)).alias("ngram"))
+    Round 8: the gram table is HASHED (the same shingle kernel as the
+    probe side — agreement by construction), because the exact verify
+    join now compares 8-byte kernel hashes, not strings; and small
+    eval sets (≤ ``_DRIVER_EVAL_BUILD_MAX`` distinct grams) build the
+    filter driver-side from one collect instead of a shard-build +
+    merge job round. ``capacity`` pre-sizes the filter and skips
+    nothing else (the distinct count is needed to pick the build
+    path)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from cuckoofilter_spark.operators.dedup import _shingle_hashes_batch
+    from cuckoofilter_spark.session import fan_out
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            hs.view(np.int64)
+            for hs in _shingle_hashes_batch(texts, n, seed)
+        ])
+
+    grams = (
+        fan_out(eval_df)
+        .select(F.explode(sh_udf(F.col(text_col))).alias("gh"))
         .distinct()
     )
-    ngrams.persist()
-    if capacity is None:
-        capacity = ngrams.count()
-    shards = build_sketch_shards(
-        ngrams.select(_ngram_hash_udf(seed)("ngram").alias("h")),
-        "h", kind="cuckoo", lineage=False,
-        max_num_keys=max(_suggest_capacity(int(capacity)), 1024),
-        bits_per_item=bits_per_item, seed=seed,
-    )
-    blob = merge_shards_to_blob(shards, dedup=True)
-    return blob, ngrams
+    grams.persist()
+    n_grams = grams.count()
+    cap = max(_suggest_capacity(int(capacity or n_grams)), 1024)
+    if n_grams <= _DRIVER_EVAL_BUILD_MAX:
+        from cuckoofilter_spark.core.cuckoo import CuckooFilter
+        from cuckoofilter_spark.operators.build import check_add_statuses
+
+        keys = np.fromiter(
+            (r[0] for r in grams.collect()), dtype=np.int64,
+            count=n_grams,
+        ).view(np.uint64)
+        f = CuckooFilter(cap, bits_per_item, seed=seed)
+        check_add_statuses(f.add_many(keys), "eval_ngram_filter")
+        blob = f.to_bytes()
+    else:
+        shards = build_sketch_shards(
+            grams, "gh", kind="cuckoo", lineage=False,
+            max_num_keys=cap, bits_per_item=bits_per_item, seed=seed,
+        )
+        blob = merge_shards_to_blob(shards, dedup=True)
+    return blob, grams
 
 
 def decontaminate(
@@ -285,39 +394,41 @@ def overlap_report(
     """The probe-gate + exact-verify core of ``decontaminate``, against
     PRE-BUILT eval artifacts — so a streaming job (or a loop over
     corpus slices) builds the eval filter once and reuses it per
-    batch.
+    batch. ``ev_ngrams`` is the HASHED gram table from
+    ``eval_ngram_filter`` (column ``gh``).
+
+    Round 8 plan shape: ONE fused Arrow pass over the corpus computes
+    the per-document filter-hit count AND the candidate gram hashes
+    (``ngram_hit_stats_udf``); candidates explode those 8-byte hashes
+    straight into the broadcast verify join. The previous plan
+    re-shingled every candidate with the interpreted JVM
+    ``shingles_col`` (CodegenFallback) — on a corpus whose documents
+    share vocabulary with the eval set the candidate sliver is wide
+    and that interpreted pass dominated the row (measured 10.7 s →
+    3.3 s at the sf1.0 step).
 
     ``broadcast_eval`` pins the verify join's build side to the eval
-    n-gram table. Without the hint, an eval set past the
-    auto-broadcast threshold silently flips the join to sort-merge —
-    which shuffles EVERY candidate n-gram, the exact movement this
-    operator exists to avoid. Set False only if the eval side is too
-    big for executor memory (at which point reconsider the eval set:
-    this op's contract is a small-relative-to-corpus eval side).
-
-    ``hits_udf`` lets a caller reuse one ``contamination_count_udf``
-    (and its filter broadcast) across MANY calls — the streaming job
-    passes it so a long-running stream broadcasts the blob once, not
-    once per micro-batch."""
+    gram table; set False only if the eval side outgrows executor
+    memory. ``hits_udf`` lets a caller reuse one
+    ``ngram_hit_stats_udf`` (and its blob broadcast) across many
+    calls — the streaming job passes it so a long-running stream
+    broadcasts the blob once, not once per micro-batch."""
     spark = corpus.sparkSession
-    hits = (hits_udf if hits_udf is not None
-            else contamination_count_udf(spark, blob, n=n, seed=seed))
+    from cuckoofilter_spark.session import fan_out
+
+    stats = (hits_udf if hits_udf is not None
+             else ngram_hit_stats_udf(spark, blob, n=n, seed=seed))
     if broadcast_eval:
         ev_ngrams = F.broadcast(ev_ngrams)
 
-    # Gate first (one UDF pass over raw text), THEN shingle only the
-    # surviving candidates with the JVM Column — the expensive string
-    # n-gram array is never materialized for the clean bulk of the
-    # corpus.
-    candidates = corpus.filter(hits(text_col) >= min_overlap)
-
-    # Exact verify: shingles_col de-duplicates per document, so
-    # count(*) after the equi-join IS the distinct-overlap count.
+    candidates = (
+        fan_out(corpus)
+        .select(F.col(id_col), stats(text_col).alias("__st"))
+        .filter(F.col("__st.n_hits") >= min_overlap)
+    )
     overlap = (
-        candidates.select(
-            id_col, F.explode(shingles_col(text_col, n)).alias("ngram")
-        )
-        .join(ev_ngrams, "ngram")
+        candidates.select(id_col, F.explode("__st.hits").alias("gh"))
+        .join(ev_ngrams, "gh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)

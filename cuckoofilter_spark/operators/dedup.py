@@ -443,7 +443,11 @@ def shingle_sets(
             for hs in _shingle_hashes_batch(texts, shingle_k, seed)
         ])
 
-    return df.select(
+    from cuckoofilter_spark.session import fan_out
+
+    # fan_out (round 8): single-row-group side tables scan as ONE task,
+    # serializing the kernel; per-doc output is partition-independent
+    return fan_out(df).select(
         F.col(id_col).alias("doc"), sh_udf(F.col(text)).alias("sh")
     )
 
@@ -557,7 +561,10 @@ def minhash_table(
             "bhs": list(bh),
         })
 
-    return df.select(
+    from cuckoofilter_spark.session import fan_out
+
+    # fan_out (round 8): see shingle_sets — kernel output is per-row
+    return fan_out(df).select(
         F.col(id_col).alias("doc"), tbl_udf(F.col(text)).alias("t")
     ).select("doc", F.col("t.sh").alias("sh"), F.col("t.bhs").alias("bhs"))
 
@@ -1114,6 +1121,54 @@ def star_contraction_components(
     return out
 
 
+# pair sets at or below this edge count resolve driver-side with a
+# numpy union-find (two longs/edge: 2M edges = 32 MB collected) —
+# label-propagation pays 3-4 Spark jobs PER ROUND and near-dup
+# clusters at bench scale resolve in milliseconds locally (round 8:
+# the propagation rounds were most of the semantic_dedup row). Bigger
+# edge sets keep the distributed path unchanged.
+_DRIVER_COMPONENTS_MAX = 2_000_000
+
+
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """(doc, rep) via driver-side union-find over a SMALL edge list.
+    Output contract identical to the distributed resolvers: every
+    node of the edge set labeled with its component MINIMUM."""
+    import pyspark.sql.types as T
+
+    pdf = edges.toPandas()
+    u = pdf["src"].to_numpy(dtype=np.int64)
+    v = pdf["dst"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    eu, ev = inv[: len(u)], inv[len(u):]
+    for a, b in zip(eu.tolist(), ev.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller node id keeps the min-label invariant
+            # cheap to extract afterwards
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    # nodes[] ascending ⇒ root index is the component's min node index
+    reps = nodes[roots]
+    spark = edges.sparkSession
+    out = pd.DataFrame({"doc": nodes, "rep": reps})
+    schema = T.StructType([
+        T.StructField("doc", T.LongType()),
+        T.StructField("rep", T.LongType()),
+    ])
+    return spark.createDataFrame(out, schema)
+
+
 def duplicate_clusters(
     pairs: DataFrame, *, max_iter: int = 25,
     pair_cols: tuple = ("doc_a", "doc_b"),
@@ -1140,6 +1195,21 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
+    # round 8: SMALL integral-key edge sets resolve driver-side (one
+    # collect + union-find) instead of paying 3-4 jobs per propagation
+    # round; the distributed paths below are unchanged for every other
+    # case. The count also materializes the persist the loop needs.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = all(
+        isinstance(edges.schema[c].dataType,
+                   (ByteType, ShortType, IntegerType, LongType))
+        for c in ("src", "dst")
+    )
+    if integral and edges.count() <= _DRIVER_COMPONENTS_MAX:
+        out = _components_driver(edges)
+        edges.unpersist()
+        return out
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
@@ -1315,7 +1385,10 @@ def simhash64(
             out[i] = np.int64(sim.astype(np.int64))
         return pd.Series(out)
 
-    return df.select(
+    from cuckoofilter_spark.session import fan_out
+
+    # fan_out (round 8): see shingle_sets — kernel output is per-row
+    return fan_out(df).select(
         F.col(id_col).alias("doc"), sim_udf(F.col(text)).alias("simhash")
     )
 

@@ -101,6 +101,11 @@ def gram_table(
             "ghs": [g.view(np.int64) for g in grams],
         })
 
+    from cuckoofilter_spark.session import fan_out
+
+    # fan_out (round 8): single-row-group scans serialize the kernel;
+    # per-doc output is partition-independent
+    df = fan_out(df)
     return df.select(
         F.col(id_col).alias("doc"), tbl_udf(F.col(text)).alias("t")
     ).select("doc", F.col("t.n_words").alias("n_words"),

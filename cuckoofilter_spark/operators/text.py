@@ -188,7 +188,15 @@ def shingles_col(text: str | Column, k: int = 3) -> Column:
 
 
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
-    """Attach the full feature set in one projection."""
+    """Attach the full feature set in one projection.
+
+    fan_out (round 8): single-row-group side tables scan as one task
+    and the stopword/filter higher-order expressions are interpreted —
+    fanning the scan out parallelizes them; per-row output is
+    partition-independent."""
+    from cuckoofilter_spark.session import fan_out
+
+    df = fan_out(df)
     return df.withColumns(
         {
             "n_words": token_count_ws(text),
@@ -253,7 +261,11 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
     - ``dup_bigram_frac_e4`` — repeated-bigram occurrence fraction.
 
     All inputs computed JVM-side except the per-doc mode count (see
-    ``top_word_count_udf``). Empty documents score 0 everywhere."""
+    ``top_word_count_udf``). Empty documents score 0 everywhere.
+    fan_out: see ``with_text_stats``."""
+    from cuckoofilter_spark.session import fan_out
+
+    df = fan_out(df)
     w = words_col(text)
     bi = bigrams_col(text)
     top = top_word_count_udf()
@@ -337,7 +349,11 @@ def redact_pii(text: str | Column) -> Column:
 
 
 def with_pii_stats(df: DataFrame, text: str = "text") -> DataFrame:
-    """Attach PII counts + the redacted text in one projection."""
+    """Attach PII counts + the redacted text in one projection.
+    fan_out: see ``with_text_stats``."""
+    from cuckoofilter_spark.session import fan_out
+
+    df = fan_out(df)
     cols = dict(pii_counts(text))
     cols["redacted_text"] = redact_pii(text)
     return df.withColumns(cols)
@@ -458,7 +474,11 @@ def gopher_stats(
     """Per-``by`` acceptance report: docs, kept, and per-rule fail
     counts — the corpus-curation dashboard row. One scan, one
     tiny-result aggregation (#groups = #sources)."""
-    flagged = with_gopher_flags(df, text, stopwords=stopwords)
+    from cuckoofilter_spark.session import fan_out
+
+    # fan_out (round 8): the seven rules are interpreted higher-order
+    # filters; a single-row-group scan runs them on one core
+    flagged = with_gopher_flags(fan_out(df), text, stopwords=stopwords)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("gopher_keep").cast("long")).alias("n_kept"),

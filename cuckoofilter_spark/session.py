@@ -97,6 +97,37 @@ def scale_conf(
     }
 
 
+def fan_out(df, target: int | None = None, *, factor: int = 2):
+    """Round-robin repartition a NARROW source up to the session's
+    parallelism when its scan produced too few partitions.
+
+    Why (round 8, guide §6/§2.5): single-row-group parquet files cap
+    scan parallelism at ONE task no matter the split config — Spark
+    assigns whole row groups to splits — so every per-document kernel
+    or projection over an MB-scale side table runs single-core while
+    the rest of the machine idles (measured: the 50k-doc minhash
+    kernel pass took 7.5 s on one task of a 16-slot session). The
+    repartition is GATED: it fires only when the source reports fewer
+    than ``target / factor`` partitions, so at real scale — where
+    inputs arrive as many files/row-groups — it is a no-op and no
+    exchange is added. The shuffle it does add moves only the MB-scale
+    input once, far cheaper than leaving all but one core idle.
+
+    Only correct for consumers whose RESULT is partition-layout
+    independent (per-row projections, order-independent aggregations,
+    exact-verified sketch gates) — which is every call site in this
+    package; see each caller's note."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n * factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def warm_python_workers(spark: SparkSession, n_workers: int | None = None) -> None:
     """Pre-spawn and warm the Arrow python workers.
 

@@ -677,18 +677,20 @@ def run_streaming_decontam(
     mutable state, so this scales to any stream length as one narrow
     probe pass + a candidates-only verify join per batch."""
     from cuckoofilter_spark.operators.decontam import (
-        contamination_count_udf, eval_ngram_filter, overlap_report,
+        eval_ngram_filter, ngram_hit_stats_udf, overlap_report,
     )
 
     blob, ev_ngrams = eval_ngram_filter(
         eval_df, text_col, n=n, bits_per_item=bits_per_item, seed=seed
     )
+    # the parked verify table now holds gram HASHES (column gh) — see
+    # eval_ngram_filter round-8 note
     ev_dir = os.path.join(out_dir, "_eval", "ngrams")
     ev_ngrams.write.mode("overwrite").parquet(ev_dir)
     ev_ngrams.unpersist()
     # one probe UDF (one filter broadcast) for the stream's lifetime —
     # creating it per batch would re-broadcast the blob every trigger
-    hits = contamination_count_udf(
+    hits = ngram_hit_stats_udf(
         eval_df.sparkSession, blob, n=n, seed=seed
     )
 
