@@ -145,6 +145,26 @@ def _to_float64(arr: pa.ChunkedArray) -> np.ndarray:
     return np.concatenate(out)
 
 
+def _partition_unique(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Per-partition distinct of a list-typed key column, in Arrow:
+    flatten (zero-copy), drop nulls (explode+isNotNull parity), one
+    ``np.unique`` over the partition. Emits the keys with their input
+    element dtype so downstream hashing/partitioning sees exactly the
+    values the exploded form would have produced."""
+    parts: list[np.ndarray] = []
+    for b in batches:
+        col = b.column(0)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            col = col.flatten()
+        if col.null_count:
+            col = col.drop_null()
+        if len(col):
+            parts.append(col.to_numpy(zero_copy_only=False))
+    if parts:
+        u = np.unique(np.concatenate(parts))
+        yield pa.RecordBatch.from_pydict({"__v": pa.array(u)})
+
+
 def shard_key_expr(col: str | Column) -> Column:
     """The expression shuffle_distinct shards partition on. Kept as a
     named single source of truth: ``delete_from_shards`` recomputes
@@ -292,15 +312,38 @@ def build_sketch_shards(
                 "shuffle_distinct is a membership-build strategy"
             )
         lineage = False  # provenance dissolves across the distinct shuffle
-        src = df.select(F.col(column).alias("__v"))
-        if isinstance(src.schema["__v"].dataType, _ARRAY_TYPES):
-            src = src.select(F.explode("__v").alias("__v"))
-        if isinstance(src.schema["__v"].dataType, StringType):
-            # hash BEFORE distinct: the shuffle then moves 8-byte
-            # hashes, never the strings themselves
-            src = src.select(string_key_expr("__v").alias("__v"))
-        # null-key parity with the local path (see shuffle_count above)
-        src = src.filter(F.col("__v").isNotNull())
+        dt = df.schema[column].dataType
+        if isinstance(dt, _ARRAY_TYPES):
+            # Round 8: per-partition np.unique in Arrow BEFORE the JVM
+            # distinct. The distinct's partial hash-aggregate over
+            # every exploded occurrence was ~85% of the collapse
+            # (measured 4.7 s for explode→distinct vs 0.8 s for the
+            # bare explode+scan at the sf1.0 step, 293M tokens); the
+            # Arrow flatten + np.unique feeds the JVM aggregate
+            # ~per-partition-cardinality rows instead of every
+            # occurrence (3.7 s end-to-end). Values and ELEMENT TYPE
+            # are preserved (int arrays stay int), so the distinct
+            # set, the shard-routing hash and the final filter are
+            # bit-identical to the exploded form.
+            elem = dt.elementType
+            key_col = F.col(column)
+            if isinstance(elem, StringType):
+                # hash BEFORE distinct: the shuffle then moves 8-byte
+                # hashes, never the strings themselves
+                key_col = F.transform(key_col, string_key_expr)
+                elem_sql = "bigint"
+            else:
+                elem_sql = elem.simpleString()
+            src = df.select(key_col.alias("__a")).mapInArrow(
+                _partition_unique, f"__v {elem_sql}"
+            )
+        else:
+            src = df.select(F.col(column).alias("__v"))
+            if isinstance(src.schema["__v"].dataType, StringType):
+                src = src.select(string_key_expr("__v").alias("__v"))
+            # null-key parity with the local path (see shuffle_count
+            # above)
+            src = src.filter(F.col("__v").isNotNull())
         # distinct() first so Catalyst's map-side partial aggregate
         # shrinks the big shuffle to ≈cardinality rows per partition;
         # then an explicit user-numbered repartition of the survivors.

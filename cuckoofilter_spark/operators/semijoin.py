@@ -28,6 +28,11 @@ from cuckoofilter_spark.operators.build import build_sketch_shards
 from cuckoofilter_spark.operators.merge import merge_shards_to_blob
 from cuckoofilter_spark.operators.probe import might_contain_udf
 
+# dims at or below this capacity build the membership blob driver-side
+# from one distinct-key collect (<= 32 MB of longs) — see
+# build_membership_blob round-8 note
+_DRIVER_BUILD_MAX = 1 << 22
+
 
 def build_membership_blob(
     dim: DataFrame, dim_key: str, *, kind: str = "cuckoo",
@@ -47,6 +52,38 @@ def build_membership_blob(
     if capacity is None:
         capacity = dim.count()
     capacity = suggest_capacity(int(capacity), target_load=target_load)
+    if kind in ("cuckoo", "semisort") and capacity <= _DRIVER_BUILD_MAX:
+        # Round 8: SMALL dims build driver-side from one distinct-key
+        # collect (8 bytes/key) instead of a shard-build + merge job
+        # round — the blob is KB..MB either way and membership answers
+        # are identical (FPR-pattern noise only, always exact-verified
+        # or bound-checked downstream). Large dims keep the
+        # distributed shard build below.
+        import numpy as np
+
+        from pyspark.sql.types import StringType
+
+        from cuckoofilter_spark.core.registry import make_sketch
+        from cuckoofilter_spark.operators.build import (
+            check_add_statuses, string_key_expr,
+        )
+
+        key_col = F.col(dim_key)
+        if isinstance(dim.schema[dim_key].dataType, StringType):
+            key_col = string_key_expr(key_col)
+        # JVM-side null drop BEFORE toPandas: a nullable int column
+        # would otherwise arrive as float64 and round keys >= 2^53
+        rows = (
+            dim.select(key_col.alias("__k"))
+            .filter(F.col("__k").isNotNull()).distinct().toPandas()
+        )
+        keys = rows["__k"].to_numpy(dtype=np.int64).view(np.uint64)
+        sk = make_sketch(
+            kind, max_num_keys=capacity,
+            bits_per_item=bits_per_item, seed=seed,
+        )
+        check_add_statuses(sk.add_many(keys), "build_membership_blob")
+        return sk.to_bytes()
     if kind in ("cuckoo", "semisort"):
         shards = build_sketch_shards(
             dim, dim_key, kind=kind, lineage=False,

@@ -141,14 +141,33 @@ def _frequent_hits(
     if n_freq == 0:
         freq.unpersist()
         return None, None
-    blob = merge_shards_to_blob(
-        build_sketch_shards(
-            freq, "gh", kind="cuckoo", lineage=False,
-            max_num_keys=max(suggest_capacity(n_freq), 1024),
-            bits_per_item=bits_per_item, seed=filter_seed,
-        ),
-        dedup=True,
-    )
+    if n_freq <= (1 << 22):
+        # round 8: small frequent sets build the gate filter
+        # driver-side from one collect (8 bytes/gram) instead of a
+        # 32-task shard build + merge round — same blob role, FPR
+        # pattern noise only (the exact join below decides)
+        from cuckoofilter_spark.core.cuckoo import CuckooFilter
+        from cuckoofilter_spark.operators.build import check_add_statuses
+
+        keys = (
+            freq.toPandas()["gh"].to_numpy(dtype=np.int64)
+            .view(np.uint64)
+        )
+        f = CuckooFilter(
+            max(suggest_capacity(n_freq), 1024),
+            bits_per_item, seed=filter_seed,
+        )
+        check_add_statuses(f.add_many(keys), "_frequent_hits")
+        blob = f.to_bytes()
+    else:
+        blob = merge_shards_to_blob(
+            build_sketch_shards(
+                freq, "gh", kind="cuckoo", lineage=False,
+                max_num_keys=max(suggest_capacity(n_freq), 1024),
+                bits_per_item=bits_per_item, seed=filter_seed,
+            ),
+            dedup=True,
+        )
     probe = might_contain_udf(tbl.sparkSession, blob)
     cand = (
         tbl.select("doc", F.posexplode("ghs").alias("pos", "gh"))

@@ -86,8 +86,12 @@ def test_shuffle_distinct_plan_is_partial_agg(spark):
         strategy="shuffle_distinct",
     )
     plan = explain_str(shards)
-    # explode feeds a map-side partial distinct before the exchange
-    assert "Generate" in plan or "Explode" in plan
+    # round 8: the token arrays flatten + pre-collapse per partition in
+    # Arrow (MapInArrow, np.unique) — no explode generates per-token
+    # rows — then the JVM distinct (HashAggregate + Exchange) finishes
+    # the global collapse over ~cardinality rows per partition
+    assert plan.count("MapInArrow") >= 2  # pre-unique + shard build
+    assert "Generate" not in plan and "Explode" not in plan
     assert "HashAggregate" in plan and "Exchange" in plan
 
 
