@@ -282,17 +282,12 @@ def _exact_count_candidates(
     """Exact per-key counts restricted to a bounded candidate set —
     the broadcast-semi-join + groupBy scaffold the MG-gated exact
     operators share. Returns (column, n)."""
-    from cuckoofilter_spark.session import fan_out
-
     spark = df.sparkSession
     cand = spark.createDataFrame(
         [(int(np.int64(x)),)
          for x in np.asarray(cand_keys, dtype=np.uint64).view(np.int64)],
         "__cand long",
     )
-    # fan_out (round 8): the exact-count scan over a single-row-group
-    # source would run one task; counts are partition-independent
-    df = fan_out(df)
     return (
         df.join(
             F.broadcast(cand),
@@ -398,11 +393,6 @@ def grouped_top_k_exact(
             f"{on_uncertified!r}"
         )
     _require_integral_key(df, column, "grouped_top_k_exact")
-    from cuckoofilter_spark.session import fan_out
-
-    # fan_out once here: the summary build, the exact-count join and
-    # the on_uncertified='exact' fallback all re-scan df (round 8)
-    df = fan_out(df)
     summary_k = summary_k or max(64 * k, 1024)
     cand, errs_df, top = _grouped_top_k_plan(
         df, group_col, column, k, summary_k, seed, materialize=True,
@@ -503,14 +493,9 @@ def _grouped_top_k_plan(
     from cuckoofilter_spark.core.registry import sketch_from_bytes
     from cuckoofilter_spark.operators.grouped import grouped_sketch_agg
 
-    from cuckoofilter_spark.session import fan_out
-
     summaries = grouped_sketch_agg(
         df, group_col, column, kind="mg", k=summary_k, seed=seed,
     )
-    # fan_out (round 8): the exact-count join below re-scans df; a
-    # single-row-group source would pin it to one task
-    df = fan_out(df)
     g_type = df.schema[group_col].dataType.simpleString()
 
     # Distributed summary decode: candidate rows + each group's err in
@@ -654,12 +639,9 @@ def heavy_hitters(df: DataFrame, column: str, threshold: int, *,
     filter nulls explicitly upstream if they matter."""
     from pyspark.sql import functions as F
 
-    from cuckoofilter_spark.session import fan_out
-
     sk = cms_sketch(df, column, eps=eps, delta=delta, seed=seed)
     est = cms_estimate_udf(df.sparkSession, sk.to_bytes())
-    # fan_out (round 8): the estimate-gate pass re-scans df
-    cand = fan_out(df).filter(est(F.col(column)) >= int(threshold))
+    cand = df.filter(est(F.col(column)) >= int(threshold))
     return (
         cand.groupBy(column)
         .agg(F.count(F.lit(1)).alias("n"))

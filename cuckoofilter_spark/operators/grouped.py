@@ -205,14 +205,5 @@ def grouped_sketch_agg(
         n_parts = num_partitions or df.sparkSession.sparkContext \
             .defaultParallelism
         src = src.repartition(n_parts, "g")
-    else:
-        from cuckoofilter_spark.session import fan_out
-
-        # fan_out (round 8): single-row-group scans serialize the
-        # partial build. Safe: the final merge is order-independent
-        # for hll/kmv/cms algebra; mg/tdigest summaries change with
-        # partitioning but every consumer is either exact-verified
-        # (grouped_top_k_exact) or tolerance-bound-checked
-        src = fan_out(src)
     partials = src.mapInPandas(partial, partial_schema)
     return partials.groupBy("g").applyInPandas(final, out_schema)
