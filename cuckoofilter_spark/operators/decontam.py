@@ -319,6 +319,49 @@ def eval_ngram_filter(
     from cuckoofilter_spark.operators.dedup import _shingle_hashes_batch
     from cuckoofilter_spark.session import fan_out
 
+    spark = eval_df.sparkSession
+
+    # ONE job for the whole small-eval path: each partition emits its
+    # locally-distinct gram hashes, the driver takes the global
+    # unique. The limit bounds what the driver can ever receive — if
+    # it fires (sum of per-partition uniques past the cap), we take
+    # the distributed path below instead.
+    def part_grams(pdfs):
+        seen: list[np.ndarray] = []
+        for pdf in pdfs:
+            arrs = _shingle_hashes_batch(pdf[text_col], n, seed)
+            arrs = [a for a in arrs if len(a)]
+            if arrs:
+                seen.append(np.unique(np.concatenate(arrs)))
+        if seen:
+            yield pd.DataFrame(
+                {"gh": np.unique(np.concatenate(seen)).view(np.int64)}
+            )
+
+    pdf = (
+        fan_out(eval_df.select(F.col(text_col)))
+        .mapInPandas(part_grams, "gh long")
+        .limit(_DRIVER_EVAL_BUILD_MAX + 1)
+        .toPandas()
+    )
+    if len(pdf) <= _DRIVER_EVAL_BUILD_MAX:
+        from cuckoofilter_spark.core.cuckoo import CuckooFilter
+        from cuckoofilter_spark.operators.build import check_add_statuses
+
+        all_gh = np.unique(pdf["gh"].to_numpy(dtype=np.int64))
+        n_grams = len(all_gh)
+        cap = max(_suggest_capacity(int(capacity or n_grams)), 1024)
+        f = CuckooFilter(cap, bits_per_item, seed=seed)
+        check_add_statuses(
+            f.add_many(all_gh.view(np.uint64)), "eval_ngram_filter"
+        )
+        blob = f.to_bytes()
+        grams = spark.createDataFrame(
+            pd.DataFrame({"gh": all_gh}), "gh long"
+        )
+        return blob, grams
+
+    # big eval set: distributed distinct + shard build (unchanged)
     @F.pandas_udf(ArrayType(LongType()))
     def sh_udf(texts: pd.Series) -> pd.Series:
         return pd.Series([
@@ -334,23 +377,11 @@ def eval_ngram_filter(
     grams.persist()
     n_grams = grams.count()
     cap = max(_suggest_capacity(int(capacity or n_grams)), 1024)
-    if n_grams <= _DRIVER_EVAL_BUILD_MAX:
-        from cuckoofilter_spark.core.cuckoo import CuckooFilter
-        from cuckoofilter_spark.operators.build import check_add_statuses
-
-        keys = np.fromiter(
-            (r[0] for r in grams.collect()), dtype=np.int64,
-            count=n_grams,
-        ).view(np.uint64)
-        f = CuckooFilter(cap, bits_per_item, seed=seed)
-        check_add_statuses(f.add_many(keys), "eval_ngram_filter")
-        blob = f.to_bytes()
-    else:
-        shards = build_sketch_shards(
-            grams, "gh", kind="cuckoo", lineage=False,
-            max_num_keys=cap, bits_per_item=bits_per_item, seed=seed,
-        )
-        blob = merge_shards_to_blob(shards, dedup=True)
+    shards = build_sketch_shards(
+        grams, "gh", kind="cuckoo", lineage=False,
+        max_num_keys=cap, bits_per_item=bits_per_item, seed=seed,
+    )
+    blob = merge_shards_to_blob(shards, dedup=True)
     return blob, grams
 
 

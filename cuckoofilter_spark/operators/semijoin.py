@@ -49,24 +49,24 @@ def build_membership_blob(
     """
     from cuckoofilter_spark.core.cuckoo import suggest_capacity
 
-    if capacity is None:
-        capacity = dim.count()
-    capacity = suggest_capacity(int(capacity), target_load=target_load)
-    if kind in ("cuckoo", "semisort") and capacity <= _DRIVER_BUILD_MAX:
+    if kind in ("cuckoo", "semisort") and (
+        capacity is None or capacity <= _DRIVER_BUILD_MAX
+    ):
         # Round 8: SMALL dims build driver-side from one distinct-key
-        # collect (8 bytes/key) instead of a shard-build + merge job
-        # round — the blob is KB..MB either way and membership answers
-        # are identical (FPR-pattern noise only, always exact-verified
-        # or bound-checked downstream). Large dims keep the
-        # distributed shard build below.
+        # collect (8 bytes/key) instead of a count job + shard-build +
+        # merge round — the blob is KB..MB either way and membership
+        # answers are identical (FPR-pattern noise only, always
+        # exact-verified or bound-checked downstream). The LIMIT
+        # bounds what the driver can receive: when it fires (dim past
+        # the cap) we fall through to the count + distributed build.
         import numpy as np
 
         from pyspark.sql.types import StringType
 
-        from cuckoofilter_spark.core.registry import make_sketch
         from cuckoofilter_spark.operators.build import (
             check_add_statuses, string_key_expr,
         )
+        from cuckoofilter_spark.core.registry import make_sketch
 
         key_col = F.col(dim_key)
         if isinstance(dim.schema[dim_key].dataType, StringType):
@@ -75,15 +75,23 @@ def build_membership_blob(
         # would otherwise arrive as float64 and round keys >= 2^53
         rows = (
             dim.select(key_col.alias("__k"))
-            .filter(F.col("__k").isNotNull()).distinct().toPandas()
+            .filter(F.col("__k").isNotNull()).distinct()
+            .limit(_DRIVER_BUILD_MAX + 1).toPandas()
         )
-        keys = rows["__k"].to_numpy(dtype=np.int64).view(np.uint64)
-        sk = make_sketch(
-            kind, max_num_keys=capacity,
-            bits_per_item=bits_per_item, seed=seed,
-        )
-        check_add_statuses(sk.add_many(keys), "build_membership_blob")
-        return sk.to_bytes()
+        if len(rows) <= _DRIVER_BUILD_MAX:
+            keys = rows["__k"].to_numpy(dtype=np.int64).view(np.uint64)
+            cap = suggest_capacity(
+                int(capacity or len(keys)), target_load=target_load
+            )
+            sk = make_sketch(
+                kind, max_num_keys=cap,
+                bits_per_item=bits_per_item, seed=seed,
+            )
+            check_add_statuses(sk.add_many(keys), "build_membership_blob")
+            return sk.to_bytes()
+    if capacity is None:
+        capacity = dim.count()
+    capacity = suggest_capacity(int(capacity), target_load=target_load)
     if kind in ("cuckoo", "semisort"):
         shards = build_sketch_shards(
             dim, dim_key, kind=kind, lineage=False,
