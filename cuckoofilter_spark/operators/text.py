@@ -187,16 +187,12 @@ def shingles_col(text: str | Column, k: int = 3) -> Column:
         .otherwise(F.array().cast("array<string>"))
 
 
-def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
-    """Attach the full feature set in one projection.
-
-    fan_out (round 8): single-row-group side tables scan as one task
-    and the stopword/filter higher-order expressions are interpreted —
-    fanning the scan out parallelizes them; per-row output is
-    partition-independent."""
-    from cuckoofilter_spark.session import fan_out
-
-    df = fan_out(df)
+def with_text_stats_columns(df: DataFrame, text: str = "text") -> DataFrame:
+    """The full feature set as pure Column expressions — the
+    REFERENCE form (and the shape the DuckDB oracles mirror). Each
+    feature re-evaluates ``words_col`` inside interpreted higher-order
+    lambdas, so the hot path is ``with_text_stats`` (fused Arrow
+    kernel, bit-identical output — asserted in tests)."""
     return df.withColumns(
         {
             "n_words": token_count_ws(text),
@@ -206,6 +202,131 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
             "pred_lang": lang_id(text),
             "fingerprint": fingerprint_md5(text),
         }
+    )
+
+
+# Java-\s equivalents, compiled once per worker. Java regex \s (and
+# Spark trim/normalize semantics) are ASCII-only: [ \t\n\x0b\f\r];
+# Python's \s is Unicode, so every class below spells the six bytes
+# out. Alternation order in _BPE_RE matches the JVM pattern —
+# leftmost-first semantics agree between engines.
+_PY_WS = " \t\n\x0b\f\r"
+_PY_WS_RE = None
+_PY_BPE_RE = None
+_PY_PUNCT_RE = None
+
+
+def _text_stats_row(t, stop_sets):
+    """One document's (n_words, n_tokens_bpe, n_punct, quality_milli,
+    pred_lang, fingerprint) — semantics bit-identical to
+    ``with_text_stats_columns`` (see the round-8 parity test):
+
+    - words: ``trim`` strips SPACES only (Spark ``trim``), split on
+      Java ``\\s+``;
+    - rounding: Spark ``round(double)`` is BigDecimal-HALF_UP over the
+      double's shortest decimal repr — reproduced with ``decimal`` on
+      ``repr(x)``;
+    - length: both engines count codepoints; md5 of the
+      lower+ws-collapsed text matches ``fingerprint_md5``."""
+    import hashlib
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    global _PY_WS_RE, _PY_BPE_RE, _PY_PUNCT_RE
+    if _PY_WS_RE is None:
+        _PY_WS_RE = _re.compile(f"[{_PY_WS}]+")
+        _PY_BPE_RE = _re.compile(f"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9{_PY_WS}]")
+        _PY_PUNCT_RE = _re.compile(f"[^a-zA-Z0-9{_PY_WS}]")
+
+    def _round_half_up(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(0, ROUND_HALF_UP))
+
+    words = [w for w in _PY_WS_RE.split(t.strip(" ")) if w]
+    n_words = len(words)
+    n_bpe = len(_PY_BPE_RE.findall(t))
+    n_punct = len(_PY_PUNCT_RE.findall(t))
+    wset = {}
+    for w in words:
+        wset[w] = wset.get(w, 0) + 1
+    hits = {
+        lang: sum(wset.get(s, 0) for s in sw)
+        for lang, sw in stop_sets.items()
+    }
+    len_score = min(400, n_words * 4)
+    sw_score = min(300, _round_half_up(hits["en"] / max(n_words, 1) * 3000))
+    punct_pen = min(300, _round_half_up(n_punct / max(len(t), 1) * 3000))
+    quality = len_score + sw_score - punct_pen + 300
+    best_lang, best = "und", 0
+    for lang in sorted(hits):
+        if hits[lang] > best:
+            best_lang, best = lang, hits[lang]
+    norm = _PY_WS_RE.sub(" ", t.strip(" ").lower())
+    fp = hashlib.md5(norm.encode("utf-8")).hexdigest()
+    return n_words, n_bpe, n_punct, quality, best_lang, fp
+
+
+def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach the full feature set in one projection.
+
+    Round 8 (guide §4.2): ONE Arrow-batched kernel computes all six
+    features per document — the Column form re-evaluates the
+    interpreted (CodegenFallback) ``words_col``/``filter`` lambdas
+    once per feature per row and, on the single-row-group side
+    tables, on one core. Output is bit-identical to
+    ``with_text_stats_columns`` (parity test + the DuckDB oracle of
+    ``text_stats_by_source``). fan_out: see the module helpers."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from cuckoofilter_spark.session import fan_out
+
+    stop_sets = {k: tuple(v) for k, v in LANG_STOPWORDS.items()}
+    out_type = StructType([
+        StructField("n_words", IntegerType()),
+        StructField("n_tokens_bpe", IntegerType()),
+        StructField("n_punct", IntegerType()),
+        StructField("quality_milli", IntegerType()),
+        StructField("pred_lang", StringType()),
+        StructField("fingerprint", StringType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def stats(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in s:
+            if t is None:
+                # JVM null semantics: size/regex features null;
+                # quality_milli = 700 because LEAST/GREATEST skip
+                # nulls (least(400, null)=400, least(300, null)=300
+                # twice, +300); pred_lang falls through every WHEN to
+                # 'und'; fingerprint null
+                rows.append((None, None, None, 700, "und", None))
+            else:
+                rows.append(_text_stats_row(t, stop_sets))
+        out = pd.DataFrame(
+            rows,
+            columns=["n_words", "n_tokens_bpe", "n_punct",
+                     "quality_milli", "pred_lang", "fingerprint"],
+        )
+        for c in ("n_words", "n_tokens_bpe", "n_punct", "quality_milli"):
+            out[c] = out[c].astype("Int32")
+        return out
+
+    df = fan_out(df)
+    st = F.col("__ts")
+    return (
+        df.withColumn("__ts", stats(F.col(text)))
+        .withColumns({
+            "n_words": st["n_words"],
+            "n_tokens_bpe": st["n_tokens_bpe"],
+            "n_punct": st["n_punct"],
+            "quality_milli": st["quality_milli"],
+            "pred_lang": st["pred_lang"],
+            "fingerprint": st["fingerprint"],
+        })
+        .drop("__ts")
     )
 
 
