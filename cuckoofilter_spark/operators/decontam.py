@@ -213,6 +213,82 @@ def ngram_hit_stats_udf(spark, blob: bytes, *, n: int, seed: int):
     return apply
 
 
+def ngram_overlap_udf(spark, blob: bytes, exact_keys, *, n: int, seed: int):
+    """Column-function ``f(text) -> struct<n_total int, n_overlap
+    int>`` — the FUSED gate + exact verify (round 8): per document,
+    tokenize → shingle → hash → batched CF probe (the zero-FN gate:
+    only probe HITS pay the exact lookup), then the hits verify
+    against the broadcast SORTED exact eval-hash array with one
+    ``searchsorted``. Emits the exact distinct-overlap count directly
+    — no hit arrays cross the boundary, no explode/join/groupBy
+    follows. ``exact_keys``: uint64 ndarray of the eval set's distinct
+    gram hashes (sorted here)."""
+    import uuid
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from cuckoofilter_spark.operators.dedup import _shingle_hashes_batch
+    from cuckoofilter_spark.operators.probe import _get_filter
+
+    bc = spark.sparkContext.broadcast(bytes(blob))
+    keys_sorted = np.sort(np.asarray(exact_keys, dtype=np.uint64))
+    bc_keys = spark.sparkContext.broadcast(keys_sorted)
+    cache_key = uuid.uuid4().hex
+    out_type = StructType([
+        StructField("n_total", IntegerType()),
+        StructField("n_overlap", IntegerType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def stats(s: pd.Series) -> pd.DataFrame:
+        sk = _get_filter(bc, cache_key)
+        ek = bc_keys.value
+        arrs = _shingle_hashes_batch(s, n, seed)
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        if len(arrs) == 0 or int(lens.sum()) == 0:
+            z = np.zeros(len(arrs), dtype=np.int32)
+            return pd.DataFrame({"n_total": z, "n_overlap": z})
+        flat = np.concatenate(arrs)
+        hv = sk.contains_many(flat)
+        # exact verify on the gate hits only: membership of each hit
+        # in the sorted exact set via searchsorted
+        hits = flat[hv]
+        if len(hits) and len(ek):
+            pos = np.searchsorted(ek, hits)
+            pos[pos >= len(ek)] = len(ek) - 1
+            exact_hit = ek[pos] == hits
+        else:
+            exact_hit = np.zeros(len(hits), dtype=bool)
+        ex = np.zeros(len(flat), dtype=np.int64)
+        ex[hv] = exact_hit.astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(ex)))
+        ends = np.cumsum(lens)
+        n_overlap = (csum[ends] - csum[ends - lens]).astype(np.int32)
+        return pd.DataFrame({
+            "n_total": lens.astype(np.int32),
+            "n_overlap": n_overlap,
+        })
+
+    def apply(col):
+        return stats(F.col(col) if isinstance(col, str) else col)
+
+    return apply
+
+
+def _collect_gram_keys(ev_ngrams: DataFrame):
+    """The eval gram-hash set as a uint64 ndarray, or None when it
+    exceeds the driver cap (limit-bounded collect — the fused verify
+    then falls back to the explode+join plan)."""
+    pdf = ev_ngrams.select("gh").limit(
+        _DRIVER_EVAL_BUILD_MAX + 1
+    ).toPandas()
+    if len(pdf) > _DRIVER_EVAL_BUILD_MAX:
+        return None
+    return pdf["gh"].to_numpy(dtype=np.int64).view(np.uint64)
+
+
 def novelty_report(
     corpus: DataFrame, ref_df: DataFrame, id_col: str, text_col: str, *,
     n: int = 3, bits_per_item: int = 16, seed: int = 7,
@@ -248,14 +324,33 @@ def novelty_report(
     spark = corpus.sparkSession
     from cuckoofilter_spark.session import fan_out
 
-    stats = ngram_hit_stats_udf(spark, blob, n=n, seed=seed)
+    # Round 8: the fused gate+verify UDF computes (n_total, exact
+    # n_seen) in ONE corpus pass — CF gate (zero FN) then searchsorted
+    # against the broadcast exact gram set; no explode, no join at
+    # all. Eval sets past the driver cap fall back to the hit-array
+    # explode + broadcast-join verify.
+    keys = _collect_gram_keys(ref_grams)
+    if keys is not None:
+        stats = ngram_overlap_udf(spark, blob, keys, n=n, seed=seed)
+        base = fan_out(corpus).select(
+            F.col(id_col), stats(text_col).alias("__st")
+        ).select(
+            id_col,
+            F.col("__st.n_total").alias("n_total"),
+            F.col("__st.n_overlap").alias("__n_seen"),
+        )
+        return base.select(
+            id_col,
+            "n_total",
+            F.col("__n_seen").cast("long").alias("n_seen"),
+            F.when(F.col("n_total") > 0,
+                   F.floor(F.lit(1000) * (F.col("n_total")
+                                          - F.col("__n_seen"))
+                           / F.col("n_total")))
+            .otherwise(F.lit(1000)).alias("novelty_milli"),
+        )
 
-    # Round 8: the fused gate returns the candidate gram HASHES, so
-    # the exact join explodes 8-byte longs and joins the broadcast
-    # hashed reference set — no document is ever re-shingled by the
-    # interpreted JVM shingles_col, and the corpus is touched by
-    # exactly one Arrow pass. fan_out: single-row-group scans would
-    # otherwise run that pass on one core.
+    stats = ngram_hit_stats_udf(spark, blob, n=n, seed=seed)
     base = fan_out(corpus).select(
         F.col(id_col), stats(text_col).alias("__st")
     ).select(
@@ -447,11 +542,30 @@ def overlap_report(
     spark = corpus.sparkSession
     from cuckoofilter_spark.session import fan_out
 
-    stats = (hits_udf if hits_udf is not None
-             else ngram_hit_stats_udf(spark, blob, n=n, seed=seed))
+    if hits_udf is None:
+        keys = _collect_gram_keys(ev_ngrams)
+        if keys is not None:
+            hits_udf = ngram_overlap_udf(spark, blob, keys, n=n, seed=seed)
+    if hits_udf is not None:
+        # fused plan: ONE corpus pass computes the exact overlap count
+        # (CF gate + searchsorted verify inside the UDF) — the join
+        # below never runs. min_overlap=0 keeps the legacy inner-join
+        # semantics (a document with zero overlaps never had a row).
+        return (
+            fan_out(corpus)
+            .select(F.col(id_col), hits_udf(text_col).alias("__st"))
+            .filter(F.col("__st.n_overlap") >= max(int(min_overlap), 1))
+            .select(
+                id_col,
+                F.col("__st.n_overlap").cast("long").alias("n_overlap"),
+            )
+        )
+
+    # eval set past the driver cap: probe-gate + explode + broadcast
+    # join verify (the pre-round-8 shape, on gram hashes)
+    stats = ngram_hit_stats_udf(spark, blob, n=n, seed=seed)
     if broadcast_eval:
         ev_ngrams = F.broadcast(ev_ngrams)
-
     candidates = (
         fan_out(corpus)
         .select(F.col(id_col), stats(text_col).alias("__st"))

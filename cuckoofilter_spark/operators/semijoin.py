@@ -47,6 +47,23 @@ def build_membership_blob(
     overflow (reference pre-doubles at 0.96,
     src/cuckoofilter.h:92-95), so size for ≤ ``target_load`` merged.
     """
+    return _blob_and_keys(
+        dim, dim_key, kind=kind, bits_per_item=bits_per_item, seed=seed,
+        capacity=capacity, target_load=target_load,
+    )[0]
+
+
+def _blob_and_keys(
+    dim: DataFrame, dim_key: str, *, kind: str = "cuckoo",
+    bits_per_item: int = 12, seed: int = 2014, capacity: int | None = None,
+    target_load: float = 0.85,
+):
+    """(blob, keys_pdf | None): ``build_membership_blob`` plus — when
+    the round-8 driver-side small-dim path ran on a RAW (unhashed)
+    integral key — the collected distinct-key pandas frame, so
+    ``filter_semi_join``/``filter_anti_join`` can reuse it for the
+    exact verify join instead of re-scanning + re-distincting the dim
+    inside the final job."""
     from cuckoofilter_spark.core.cuckoo import suggest_capacity
 
     if kind in ("cuckoo", "semisort") and (
@@ -88,7 +105,8 @@ def build_membership_blob(
                 bits_per_item=bits_per_item, seed=seed,
             )
             check_add_statuses(sk.add_many(keys), "build_membership_blob")
-            return sk.to_bytes()
+            hashed = isinstance(dim.schema[dim_key].dataType, StringType)
+            return sk.to_bytes(), (None if hashed else rows)
     if capacity is None:
         capacity = dim.count()
     capacity = suggest_capacity(int(capacity), target_load=target_load)
@@ -112,7 +130,7 @@ def build_membership_blob(
     # merges so a 10^5-shard dim build never fans every shard blob
     # into the driver — the aggregate-then-merge shape the reference's
     # own merge design exists for (SURVEY §2.1 merge row).
-    return merge_shards_to_blob(shards, dedup=(kind == "cuckoo"))
+    return merge_shards_to_blob(shards, dedup=(kind == "cuckoo")), None
 
 
 def filter_semi_join(
@@ -128,7 +146,7 @@ def filter_semi_join(
     rows, zero missing rows).
     """
     spark = fact.sparkSession
-    blob = build_membership_blob(
+    blob, keys_pdf = _blob_and_keys(
         dim, dim_key, kind=kind, bits_per_item=bits_per_item, seed=seed
     )
     probe = might_contain_udf(spark, blob)
@@ -136,10 +154,22 @@ def filter_semi_join(
     pruned = fact.filter(probe(key_col))
     if not exact:
         return pruned
-    dim_keys = dim.select(F.col(dim_key).alias("__dk")).distinct()
+    dim_keys = _dim_keys_df(spark, dim, dim_key, keys_pdf)
     return pruned.join(
         F.broadcast(dim_keys), on=key_col == F.col("__dk"), how="left_semi"
     )
+
+
+def _dim_keys_df(spark, dim: DataFrame, dim_key: str, keys_pdf) -> DataFrame:
+    """The exact-verify join's distinct-key side: reuse the driver
+    collect from the blob build when available (one createDataFrame of
+    <= 4M longs beats re-scanning + re-distincting the dim inside the
+    final job), else the original recompute."""
+    if keys_pdf is not None:
+        return spark.createDataFrame(
+            keys_pdf.rename(columns={"__k": "__dk"})
+        )
+    return dim.select(F.col(dim_key).alias("__dk")).distinct()
 
 
 def filter_anti_join(
@@ -169,7 +199,7 @@ def filter_anti_join(
     ``probe`` filters — so NULL rows are routed through an explicit
     ``isNull`` arm rather than silently dropped."""
     spark = fact.sparkSession
-    blob = build_membership_blob(
+    blob, keys_pdf = _blob_and_keys(
         dim, dim_key, kind=kind, bits_per_item=bits_per_item, seed=seed
     )
     probe = might_contain_udf(spark, blob)
@@ -177,7 +207,7 @@ def filter_anti_join(
     misses = fact.filter(key_col.isNull() | ~probe(key_col))
     if not exact:
         return misses
-    dim_keys = dim.select(F.col(dim_key).alias("__dk")).distinct()
+    dim_keys = _dim_keys_df(spark, dim, dim_key, keys_pdf)
     recovered = fact.filter(probe(key_col)).join(
         F.broadcast(dim_keys), on=key_col == F.col("__dk"), how="left_anti"
     )

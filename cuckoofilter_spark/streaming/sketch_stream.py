@@ -677,7 +677,8 @@ def run_streaming_decontam(
     mutable state, so this scales to any stream length as one narrow
     probe pass + a candidates-only verify join per batch."""
     from cuckoofilter_spark.operators.decontam import (
-        eval_ngram_filter, ngram_hit_stats_udf, overlap_report,
+        _collect_gram_keys, eval_ngram_filter, ngram_overlap_udf,
+        overlap_report,
     )
 
     blob, ev_ngrams = eval_ngram_filter(
@@ -688,10 +689,15 @@ def run_streaming_decontam(
     ev_dir = os.path.join(out_dir, "_eval", "ngrams")
     ev_ngrams.write.mode("overwrite").parquet(ev_dir)
     ev_ngrams.unpersist()
-    # one probe UDF (one filter broadcast) for the stream's lifetime —
-    # creating it per batch would re-broadcast the blob every trigger
-    hits = ngram_hit_stats_udf(
-        eval_df.sparkSession, blob, n=n, seed=seed
+    # one fused gate+verify UDF (one blob + one exact-set broadcast)
+    # for the stream's lifetime — creating it per batch would
+    # re-broadcast both every trigger. None when the eval set exceeds
+    # the driver cap: overlap_report then runs its explode+join
+    # fallback per batch against the parked parquet table.
+    keys = _collect_gram_keys(ev_ngrams)
+    hits = (
+        ngram_overlap_udf(eval_df.sparkSession, blob, keys, n=n, seed=seed)
+        if keys is not None else None
     )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:

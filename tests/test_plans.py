@@ -413,11 +413,31 @@ def test_decontaminate_plan_gate_below_explode(spark):
     from cuckoofilter_spark.operators.decontam import decontaminate
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    # round 8, small-eval FUSED plan: one Arrow pass computes the
+    # exact overlap inside the gate UDF — no explode, no join at all
     plan = explain_str(decontaminate(
-        docs.filter(F.col("doc_id") % 97 != 0),
-        docs.filter(F.col("doc_id") % 97 == 0),
-        "doc_id", "text", n=3, min_overlap=1,
+        corpus, ev, "doc_id", "text", n=3, min_overlap=1,
     ))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "Generate" not in plan and "Join" not in plan
+
+    # big-eval fallback (forced by shrinking the driver cap): the
+    # probe gate runs BELOW the hit-hash explode, and the verify join
+    # broadcasts the eval side — the pre-round-8 scale shape
+    import cuckoofilter_spark.operators.decontam as dc
+
+    old = dc._DRIVER_EVAL_BUILD_MAX
+    dc._DRIVER_EVAL_BUILD_MAX = 0
+    try:
+        plan = explain_str(decontaminate(
+            corpus, ev, "doc_id", "text", n=3, min_overlap=1,
+        ))
+    finally:
+        dc._DRIVER_EVAL_BUILD_MAX = old
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     gen = plan.find("Generate")          # the candidate-side explode
