@@ -395,8 +395,14 @@ class CuckooFilter:
         n = len(idx)
         # owner|phase packing puts the phase flag at bit 30 — a batch
         # >= 2^30 would silently corrupt owner indices. All callers
-        # chunk at _ADD_CHUNK; keep the invariant loud.
-        assert n < (1 << 30), "batch too large for int32 owner|phase lanes"
+        # chunk at _ADD_CHUNK; keep the invariant loud. ValueError,
+        # not assert: python -O strips asserts and would revert to the
+        # silent corruption this guard exists to prevent (r7 ADVICE).
+        if n >= (1 << 30):
+            raise ValueError(
+                "batch too large for int32 owner|phase lanes "
+                f"(n={n} >= 2^30); chunk at _ADD_CHUNK"
+            )
         claim = self._claim_buf()
         words = table.dtype == np.uint16
         t64 = table.reshape(-1).view(np.uint64) if words else None

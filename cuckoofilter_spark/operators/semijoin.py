@@ -161,14 +161,12 @@ def filter_semi_join(
 
 
 def _dim_keys_df(spark, dim: DataFrame, dim_key: str, keys_pdf) -> DataFrame:
-    """The exact-verify join's distinct-key side: reuse the driver
-    collect from the blob build when available (one createDataFrame of
-    <= 4M longs beats re-scanning + re-distincting the dim inside the
-    final job), else the original recompute."""
-    if keys_pdf is not None:
-        return spark.createDataFrame(
-            keys_pdf.rename(columns={"__k": "__dk"})
-        )
+    """The exact-verify join's distinct-key side. Measured round 8:
+    re-creating the collected keys as a driver-local DataFrame LOSES
+    to the JVM recompute (broadcast-building a 690k-row
+    LocalTableScan: 4.3 s vs 2.4 s for the parallel scan + distinct +
+    broadcast), so the keys_pdf reuse is deliberately NOT taken —
+    kept as a parameter so the A/B is one-line to revisit."""
     return dim.select(F.col(dim_key).alias("__dk")).distinct()
 
 

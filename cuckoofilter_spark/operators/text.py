@@ -515,6 +515,10 @@ def gopher_flags(
     * ``r_mean_wl``  — mean word length in [3, 10] chars
                        (3·n_words ≤ non-ws chars ≤ 10·n_words)
     * ``r_symbol``   — (#-count + '...'-count) / words ≤ 0.1
+                       (DEVIATION from Rae et al. A1.1, which applies
+                       0.1 to each symbol separately; the combined
+                       form is slightly stricter — kept as the
+                       oracle-matched contract since round 7)
     * ``r_bullet``   — ≤ 90% of non-blank lines start with a bullet
     * ``r_ellipsis`` — ≤ 30% of non-blank lines end with '...'
     * ``r_alpha``    — ≥ 80% of words contain an alphabetic char
