@@ -207,6 +207,8 @@ def ngram_hit_stats_udf(spark, blob: bytes, *, n: int, seed: int):
             "hits": out_hits,
         })
 
+    stats = stats.asNondeterministic()  # guide §4.4 — see ngram_overlap_udf
+
     def apply(col):
         return stats(F.col(col) if isinstance(col, str) else col)
 
@@ -271,6 +273,13 @@ def ngram_overlap_udf(spark, blob: bytes, exact_keys, *, n: int, seed: int):
             "n_overlap": n_overlap,
         })
 
+    # asNondeterministic (guide §4.4): downstream filters on the
+    # struct fields would otherwise be pushed below the projection and
+    # DUPLICATE the whole kernel evaluation (two ArrowEvalPython nodes
+    # — every document tokenized and probed twice; seen in the round-8
+    # plan capture). The function is pure; the marking only pins it.
+    stats = stats.asNondeterministic()
+
     def apply(col):
         return stats(F.col(col) if isinstance(col, str) else col)
 
@@ -332,7 +341,9 @@ def novelty_report(
     keys = _collect_gram_keys(ref_grams)
     if keys is not None:
         stats = ngram_overlap_udf(spark, blob, keys, n=n, seed=seed)
-        base = fan_out(corpus).select(
+        base = fan_out(
+            corpus.select(F.col(id_col), F.col(text_col))
+        ).select(
             F.col(id_col), stats(text_col).alias("__st")
         ).select(
             id_col,
@@ -351,7 +362,9 @@ def novelty_report(
         )
 
     stats = ngram_hit_stats_udf(spark, blob, n=n, seed=seed)
-    base = fan_out(corpus).select(
+    base = fan_out(
+        corpus.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), stats(text_col).alias("__st")
     ).select(
         id_col,
@@ -552,7 +565,7 @@ def overlap_report(
         # below never runs. min_overlap=0 keeps the legacy inner-join
         # semantics (a document with zero overlaps never had a row).
         return (
-            fan_out(corpus)
+            fan_out(corpus.select(F.col(id_col), F.col(text_col)))
             .select(F.col(id_col), hits_udf(text_col).alias("__st"))
             .filter(F.col("__st.n_overlap") >= max(int(min_overlap), 1))
             .select(
@@ -567,7 +580,7 @@ def overlap_report(
     if broadcast_eval:
         ev_ngrams = F.broadcast(ev_ngrams)
     candidates = (
-        fan_out(corpus)
+        fan_out(corpus.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), stats(text_col).alias("__st"))
         .filter(F.col("__st.n_hits") >= min_overlap)
     )

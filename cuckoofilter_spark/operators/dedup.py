@@ -446,8 +446,10 @@ def shingle_sets(
     from cuckoofilter_spark.session import fan_out
 
     # fan_out (round 8): single-row-group side tables scan as ONE task,
-    # serializing the kernel; per-doc output is partition-independent
-    return fan_out(df).select(
+    # serializing the kernel; per-doc output is partition-independent.
+    # Project FIRST so the exchange hashes/ships only (id, text) and
+    # the scan stays column-pruned.
+    return fan_out(df.select(F.col(id_col), F.col(text))).select(
         F.col(id_col).alias("doc"), sh_udf(F.col(text)).alias("sh")
     )
 
@@ -564,7 +566,7 @@ def minhash_table(
     from cuckoofilter_spark.session import fan_out
 
     # fan_out (round 8): see shingle_sets — kernel output is per-row
-    return fan_out(df).select(
+    return fan_out(df.select(F.col(id_col), F.col(text))).select(
         F.col(id_col).alias("doc"), tbl_udf(F.col(text)).alias("t")
     ).select("doc", F.col("t.sh").alias("sh"), F.col("t.bhs").alias("bhs"))
 
@@ -1388,7 +1390,7 @@ def simhash64(
     from cuckoofilter_spark.session import fan_out
 
     # fan_out (round 8): see shingle_sets — kernel output is per-row
-    return fan_out(df).select(
+    return fan_out(df.select(F.col(id_col), F.col(text))).select(
         F.col(id_col).alias("doc"), sim_udf(F.col(text)).alias("simhash")
     )
 

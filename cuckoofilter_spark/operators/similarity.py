@@ -115,7 +115,7 @@ def cosine_topk(
     # raw float column, not _as_double: float32 -> float64 is exact in
     # numpy, and skipping the interpreted per-element transform keeps
     # the scan narrow
-    cand = fan_out(corpus).select(
+    cand = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("nbr"), F.col(vec_col).alias("cv")
     ).mapInPandas(part_topk, "query_id long, nbr long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr"))
@@ -231,7 +231,7 @@ def lsh_ann_topk(
     )
     from cuckoofilter_spark.session import fan_out
 
-    c = fan_out(corpus).select(
+    c = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("nbr"), _as_double(vec_col).alias("cv"),
         F.explode(bucketize(vec_col)).alias("bucket"),
     ).withColumn("cn", _norm("cv"))
@@ -451,7 +451,7 @@ def cosine_near_dup_pairs_blocked(
         raise ValueError("n_blocks must be >= 1")
     from cuckoofilter_spark.session import fan_out
 
-    vecs = fan_out(corpus).select(
+    vecs = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
@@ -653,7 +653,7 @@ def lsh_near_dup_pairs(
     )
     from cuckoofilter_spark.session import fan_out
 
-    corpus = fan_out(corpus)
+    corpus = fan_out(corpus.select(F.col(id_col), F.col(vec_col)))
     base = corpus.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"),
         F.explode(bucketize(vec_col)).alias("bucket"),
@@ -747,7 +747,7 @@ def cosine_near_dup_pairs_celled(
     assign = ivf_assign_udf(centroids, nprobe=1)
     from cuckoofilter_spark.session import fan_out
 
-    cells = fan_out(corpus).select(
+    cells = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).cast("long").alias("vid"),
         _as_double(vec_col).alias("v"),
         assign(F.col(vec_col))[0].alias("cell"),

@@ -104,8 +104,9 @@ def gram_table(
     from cuckoofilter_spark.session import fan_out
 
     # fan_out (round 8): single-row-group scans serialize the kernel;
-    # per-doc output is partition-independent
-    df = fan_out(df)
+    # per-doc output is partition-independent. Project first: the
+    # exchange ships only (id, text), the scan stays column-pruned.
+    df = fan_out(df.select(F.col(id_col), F.col(text)))
     return df.select(
         F.col(id_col).alias("doc"), tbl_udf(F.col(text)).alias("t")
     ).select("doc", F.col("t.n_words").alias("n_words"),
