@@ -41,10 +41,23 @@ class CountMinSketch:
         if len(keys) == 0:
             return
         cols = self._cols(keys)
-        w = counts if counts is not None else np.ones(len(keys), dtype=np.int64)
-        for d in range(self.depth):
-            np.add.at(self.counts[d], cols[d], w)
-        self.total += int(w.sum())
+        # bincount, not np.add.at (round 8): the per-element ufunc
+        # scatter runs ~0.6M updates/s; bincount is one C pass per row
+        # (identical sums — float64 weight accumulation is exact below
+        # 2^53, far beyond any per-cell count here)
+        if counts is None:
+            for d in range(self.depth):
+                self.counts[d] += np.bincount(
+                    cols[d], minlength=self.width
+                )
+            self.total += len(keys)
+        else:
+            w = np.asarray(counts, dtype=np.float64)
+            for d in range(self.depth):
+                self.counts[d] += np.bincount(
+                    cols[d], weights=w, minlength=self.width
+                ).astype(np.int64)
+            self.total += int(counts.sum())
 
     def query_many(self, keys: np.ndarray) -> np.ndarray:
         if len(keys) == 0:
