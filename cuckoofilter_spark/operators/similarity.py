@@ -1,11 +1,13 @@
 """Similarity search over an embedding column (``array<float>``).
 
 - ``cosine_topk``: exact brute-force top-k — the correctness baseline.
-  Dot products run JVM-side (``zip_with`` + ``aggregate`` fold in
-  DOUBLE precision, whole-stage codegen); ranking is a bounded
-  per-query window. At scale: queries are broadcast, the corpus scan
-  is embarrassingly parallel, and only (n_queries × k) rows survive
-  to the final sort — never a corpus-wide shuffle of vectors.
+  Scoring is one BLAS GEMM per Arrow batch (round 8; the JVM
+  ``zip_with``+``aggregate`` fold it replaced is CodegenFallback);
+  each task emits only its local top-k per query, then a bounded
+  per-query window ranks exactly. At scale: queries are collected
+  (small by contract), the corpus scan is embarrassingly parallel,
+  and only (tasks × n_queries × k) rows survive to the final sort —
+  never a corpus-wide shuffle of vectors.
 - ``lsh_ann_topk``: the scale path — L independent random-hyperplane
   LSH tables; candidates = same bucket in ≥1 table; exact re-rank of
   candidates only. Hyperplanes derive from a fixed seed (reproducible

@@ -98,7 +98,8 @@ def scale_conf(
     }
 
 
-def fan_out(df, target: int | None = None, *, factor: int = 2):
+def fan_out(df, target: int | None = None, *, factor: int = 2,
+            min_bytes: int = 2 << 20):
     """Round-robin repartition a NARROW source up to the session's
     parallelism when its scan produced too few partitions.
 
@@ -134,15 +135,28 @@ def fan_out(df, target: int | None = None, *, factor: int = 2):
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if n * factor <= target:
-        cols = [
-            F.col(f.name) for f in df.schema.fields
-            if not isinstance(f.dataType, MapType)
-        ]
-        if not cols:
-            return df.repartition(target)
-        return df.repartition(target, F.xxhash64(*cols))
-    return df
+    if n * factor > target:
+        return df
+    # size gate (round 8): below a few MB the exchange + extra stage
+    # cost more than the parallelism buys back (measured at the sf0.1
+    # step: minhash 2.0 s -> 2.8 s with an ungated fan-out of a 0.6 MB
+    # corpus; the 5.7 MB sf1.0 corpus gains 2-5x). Unknown sizes
+    # (non-file sources report ~Long.MaxValue) keep the fan-out.
+    try:
+        size = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:
+        size = None
+    if size is not None and size < 2**60 and size < min_bytes:
+        return df
+    cols = [
+        F.col(f.name) for f in df.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    if not cols:
+        return df.repartition(target)
+    return df.repartition(target, F.xxhash64(*cols))
 
 
 def warm_python_workers(spark: SparkSession, n_workers: int | None = None) -> None:
