@@ -94,7 +94,9 @@ def worker(cores: int, quarter: bool) -> None:
     docs = spark.read.parquet(DOUBLE).select("doc_id", "text")
     if quarter:
         docs = docs.filter((F.col("doc_id") % OFF) % 4 == 0)
-    rep = (F.col("doc_id") / OFF).cast("long")  # replica index 0..15
+    # exact INTEGER division (r7 ADVICE): `/` is double division and
+    # ids near 16*10^15 exceed 2^53, relying on favorable rounding
+    rep = F.expr(f"doc_id div {OFF}L")  # replica index 0..15
     old = docs.filter(rep < REPLICAS - 1)
     new = docs.filter(rep == REPLICAS - 1).unionByName(
         old.filter((F.col("doc_id") % OFF) % 25 == 1)
