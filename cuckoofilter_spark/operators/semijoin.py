@@ -89,13 +89,18 @@ def _blob_and_keys(
         if isinstance(dim.schema[dim_key].dataType, StringType):
             key_col = string_key_expr(key_col)
         # JVM-side null drop BEFORE toPandas: a nullable int column
-        # would otherwise arrive as float64 and round keys >= 2^53
-        rows = (
+        # would otherwise arrive as float64 and round keys >= 2^53.
+        # Gate with a distinct COUNT, not a LIMIT: a global limit
+        # funnels every surviving row through one task before the
+        # collect (measured 0.78 s vs 0.17+0.17 s for count + parallel
+        # toPandas on a 700k-key dim).
+        kdf = (
             dim.select(key_col.alias("__k"))
             .filter(F.col("__k").isNotNull()).distinct()
-            .limit(_DRIVER_BUILD_MAX + 1).toPandas()
         )
-        if len(rows) <= _DRIVER_BUILD_MAX:
+        n_distinct = kdf.count()
+        if n_distinct <= _DRIVER_BUILD_MAX:
+            rows = kdf.toPandas()
             keys = rows["__k"].to_numpy(dtype=np.int64).view(np.uint64)
             cap = suggest_capacity(
                 int(capacity or len(keys)), target_load=target_load
