@@ -972,7 +972,15 @@ def near_dup_pairs_crosscorpus(
         existing_df, id_col, text, num_hashes=num_hashes, bands=bands,
         rows_per_band=rows_per_band, shingle_k=shingle_k, seed=seed,
     ).persist()
-    n_new, n_old = tbl_n.count(), tbl_e.count()
+    # materialize the two sides CONCURRENTLY (guide §2.6): the counts
+    # are independent jobs, so the second side's kernel tasks backfill
+    # the slots the first side's tail leaves idle
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_n = ex.submit(tbl_n.count)
+        f_e = ex.submit(tbl_e.count)
+        n_new, n_old = f_n.result(), f_e.result()
     return crosscorpus_pairs_from_tables(
         tbl_n, tbl_e, bands=bands, threshold=threshold,
         bucket_cap=bucket_cap,
