@@ -314,17 +314,15 @@ def build_sketch_shards(
         lineage = False  # provenance dissolves across the distinct shuffle
         dt = df.schema[column].dataType
         if isinstance(dt, _ARRAY_TYPES):
-            # Round 8: per-partition np.unique in Arrow BEFORE the JVM
-            # distinct. The distinct's partial hash-aggregate over
-            # every exploded occurrence was ~85% of the collapse
-            # (measured 4.7 s for explode→distinct vs 0.8 s for the
-            # bare explode+scan at the sf1.0 step, 293M tokens); the
-            # Arrow flatten + np.unique feeds the JVM aggregate
-            # ~per-partition-cardinality rows instead of every
-            # occurrence (3.7 s end-to-end). Values and ELEMENT TYPE
-            # are preserved (int arrays stay int), so the distinct
-            # set, the shard-routing hash and the final filter are
-            # bit-identical to the exploded form.
+            # Round 8: per-partition np.unique in Arrow replaces the
+            # exploded JVM distinct. The distinct's partial
+            # hash-aggregate over every exploded occurrence was ~85%
+            # of the collapse (measured 4.7 s for explode→distinct vs
+            # 0.8 s for the bare explode+scan at the sf1.0 step, 293M
+            # tokens). Values and ELEMENT TYPE are preserved (int
+            # arrays stay int), so the distinct set per shard, the
+            # shard-routing hash and the final filter semantics are
+            # identical to the exploded form.
             elem = dt.elementType
             key_col = F.col(column)
             if isinstance(elem, StringType):
@@ -334,9 +332,23 @@ def build_sketch_shards(
                 elem_sql = "bigint"
             else:
                 elem_sql = elem.simpleString()
-            src = df.select(key_col.alias("__a")).mapInArrow(
+            pre = df.select(key_col.alias("__a")).mapInArrow(
                 _partition_unique, f"__v {elem_sql}"
             )
+            # ONE exchange, not two (round 8): a JVM distinct here
+            # would run a partial HashAggregate over rows that are
+            # ALREADY unique per task (pure overhead), shuffle the
+            # same ~P×per-partition-cardinality rows its exchange
+            # must carry anyway, final-aggregate them, then pay a
+            # SECOND exchange for the shard repartition. Instead the
+            # pre-unique rows hash-partition straight to their owning
+            # shard (all copies of a key land on one reducer) and the
+            # builder's per-partition np.unique (``distinct`` stays
+            # True) finishes the global dedup in numpy. Shard key
+            # sets — and delete routing — are identical.
+            n_parts = shuffle_partitions or df.sparkSession.sparkContext \
+                .defaultParallelism
+            projected = pre.repartition(n_parts, shard_key_expr("__v"))
         else:
             src = df.select(F.col(column).alias("__v"))
             if isinstance(src.schema["__v"].dataType, StringType):
@@ -344,22 +356,27 @@ def build_sketch_shards(
             # null-key parity with the local path (see shuffle_count
             # above)
             src = src.filter(F.col("__v").isNotNull())
-        # distinct() first so Catalyst's map-side partial aggregate
-        # shrinks the big shuffle to ≈cardinality rows per partition;
-        # then an explicit user-numbered repartition of the survivors.
-        # Two traps this dodges: (a) AQE sizes partitions by BYTES and
-        # would coalesce the ~8B/key distinct output into one
-        # partition, serializing the CPU-heavy python build stage;
-        # (b) repartition(n, "__v") gets COLLAPSED into the distinct's
-        # own ENSURE_REQUIREMENTS exchange (same clustering), which
-        # AQE may coalesce — so we partition on hash(__v), a distinct
-        # expression Catalyst keeps as a user-numbered, non-coalescible
-        # shuffle. Shard ownership stays computable (shard_key_expr).
-        n_parts = shuffle_partitions or df.sparkSession.sparkContext \
-            .defaultParallelism
-        projected = src.distinct().repartition(n_parts, shard_key_expr("__v"))
-        # downstream: keys are already globally distinct & disjoint
-        distinct = False
+            # SCALAR columns keep the JVM distinct-first plan (no
+            # Arrow pre-unique exists to shrink the stream, so the
+            # map-side partial aggregate is what collapses the big
+            # shuffle to ≈cardinality rows per partition), then an
+            # explicit user-numbered repartition of the survivors.
+            # Two traps this dodges: (a) AQE sizes partitions by
+            # BYTES and would coalesce the ~8B/key distinct output
+            # into one partition, serializing the CPU-heavy python
+            # build stage; (b) repartition(n, "__v") gets COLLAPSED
+            # into the distinct's own ENSURE_REQUIREMENTS exchange
+            # (same clustering), which AQE may coalesce — so we
+            # partition on hash(__v), a distinct expression Catalyst
+            # keeps as a user-numbered, non-coalescible shuffle.
+            # Shard ownership stays computable (shard_key_expr).
+            n_parts = shuffle_partitions or df.sparkSession.sparkContext \
+                .defaultParallelism
+            projected = src.distinct().repartition(
+                n_parts, shard_key_expr("__v")
+            )
+            # downstream: keys are already globally distinct & disjoint
+            distinct = False
     else:
         if lineage:
             try:
