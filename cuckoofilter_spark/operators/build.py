@@ -332,23 +332,33 @@ def build_sketch_shards(
                 elem_sql = "bigint"
             else:
                 elem_sql = elem.simpleString()
-            pre = df.select(key_col.alias("__a")).mapInArrow(
+            src = df.select(key_col.alias("__a")).mapInArrow(
                 _partition_unique, f"__v {elem_sql}"
             )
-            # ONE exchange, not two (round 8): a JVM distinct here
-            # would run a partial HashAggregate over rows that are
-            # ALREADY unique per task (pure overhead), shuffle the
-            # same ~P×per-partition-cardinality rows its exchange
-            # must carry anyway, final-aggregate them, then pay a
-            # SECOND exchange for the shard repartition. Instead the
-            # pre-unique rows hash-partition straight to their owning
-            # shard (all copies of a key land on one reducer) and the
-            # builder's per-partition np.unique (``distinct`` stays
-            # True) finishes the global dedup in numpy. Shard key
-            # sets — and delete routing — are identical.
+            # The JVM distinct STAYS after the pre-unique (measured,
+            # round 8): dropping it in favor of one exchange straight
+            # into the builder ships P×per-partition-cardinality rows
+            # (29M at sf1.0) across the Arrow boundary into the build
+            # stage, where the distinct's final aggregate collapses
+            # them to ~cardinality rows (1M) first — interleaved A/B:
+            # two-exchange plan 5.9 s vs single-exchange 8.1 s. The
+            # boundary crossing, not the aggregate, is the expensive
+            # resource. Then the explicit user-numbered repartition of
+            # the survivors dodges two AQE traps: (a) AQE sizes
+            # partitions by BYTES and would coalesce the ~8B/key
+            # distinct output into one partition, serializing the
+            # python build; (b) repartition(n, "__v") gets COLLAPSED
+            # into the distinct's own ENSURE_REQUIREMENTS exchange
+            # (same clustering), which AQE may coalesce — hash(__v)
+            # stays a distinct, non-coalescible expression. Shard
+            # ownership stays computable (shard_key_expr).
             n_parts = shuffle_partitions or df.sparkSession.sparkContext \
                 .defaultParallelism
-            projected = pre.repartition(n_parts, shard_key_expr("__v"))
+            projected = src.distinct().repartition(
+                n_parts, shard_key_expr("__v")
+            )
+            # downstream: keys are already globally distinct & disjoint
+            distinct = False
         else:
             src = df.select(F.col(column).alias("__v"))
             if isinstance(src.schema["__v"].dataType, StringType):

@@ -88,14 +88,13 @@ def test_shuffle_distinct_plan_is_partial_agg(spark):
     plan = explain_str(shards)
     # round 8: the token arrays flatten + pre-collapse per partition in
     # Arrow (MapInArrow, np.unique) — no explode generates per-token
-    # rows — then ONE user-numbered exchange hash-routes the
-    # per-partition distincts straight to their owning shard, where
-    # the builder's np.unique finishes the global dedup (no JVM
-    # HashAggregate pass at all)
+    # rows — then the JVM distinct (HashAggregate + Exchange) collapses
+    # the per-partition distincts to ~cardinality rows BEFORE the build
+    # stage's Arrow boundary (measured: shipping the uncollapsed rows
+    # into the builder instead costs more than the aggregate saves)
     assert plan.count("MapInArrow") >= 2  # pre-unique + shard build
     assert "Generate" not in plan and "Explode" not in plan
-    assert "HashAggregate" not in plan
-    assert "Exchange" in plan
+    assert "HashAggregate" in plan and "Exchange" in plan
 
 
 def test_shuffle_count_plan_is_partial_count_agg(spark):
