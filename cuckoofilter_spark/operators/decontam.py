@@ -11,16 +11,20 @@ sketch removes it:
 1. the EVAL side's distinct word n-grams are built into one cuckoo
    filter blob (eval sets are millions of n-grams — megabytes at
    16 bits/item) and broadcast;
-2. the CORPUS side is a narrow scan: per document, count how many of
-   its n-grams the filter contains (``contamination_count_udf``:
-   tokenize → shingle → hash → one batched probe, all inside one
-   Arrow UDF — no explode, no shuffle). Zero false negatives
-   (reference guarantee, ``src/cuckoofilter.h:166-185``) ⇒ every
-   truly contaminated document survives this gate;
-3. only the surviving candidates — the contaminated sliver plus an
-   FPR-controlled trickle (bits_per_item=16 ⇒ ~0.01% per n-gram) —
-   pay the exact verification join, so the result is EXACT while the
-   shuffle carries ~0.1% of the corpus n-grams.
+2. the CORPUS side is a narrow scan: per document, tokenize →
+   shingle → hash → one batched filter probe, all inside one Arrow
+   UDF — no explode, no shuffle. Zero false negatives (reference
+   guarantee, ``src/cuckoofilter.h:166-185``) ⇒ every truly
+   contaminated document survives this gate;
+3. only the PROBE HITS — true overlaps plus an FPR-controlled
+   trickle (bits_per_item=16 ⇒ ~0.01% per n-gram) — pay the exact
+   verification, so the result is EXACT. Round 8: for eval sets
+   within the driver cap the exact check rides INSIDE the same UDF
+   pass (``ngram_overlap_udf``: a ``searchsorted`` of the hit grams
+   against the broadcast sorted exact hash set — no join at all);
+   larger eval sets explode the hit-gram hashes into a broadcast
+   verify join (``ngram_hit_stats_udf`` + join). Either way the
+   per-gram exact work is candidate-only.
 
 This is the same probe-then-verify shape as the semi-join operator
 (``operators/semijoin.py``), applied per-array instead of per-key.
